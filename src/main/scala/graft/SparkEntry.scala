@@ -1,13 +1,73 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.algo.{ConnectedComponents, LabelPropagation, PageRank, Triangles}
+import graft.model.LinkGraph
+import graft.oracle.OracleSql
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every graph query runs the FULL engine pipeline: synthetic page table
+  * (url, warc_ts, html, text, lang) -> html link extraction -> url dictionary ->
+  * edge table -> algorithm. The DuckDB oracles re-derive the edge set from the shared
+  * integer-arithmetic spec (GraphSpec) and replay the same recurrences, so a hash match
+  * verifies the whole pipeline end to end.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: full page-table -> edges -> PageRank pipeline on sf0.001, top pages. */
+  def entry(spark: SparkSession): DataFrame = {
+    val g = LinkGraph.forSf(spark, "/root/testdata/sf0.001")
+    val pr = PageRank.run(spark, g, damp = 0.85, tol = 1e-8, maxIter = 100)
+    pr.ranks.orderBy(desc("score"), asc("id")).limit(20)
+  }
+
+  private def graph(s: SparkSession, dir: String): LinkGraph = LinkGraph.forSf(s, dir)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_edges" -> ((s, dir) => graph(s, dir).edges.select(col("src"), col("dst"))),
+
+    "q_degrees" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val od = g.edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("oc"))
+      val id = g.edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("ic"))
+      g.vertices
+        .join(od, Seq("id"), "left").join(id, Seq("id"), "left")
+        .select(col("id"), coalesce(col("oc"), lit(0L)).as("out_deg"),
+          coalesce(col("ic"), lit(0L)).as("in_deg"))
+    }),
+
+    "q_pagerank_fixed" -> ((s, dir) =>
+      PageRank.fixedPoint(s, graph(s, dir), iterations = 20)),
+
+    "q_components" -> ((s, dir) =>
+      ConnectedComponents.run(s, graph(s, dir)).labels),
+
+    "q_plp" -> ((s, dir) =>
+      LabelPropagation.fixedRounds(s, graph(s, dir), rounds = 10)),
+
+    "q_triangles_global" -> ((s, dir) => {
+      import s.implicits._
+      Seq(Triangles.globalCount(s, graph(s, dir))).toDF("triangles")
+    }),
+
+    "q_triangles_node" -> ((s, dir) =>
+      Triangles.perNode(s, graph(s, dir))),
+
+    "q_lcc" -> ((s, dir) =>
+      Triangles.localClusteringCoefficient(s, graph(s, dir))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_edges"            -> OracleSql.edges,
+    "q_degrees"          -> OracleSql.degrees,
+    "q_pagerank_fixed"   -> OracleSql.pagerankFixed(20),
+    "q_components"       -> OracleSql.components(12),
+    "q_plp"              -> OracleSql.plp(10),
+    "q_triangles_global" -> OracleSql.trianglesGlobal,
+    "q_triangles_node"   -> OracleSql.trianglesPerNode,
+    "q_lcc"              -> OracleSql.lcc,
+  )
 }

@@ -1,0 +1,79 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.model.LinkGraph
+import graft.iterate.IterativeJob
+
+/** PLP — community detection by label propagation
+  * (/root/reference/networkit/cpp/community/PLP.cpp:25-118).
+  *
+  * Semantics per round, for every node with degree > 0:
+  *   - weighted label frequencies over *neighbors* (not self): labelWeights[zeta[w]] += w
+  *     (:80-86);
+  *   - adopt the heaviest label; ties break to the SMALLEST label id (std::max_element
+  *     over an ordered map, :89-92);
+  *   - isolated nodes keep their singleton label (:50-56);
+  *   - stop when the number of updated nodes <= updateThreshold (default n/1e5) or after
+  *     maxIterations (:41-43,69).
+  *
+  * The reference's OpenMP execution is racy/non-deterministic by design; we run the
+  * synchronous (Jacobi) variant with the same tie-break, which is deterministic and
+  * engine/partitioning-independent — see SURVEY.md §2.4. The argmax-with-tie-break is a
+  * single max(struct(weight, -label)) aggregation: one shuffle per round, no window sort.
+  */
+object LabelPropagation {
+
+  final case class Result(labels: DataFrame, rounds: Int, lastUpdated: Long)
+
+  def run(spark: SparkSession, g: LinkGraph, maxIterations: Int = 100,
+          updateThresholdOpt: Option[Long] = None,
+          checkpointDir: Option[String] = None): Result = {
+    val threshold = updateThresholdOpt.getOrElse(math.max(1L, g.n / 100000L))
+    val bi = g.bidirected.persist(StorageLevel.MEMORY_AND_DISK)
+    bi.count()
+    val job = IterativeJob(spark, checkpointDir, "plp")
+    var labels = job.init(g.vertices.select(col("id"), col("id").as("label")))
+    var round = 0
+    var updated = Long.MaxValue
+    while (round < maxIterations && updated > threshold) {
+      // Heaviest neighbor label, smallest-id tie-break, in one aggregation:
+      // max(struct(w, -label)) orders by weight then by -label (= smallest label wins).
+      val freq = bi
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst"), col("label"))
+        .agg(sum("weight").as("w"))
+      val best = freq
+        .groupBy(col("dst"))
+        .agg(max(struct(col("w"), (-col("label")).as("nl"))).as("top"))
+        .select(col("dst").as("id"), (-col("top.nl")).as("cand"))
+      val next = labels.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("cand"), col("label")).as("label"),
+          (coalesce(col("cand"), col("label")) =!= col("label")).as("changed"))
+      val stepped = job.step(round, next)
+      updated = stepped.filter(col("changed")).count()
+      job.recordMetric(round, "updated", updated.toDouble)
+      labels = stepped.select("id", "label")
+      round += 1
+    }
+    bi.unpersist()
+    Result(labels, round, updated)
+  }
+
+  /** Exactly `rounds` synchronous rounds with no early stop — the deterministic form used
+    * by the cross-engine oracle (both sides unroll the same recurrence). */
+  def fixedRounds(spark: SparkSession, g: LinkGraph, rounds: Int): DataFrame =
+    run(spark, g, maxIterations = rounds, updateThresholdOpt = Some(-1L)).labels
+
+  /** Compact labels to 0..k-1 preserving order of the original ids —
+    * Partition::compact(useTurbo=false) (/root/reference/networkit/cpp/structures/
+    * Partition.cpp:91-119). */
+  def compact(labels: DataFrame): DataFrame = {
+    val distinctLabels = labels.select(col("label")).distinct()
+      .withColumn("clabel", row_number().over(Window.orderBy("label")).cast("long") - 1L)
+    labels.join(distinctLabels, "label").select(col("id"), col("clabel").as("label"))
+  }
+}

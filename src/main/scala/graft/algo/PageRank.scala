@@ -1,0 +1,112 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.model.LinkGraph
+import graft.iterate.IterativeJob
+
+/** PageRank with NetworKit's exact semantics
+  * (/root/reference/networkit/cpp/centrality/PageRank.cpp:20-71):
+  *
+  *   1. pr[u] = 1/n                                                  (:24-26)
+  *   2. deg[u] = weighted OUT-degree                                  (:30-33, Graph.cpp:536-545)
+  *   3. pr'[u] = damp * SUM over in-edges (v->u) of pr[v]*w/deg[v] + (1-damp)/n   (:37-46)
+  *   4. stop when L2 norm of the delta vector <= tol (checked pre-normalization)  (:48-57)
+  *   5. post-normalize to sum 1; dangling mass is NOT redistributed — the final
+  *      normalization compensates                                     (:62-68)
+  *
+  * Each iteration is one Catalyst-planned join + aggregation:
+  *   contribs = edges |><| ranks on src, groupBy dst, sum(rank * w / outW)
+  * then a right join against the vertex universe so sinks (no in-edges) still receive
+  * the teleport term. The per-edge w/outW factor is precomputed once and persisted, so
+  * the loop body shuffles only (dst, contribution) pairs.
+  */
+object PageRank {
+
+  final case class Result(ranks: DataFrame, iterations: Int, finalDelta: Double)
+
+  def run(spark: SparkSession, g: LinkGraph, damp: Double = 0.85, tol: Double = 1e-8,
+          maxIter: Int = 200, checkpointDir: Option[String] = None): Result = {
+    val n = g.n
+    // Per-edge transfer coefficient: w(v,u) / weightedOutDegree(v). Persisted once.
+    val transfer = g.edges
+      .join(g.outDegrees.select(col("id").as("src"), col("outW")), "src")
+      .select(col("src"), col("dst"), (col("weight") / col("outW")).as("coef"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    transfer.count()
+
+    val job = IterativeJob(spark, checkpointDir, "pagerank")
+    // Resume from the last complete checkpoint if one exists (north rule: jobs are
+    // resumable mid-computation from the manifest).
+    val resumeFrom = job.lastCompleteIteration
+    var ranks =
+      if (resumeFrom >= 0) job.load(resumeFrom).select("id", "score")
+      else job.init(g.vertices.select(col("id"), lit(1.0 / n).as("score")))
+    var iter = resumeFrom + 1
+    var delta = Double.MaxValue
+    val teleport = (1.0 - damp) / n
+    while (iter < maxIter && delta > tol) {
+      val contribs = transfer
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst"))
+        .agg(sum(col("score") * col("coef")).as("mass"))
+      val next = g.vertices
+        .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          (lit(damp) * coalesce(col("mass"), lit(0.0)) + lit(teleport)).as("score"))
+      // L2 delta (reference :48-57) and the checkpoint write share one job.
+      val checked = job.step(iter, next)
+      delta = math.sqrt(
+        checked.join(ranks.withColumnRenamed("score", "prev"), "id")
+          .agg(sum(pow(col("score") - col("prev"), 2.0))).head().getDouble(0))
+      job.recordMetric(iter, "l2_delta", delta)
+      ranks = checked
+      iter += 1
+    }
+    // Final sum-to-1 normalization (reference :62-68).
+    val total = ranks.agg(sum("score")).head().getDouble(0)
+    val out = ranks.select(col("id"), (col("score") / total).as("score"))
+    transfer.unpersist()
+    Result(out, iter, delta)
+  }
+
+  /** Fixed-point (scaled-integer) PageRank: ranks held as `round(score * 1e12)`-style
+    * longs, contributions use integer division — every operation is exact and
+    * order-independent, so results are bit-identical across engines, partitionings and
+    * parallelism levels. Used by the cross-engine oracle gate; the float [[run]] is the
+    * production scorer. Unweighted (web) graphs only. */
+  def fixedPoint(spark: SparkSession, g: LinkGraph, iterations: Int,
+                 scale: Long = 1000000000000L): DataFrame = {
+    val n = g.n
+    val outDeg = g.edges.groupBy("src").agg(count(lit(1)).as("outDeg"))
+    val e = g.edges.select(col("src"), col("dst"))
+      .join(outDeg, "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val init = scale / n
+    val tele = (15L * init) / 100L
+    var ranks = g.vertices.select(col("id"), lit(init).as("pr"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ranks.count()
+    var i = 0
+    while (i < iterations) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), expr("pr div outDeg").as("c"))
+        .groupBy("dst").agg(sum("c").as("mass"))
+      val next = g.vertices
+        .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          (expr("85 * coalesce(mass, 0L) div 100") + lit(tele)).as("pr"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      val prev = ranks
+      ranks = next.localCheckpoint(true)
+      prev.unpersist()
+      i += 1
+    }
+    e.unpersist()
+    ranks
+  }
+}
