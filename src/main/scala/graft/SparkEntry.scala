@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.algo.{ConnectedComponents, LabelPropagation, PageRank, Triangles}
 import graft.model.LinkGraph
-import graft.oracle.OracleSql
+import graft.oracle.{DocOracleSql, OracleSql}
+import graft.text.TextOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,6 +26,9 @@ object SparkEntry {
   }
 
   private def graph(s: SparkSession, dir: String): LinkGraph = LinkGraph.forSf(s, dir)
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_edges" -> ((s, dir) => graph(s, dir).edges.select(col("src"), col("dst"))),
@@ -58,6 +62,13 @@ object SparkEntry {
 
     "q_lcc" -> ((s, dir) =>
       Triangles.localClusteringCoefficient(s, graph(s, dir))),
+
+    // --- training-data pipeline: text analysis + dedup over `documents` ---
+    "q_text_stats"  -> ((s, dir) => TextOps.stats(docs(s, dir))),
+    "q_langid"      -> ((s, dir) => TextOps.langId(docs(s, dir))),
+    "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
+    "q_token_freq"  -> ((s, dir) => TextOps.tokenFreq(docs(s, dir))),
+    "q_dedup_exact" -> ((s, dir) => TextOps.dedupExact(docs(s, dir))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -69,5 +80,10 @@ object SparkEntry {
     "q_triangles_global" -> OracleSql.trianglesGlobal,
     "q_triangles_node"   -> OracleSql.trianglesPerNode,
     "q_lcc"              -> OracleSql.lcc,
+    "q_text_stats"       -> DocOracleSql.stats,
+    "q_langid"           -> DocOracleSql.langId,
+    "q_fingerprint"      -> DocOracleSql.fingerprint,
+    "q_token_freq"       -> DocOracleSql.tokenFreq,
+    "q_dedup_exact"      -> DocOracleSql.dedupExact,
   )
 }

@@ -1,0 +1,94 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a web-scale training-data pipeline, over the
+  * `documents(doc_id, text, lang, source, n_chars)` table.
+  *
+  * Cross-engine determinism strategy (same as the graph oracles): every computed value
+  * is either an exact integer or a single arithmetic expression over exact integers, and
+  * every hash is derived from `md5` — the one hash both Spark and DuckDB implement
+  * bit-identically — so the driver's exact-value DuckDB compare passes regardless of
+  * partitioning or evaluation order.
+  *
+  * All operators are pure Catalyst expressions (no UDFs): split/filter/transform/
+  * aggregate lambdas are codegen'd, scale linearly, and shuffle only on the final
+  * aggregation keys.
+  */
+object TextOps {
+
+  /** 60-bit integer hash of a string: first 15 hex chars of md5.
+    * DuckDB twin: `('0x' || substr(md5(x), 1, 15))::bigint`. */
+  def mdint(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Whitespace tokens of a document. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  val StopEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  val StopDe: Seq[String] = Seq("der", "die", "das", "und", "ist")
+  val StopFr: Seq[String] = Seq("le", "la", "les", "et", "est")
+
+  private def stopCount(toks: Column, stop: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(stop)))
+
+  /** Per-document statistics: token counts, lexical diversity, stopword ratio — the
+    * "quality scoring" signals (length / stopword-ratio heuristics) used to filter
+    * web text before training. */
+  def stats(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_uniq"),
+      stopCount(t, StopEn).as("n_stop"),
+      aggregate(t, lit(0L), (acc, x) => acc + length(x)).as("sum_tok_len"),
+      (size(array_distinct(t)).cast("double") / size(t)).as("ttr"),
+      (stopCount(t, StopEn).cast("double") / size(t)).as("stop_ratio"))
+  }
+
+  /** Language identification by stopword-list voting (n-gram-free heuristic; the
+    * deterministic tie-break is the fixed CASE order en > de > fr > und). */
+  def langId(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    docs
+      .select(col("doc_id"),
+        stopCount(t, StopEn).as("s_en"),
+        stopCount(t, StopDe).as("s_de"),
+        stopCount(t, StopFr).as("s_fr"))
+      .select(col("doc_id"),
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") && col("s_en") > 0, "en")
+          .when(col("s_de") >= col("s_fr") && col("s_de") > 0, "de")
+          .when(col("s_fr") > 0, "fr")
+          .otherwise("und").as("lang_pred"))
+  }
+
+  /** Order-sensitive document fingerprint: rolling polynomial hash over token hashes,
+    * h_i = (31*h_{i-1} + mdint(tok) mod 2^31) mod 2^31. Exact integer recurrence —
+    * byte-level content identity that survives whitespace-preserving reformatting. */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val m = 2147483648L
+    val t = tokens(col("text"))
+    docs.select(col("doc_id"),
+      aggregate(t, lit(0L), (acc, x) => (acc * 31L + pmod(mdint(x), lit(m))) % m)
+        .as("fp"))
+  }
+
+  /** Corpus token frequency (the TF side of quality filtering / vocab building). */
+  def tokenFreq(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+
+  /** Exact deduplication: cluster by content hash, keep the smallest doc_id as the
+    * representative. One hash-partitioned aggregation — at 100 TB this is the classic
+    * single-shuffle dedup (hash keys distribute uniformly; no skew handling needed
+    * because md5 keys are uniform). */
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_dups"))
+
+  /** The surviving rows after exact dedup (smallest doc_id per distinct text). */
+  def dedupedDocs(docs: DataFrame): DataFrame =
+    docs.join(dedupExact(docs).select(col("rep_id").as("doc_id")), "doc_id")
+}
