@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 
 import graft.algo.{ConnectedComponents, LabelPropagation, PageRank, Triangles}
 import graft.model.LinkGraph
-import graft.oracle.{DocOracleSql, OracleSql}
-import graft.text.TextOps
+import graft.emb.Embeddings
+import graft.oracle.{DedupOracleSql, DocOracleSql, EmbOracleSql, OracleSql}
+import graft.text.{Dedup, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -69,6 +70,17 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
     "q_token_freq"  -> ((s, dir) => TextOps.tokenFreq(docs(s, dir))),
     "q_dedup_exact" -> ((s, dir) => TextOps.dedupExact(docs(s, dir))),
+
+    // --- near-duplicate detection (shingle Jaccard / MinHash-LSH / SimHash) ---
+    "q_neardup_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), 0.5)),
+    "q_neardup_minhash" -> ((s, dir) => Dedup.minhashNearDups(docs(s, dir), 0.5)),
+    "q_neardup_simhash" -> ((s, dir) => Dedup.simhashNearDups(docs(s, dir), 8)),
+
+    // --- similarity search over embeddings (brute-force + LSH scale path) ---
+    "q_ann_topk"        -> ((s, dir) =>
+      Embeddings.bruteTopK(s.read.parquet(s"$dir/embeddings.parquet"))),
+    "q_emb_neardup_lsh" -> ((s, dir) =>
+      Embeddings.lshNearDups(s.read.parquet(s"$dir/embeddings.parquet"), 0.35)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -85,5 +97,10 @@ object SparkEntry {
     "q_fingerprint"      -> DocOracleSql.fingerprint,
     "q_token_freq"       -> DocOracleSql.tokenFreq,
     "q_dedup_exact"      -> DocOracleSql.dedupExact,
+    "q_neardup_jaccard"  -> DedupOracleSql.ngramJaccard(0.5),
+    "q_neardup_minhash"  -> DedupOracleSql.minhashNearDups(0.5),
+    "q_neardup_simhash"  -> DedupOracleSql.simhashNearDups(8),
+    "q_ann_topk"         -> EmbOracleSql.bruteTopK(),
+    "q_emb_neardup_lsh"  -> EmbOracleSql.lshNearDups(0.35),
   )
 }

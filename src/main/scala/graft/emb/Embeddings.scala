@@ -1,0 +1,97 @@
+package graft.emb
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.synth.GraphSpec
+
+/** Similarity search over an embedding column (`embeddings(vec_id, embedding
+  * array<float>, label)`): brute-force cosine top-k as the correctness baseline and
+  * random-hyperplane LSH bucketing as the 100 TB scale path.
+  *
+  * Determinism: embeddings are scaled to exact integers (floor(x*10^6)), so dot
+  * products and norms are exact 64-bit integer sums — order-independent and identical
+  * in the DuckDB oracle; cosine is one fixed double expression over those integers.
+  * Hyperplane coefficients are pure LCG functions of (table, plane, dim), inlined as
+  * literals on both engines.
+  */
+object Embeddings {
+
+  val Scale = 1000000L
+  val Dim = 64
+  val NumTables = 6 // LSH tables (OR-amplification)
+  val NumPlanes = 4 // hyperplanes per table -> 16 buckets each
+
+  private def lcg(x: Long): Long = {
+    import GraphSpec.{A, C, M}
+    (A * ((A * (x % M) + C) % M) + C) % M
+  }
+  /** Hyperplane coefficient in [-1000, 1000], pure function of (table, plane, dim). */
+  def coef(t: Int, p: Int, d: Int): Long =
+    lcg((((t.toLong * NumPlanes + p) * Dim + d) * 31L) + 7L) % 2001L - 1000L
+
+  /** (vec_id, v: exact int vector, nrm: exact squared norm). */
+  def vectors(emb: DataFrame): DataFrame = {
+    val v = transform(col("embedding"), x => floor(x.cast("double") * Scale).cast("long"))
+    emb.select(col("vec_id"), v.as("v"))
+      .withColumn("nrm", aggregate(col("v"), lit(0L), (a, x) => a + x * x))
+  }
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** cos = dot / sqrt(na) / sqrt(nb) — single fixed expression over exact integers. */
+  private def cosine(d: Column, na: Column, nb: Column): Column =
+    d.cast("double") / sqrt(na.cast("double")) / sqrt(nb.cast("double"))
+
+  /** Brute-force cosine top-k: for each query vector (vec_id < numQueries), the k
+    * nearest other vectors. The query side is broadcast — at scale this is the
+    * canonical broadcast-NN join (small probe set vs huge corpus), scanning the corpus
+    * once with no shuffle of the big side. */
+  def bruteTopK(emb: DataFrame, numQueries: Int = 20, k: Int = 5): DataFrame = {
+    val vs = vectors(emb)
+    val q = vs.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = vs.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
+  }
+
+  /** LSH bucket ids per vector: (vec_id, t, bucket) for each of the [[NumTables]]
+    * sign-random-projection tables. */
+  def lshBuckets(emb: DataFrame): DataFrame = {
+    val vs = vectors(emb)
+    val buckets = (0 until NumTables).map { t =>
+      val bucket = (0 until NumPlanes).map { p =>
+        val coefs = array((0 until Dim).map(d => lit(coef(t, p, d))): _*)
+        when(dot(col("v"), coefs) >= 0, lit(1L << p)).otherwise(0L)
+      }.reduce(_ + _)
+      struct(lit(t).as("t"), bucket.as("bucket"))
+    }
+    vs.select(col("vec_id"), col("v"), col("nrm"),
+        explode(array(buckets: _*)).as("tb"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+  }
+
+  /** Near-duplicate pairs by cosine >= tau, candidates restricted to vectors sharing an
+    * LSH bucket in any table. Output (a, b, cos), a < b. Candidate generation touches
+    * only same-bucket pairs — the scale path vs the O(n^2) brute force. */
+  def lshNearDups(emb: DataFrame, tau: Double): DataFrame = {
+    val b = lshBuckets(emb).persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        cosine(dot(col("x.v"), col("y.v")), col("x.nrm"), col("y.nrm")).as("cos"))
+      .distinct()
+    pairs.filter(col("cos") >= tau)
+  }
+}

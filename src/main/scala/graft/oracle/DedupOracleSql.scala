@@ -1,0 +1,90 @@
+package graft.oracle
+
+import graft.text.Dedup
+
+/** DuckDB oracle twins of [[graft.text.Dedup]] — same shingling, same md5-derived
+  * hashes, same MinHash permutation constants (inlined from the shared Scala
+  * functions), same banding. Exact integer arithmetic throughout.
+  */
+object DedupOracleSql {
+  import Dedup.{BandRows, NumBands, NumPerms, P, ShingleSize, maxShingleFreq}
+
+  private val n = ShingleSize
+  /** Shared prologue: distinct (doc_id, h) shingle hashes w/ stop-shingle filter + sizes. */
+  private val shCtes =
+    s"""sh0 AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, ('0x'||substr(md5(s),1,15))::bigint AS h FROM (
+       |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ts)-${n - 1}),
+       |      i -> concat_ws(' ', ${(0 until n).map(o => s"ts[i+$o]").mkString(", ")}))) AS s
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+       |    WHERE len(ts) >= $n)),
+       |keep AS MATERIALIZED (SELECT h FROM sh0 GROUP BY h HAVING count(*) <= $maxShingleFreq),
+       |sh AS MATERIALIZED (SELECT sh0.doc_id, sh0.h FROM sh0 JOIN keep USING (h)),
+       |sz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  private def jacCtes(tau: Double) =
+    s"""inter AS MATERIALIZED (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+       |  FROM sh x JOIN sh y ON x.h = y.h AND x.doc_id < y.doc_id GROUP BY 1, 2),
+       |jac AS MATERIALIZED (
+       |  SELECT a, b, c::double/(sa.n + sb.n - c) AS jaccard
+       |  FROM inter JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+       |  WHERE c::double/(sa.n + sb.n - c) >= $tau)""".stripMargin
+
+  def ngramJaccard(tau: Double): String =
+    s"""WITH $shCtes,
+       |${jacCtes(tau)}
+       |SELECT a, b, jaccard FROM jac""".stripMargin
+
+  private val sigCte = {
+    val cols = (0 until NumPerms).map(i =>
+      s"min((${Dedup.permA(i)}*(h%$P) + ${Dedup.permB(i)}) % $P) AS m$i").mkString(",\n    ")
+    s"sig AS MATERIALIZED (SELECT doc_id,\n    $cols\n  FROM sh GROUP BY doc_id)"
+  }
+
+  private def bandKeyExpr(b: Int): String =
+    (1 until BandRows).foldLeft(s"m${b * BandRows}") {
+      (acc, r) => s"((($acc) * 31 + m${b * BandRows + r}) % $P)"
+    }
+
+  def minhashNearDups(tau: Double): String = {
+    val bandSelects = (0 until NumBands).map(b =>
+      s"SELECT doc_id, $b AS band, ${bandKeyExpr(b)} AS key FROM sig").mkString("\n  UNION ALL ")
+    s"""WITH $shCtes,
+       |$sigCte,
+       |bands AS MATERIALIZED (
+       |  $bandSelects),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |${jacCtes(tau)}
+       |SELECT jac.a, jac.b, jac.jaccard FROM jac JOIN cand USING (a, b)""".stripMargin
+  }
+
+  private val simCte = {
+    val bitSums = (0 until 32).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n    ")
+    val combine = (0 until 32).map(j =>
+      s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""bits AS MATERIALIZED (SELECT doc_id,
+       |    $bitSums
+       |  FROM sh GROUP BY doc_id),
+       |sim AS MATERIALIZED (SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM bits)""".stripMargin
+  }
+
+  def simhashNearDups(maxHamming: Int): String = {
+    val chunkSelects = (0 until 4).map(c =>
+      s"SELECT doc_id, simhash, $c AS chunk, (simhash >> ${8 * c}) & 255 AS v FROM sim")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $shCtes,
+       |$simCte,
+       |chunks AS MATERIALIZED (
+       |  $chunkSelects)
+       |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+       |FROM chunks x JOIN chunks y
+       |  ON x.chunk = y.chunk AND x.v = y.v AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= $maxHamming""".stripMargin
+  }
+}

@@ -1,0 +1,140 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.synth.GraphSpec
+
+/** Near-duplicate detection for web-scale training data: word-shingle Jaccard,
+  * MinHash + banded LSH, and SimHash — the standard trio for fuzzy dedup of a
+  * 10^12-document crawl.
+  *
+  * Scale shape: everything funnels through `(doc_id, shingle_hash)` — one explode +
+  * one distinct (hash-partitioned by shingle), then joins keyed on shingle/band/chunk
+  * whose fan-out is bounded by [[maxShingleFreq]] (stop-shingles are dropped, the classic
+  * hub-key guard: a boilerplate shingle shared by 10^6 pages must not produce 10^12
+  * candidate pairs). All arithmetic is exact-integer so the DuckDB oracle matches
+  * bit-for-bit (see [[graft.oracle.DedupOracleSql]]).
+  */
+object Dedup {
+
+  /** Prime modulus 2^31-1 for MinHash permutations h_i(x) = (a_i*x + b_i) mod P. */
+  val P = 2147483647L
+  val NumPerms = 32
+  val BandRows = 4 // 8 bands x 4 rows
+  val NumBands: Int = NumPerms / BandRows
+  val ShingleSize = 3
+  /** Shingles occurring in more than this many docs are dropped (skew guard). */
+  val maxShingleFreq = 100L
+
+  private def lcg(x: Long): Long = {
+    import GraphSpec.{A, C, M}
+    (A * ((A * (x % M) + C) % M) + C) % M
+  }
+  /** Permutation parameters — pure functions of the index, identical in the oracle. */
+  def permA(i: Int): Long = lcg(2L * i + 1) % (P - 1) + 1
+  def permB(i: Int): Long = lcg(2L * i + 2) % P
+
+  /** Distinct (doc_id, h) word-3-gram shingle hashes; docs shorter than the shingle
+    * size contribute nothing. h is the 60-bit md5 int of the joined shingle text. */
+  def shingleHashes(docs: DataFrame, n: Int = ShingleSize): DataFrame = {
+    val t = TextOps.tokens(col("text"))
+    docs
+      .filter(size(t) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(t) - (n - 1)),
+          i => concat_ws(" ", slice(t, i, lit(n))))).as("s"))
+      .select(col("doc_id"), TextOps.mdint(col("s")).as("h"))
+      .distinct()
+  }
+
+  /** Shingle table with stop-shingles removed + per-doc set sizes, both persisted —
+    * the shared input of the three near-dup operators. */
+  private def prepared(docs: DataFrame): (DataFrame, DataFrame) = {
+    val sh = shingleHashes(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val keep = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleFreq).select("h")
+    val kept = sh.join(keep, "h").persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    (kept, sizes)
+  }
+
+  /** Exact pairwise Jaccard over docs sharing >= 1 (non-stop) shingle, kept if >= tau.
+    * Output (a, b, jaccard) with a < b. */
+  def ngramJaccardPairs(docs: DataFrame, tau: Double): DataFrame = {
+    val (sh, sizes) = prepared(docs)
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .select(col("a"), col("b"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
+  /** MinHash signature per doc: m_i = min over shingles of (a_i*(h mod P)+b_i) mod P. */
+  def minhashSignature(docs: DataFrame): DataFrame = {
+    val (sh, _) = prepared(docs)
+    val hm = pmod(col("h"), lit(P))
+    val aggs = (0 until NumPerms).map(i =>
+      min(pmod(lit(permA(i)) * hm + lit(permB(i)), lit(P))).as(s"m$i"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Band key of band b from 4 consecutive signature values (rolling-31 mod P). */
+  private def bandKey(b: Int): Column =
+    (0 until BandRows).map(r => col(s"m${b * BandRows + r}"))
+      .reduce((acc, m) => pmod(acc * 31L + m, lit(P)))
+
+  /** MinHash-LSH near-dup pairs: docs sharing any of the 8 band keys are candidates;
+    * candidates are verified with exact Jaccard >= tau. Output (a, b, jaccard), a < b.
+    * This is the 100 TB-scale path — candidate generation never compares non-colliding
+    * docs, and band keys distribute uniformly. */
+  def minhashNearDups(docs: DataFrame, tau: Double): DataFrame = {
+    val sig = minhashSignature(docs)
+    val bands = sig.select(col("doc_id"),
+      explode(array((0 until NumBands).map(b => struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    ngramJaccardPairs(docs, tau).join(cand, Seq("a", "b"))
+  }
+
+  /** 32-bit SimHash per doc over its shingle-hash set: bit j is set iff more shingles
+    * have bit j set than clear. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val (sh, _) = prepared(docs)
+    val aggs = (0 until 32).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$j")
+    }
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming, candidates generated by
+    * 8-bit chunk banding (pigeonhole: any pair within distance 24 shares a chunk; for
+    * the usual <=3-bit regime every true pair is caught). Output (a, b, hamming). */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sig = simhash(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val chunks = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"), shiftright(col("simhash"), 8 * c).bitwiseAND(lit(255L)).as("v"))): _*)).as("cv"))
+      .select(col("doc_id"), col("simhash"), col("cv.chunk").as("chunk"), col("cv.v").as("v"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}
