@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algo.{ConnectedComponents, LabelPropagation, PageRank, Triangles}
+import graft.algo.{Centralities, ConnectedComponents, Distances, EdgeScores, KCore,
+  LabelPropagation, Measures, PageRank, Triangles}
 import graft.model.LinkGraph
 import graft.emb.Embeddings
 import graft.oracle.{DedupOracleSql, DocOracleSql, EmbOracleSql, OracleSql}
@@ -64,6 +65,37 @@ object SparkEntry {
     "q_lcc" -> ((s, dir) =>
       Triangles.localClusteringCoefficient(s, graph(s, dir))),
 
+    // --- partition measures / coarsening / partition similarity over PLP labels ---
+    "q_modularity" -> ((s, dir) => {
+      val g = graph(s, dir)
+      Measures.summary(s, g, LabelPropagation.fixedRounds(s, g, 10))
+    }),
+    "q_conductance" -> ((s, dir) => {
+      val g = graph(s, dir)
+      Measures.conductance(s, g, LabelPropagation.fixedRounds(s, g, 10))
+    }),
+    "q_coarsen" -> ((s, dir) => {
+      val g = graph(s, dir)
+      Measures.coarsen(s, g, LabelPropagation.fixedRounds(s, g, 10))
+    }),
+    "q_rand_index" -> ((s, dir) => {
+      val g = graph(s, dir)
+      Measures.randIndex(s,
+        LabelPropagation.fixedRounds(s, g, 5), LabelPropagation.fixedRounds(s, g, 10))
+    }),
+
+    // --- k-core / distances / edge scores / assortativity / Katz ---
+    "q_kcore3"        -> ((s, dir) => KCore.kCore(s, graph(s, dir), 3)),
+    "q_bfs_hops"      -> ((s, dir) => Distances.bfsHops(s, graph(s, dir), 0L)),
+    "q_eccentricity"  -> ((s, dir) => Distances.eccentricity(s, graph(s, dir), 0L)),
+    "q_edge_jaccard"  -> ((s, dir) => EdgeScores.jaccardEdgeScore(s, graph(s, dir))),
+    "q_sparsify_tri"  -> ((s, dir) =>
+      EdgeScores.globalThresholdFilter(
+        EdgeScores.triangleEdgeScore(s, graph(s, dir)), "tri", 1.0)
+        .select(col("src"), col("dst"))),
+    "q_assortativity" -> ((s, dir) => Centralities.assortativity(s, graph(s, dir))),
+    "q_katz_fixed"    -> ((s, dir) => Centralities.katzFixedPoint(s, graph(s, dir), 10)),
+
     // --- training-data pipeline: text analysis + dedup over `documents` ---
     "q_text_stats"  -> ((s, dir) => TextOps.stats(docs(s, dir))),
     "q_langid"      -> ((s, dir) => TextOps.langId(docs(s, dir))),
@@ -92,6 +124,17 @@ object SparkEntry {
     "q_triangles_global" -> OracleSql.trianglesGlobal,
     "q_triangles_node"   -> OracleSql.trianglesPerNode,
     "q_lcc"              -> OracleSql.lcc,
+    "q_modularity"       -> OracleSql.modularity(10),
+    "q_conductance"      -> OracleSql.conductance(10),
+    "q_coarsen"          -> OracleSql.coarsen(10),
+    "q_rand_index"       -> OracleSql.randIndex(5, 10),
+    "q_kcore3"           -> OracleSql.kcore(3, 20),
+    "q_bfs_hops"         -> OracleSql.bfsHops(0L, 15),
+    "q_eccentricity"     -> OracleSql.eccentricity(0L, 15),
+    "q_edge_jaccard"     -> OracleSql.edgeJaccard,
+    "q_sparsify_tri"     -> OracleSql.sparsifyTri,
+    "q_assortativity"    -> OracleSql.assortativity,
+    "q_katz_fixed"       -> OracleSql.katzFixed(10),
     "q_text_stats"       -> DocOracleSql.stats,
     "q_langid"           -> DocOracleSql.langId,
     "q_fingerprint"      -> DocOracleSql.fingerprint,

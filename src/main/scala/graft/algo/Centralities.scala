@@ -1,0 +1,130 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
+
+import graft.model.LinkGraph
+import graft.iterate.IterativeJob
+
+/** Non-PageRank centralities, same join-agg iteration shape as PageRank.
+  *
+  *   - Degree centrality (/root/reference/networkit/cpp/centrality/DegreeCentrality
+  *     .cpp:15-36): out-degree (undirected: degree), optional /max normalization.
+  *   - Eigenvector centrality (centrality/EigenvectorCentrality.cpp:19-75): power
+  *     iteration over IN-edges, L2-normalized each step, converge when ‖x‖ stabilizes,
+  *     sign fixed so score[minVertex] >= 0.
+  *   - Katz (centrality/KatzCentrality.cpp:19-73): x'[u] = Σ_in α·w·(1+x[v]) + β,
+  *     converge on ‖x‖ residual, final /‖x‖ normalization. Also a fixed-point integer
+  *     variant (α = 1/4096, scaled by 10^6) for cross-engine oracle checking.
+  *   - ranking(): scores sorted desc with rank — Centrality.h:58's `ranking()` as a
+  *     window function.
+  */
+object Centralities {
+
+  def degree(spark: SparkSession, g: LinkGraph, normalized: Boolean = false): DataFrame = {
+    val deg = g.vertices
+      .join(g.edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("d")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("d"), lit(0L)).as("deg"))
+    if (!normalized) deg.select(col("id"), col("deg").cast("double").as("score"))
+    else {
+      val mx = deg.agg(max("deg")).head().getLong(0).toDouble
+      deg.select(col("id"), (col("deg") / mx).as("score"))
+    }
+  }
+
+  /** scores -> (rank, id, score) sorted by score desc, ties by id (deterministic). */
+  def ranking(scores: DataFrame): DataFrame =
+    scores.select(
+      row_number().over(Window.orderBy(desc("score"), asc("id"))).cast("long").as("rank"),
+      col("id"), col("score"))
+
+  def eigenvector(spark: SparkSession, g: LinkGraph, tol: Double = 1e-9,
+                  maxIter: Int = 500): DataFrame = {
+    val inEdges = g.edges.select(col("src"), col("dst"), col("weight"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    inEdges.count()
+    var x = g.vertices.select(col("id"), lit(1.0).as("score")).localCheckpoint(true)
+    var len = 0.0; var oldLen = Double.MaxValue; var iter = 0
+    while (math.abs(len - oldLen) > tol && iter < maxIter) {
+      oldLen = len
+      val contrib = inEdges.join(x.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("weight") * col("score")).as("s"))
+      val raw = g.vertices.join(contrib, Seq("id"), "left")
+        .select(col("id"), coalesce(col("s"), lit(0.0)).as("score"))
+        .localCheckpoint(true)
+      len = math.sqrt(raw.agg(sum(col("score") * col("score"))).head().getDouble(0))
+      x = raw.select(col("id"), (col("score") / len).as("score")).localCheckpoint(true)
+      iter += 1
+    }
+    inEdges.unpersist()
+    // Sign correction (reference: flip if score[0] < 0, using the smallest vertex id).
+    val s0 = x.orderBy("id").select("score").head().getDouble(0)
+    if (s0 < 0) x.select(col("id"), negate(col("score")).as("score")) else x
+  }
+
+  def katz(spark: SparkSession, g: LinkGraph, alpha: Double = 5e-4, beta: Double = 0.1,
+           tol: Double = 1e-8, maxIter: Int = 500): DataFrame = {
+    val inEdges = g.edges.persist(StorageLevel.MEMORY_AND_DISK)
+    inEdges.count()
+    var x = g.vertices.select(col("id"), lit(1.0).as("score")).localCheckpoint(true)
+    var len = 0.0; var oldLen = Double.MaxValue; var iter = 0
+    while (math.abs(len - oldLen) > tol && iter < maxIter) {
+      oldLen = len
+      val contrib = inEdges.join(x.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("weight") * lit(alpha) * (lit(1.0) + col("score"))).as("s"))
+      x = g.vertices.join(contrib, Seq("id"), "left")
+        .select(col("id"), (coalesce(col("s"), lit(0.0)) + lit(beta)).as("score"))
+        .localCheckpoint(true)
+      len = math.sqrt(x.agg(sum(col("score") * col("score"))).head().getDouble(0))
+      iter += 1
+    }
+    inEdges.unpersist()
+    x.select(col("id"), (col("score") / len).as("score"))
+  }
+
+  /** Fixed-point Katz-style recurrence for the oracle gate: exact integer state,
+    * x'[u] = (Σ over in-edges (scale + x[v])) div 4096, `rounds` synchronous rounds.
+    * Order-independent ⇒ bit-identical across engines/partitionings. */
+  def katzFixedPoint(spark: SparkSession, g: LinkGraph, rounds: Int,
+                     scale: Long = 1000000L): DataFrame = {
+    val e = g.edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    var x = g.vertices.select(col("id"), lit(0L).as("katz")).localCheckpoint(true)
+    var i = 0
+    while (i < rounds) {
+      val contrib = e.join(x.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("katz") + scale).as("s"))
+      x = g.vertices.join(contrib, Seq("id"), "left")
+        .select(col("id"), expr("coalesce(s, 0L) div 4096").as("katz"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    e.unpersist()
+    x
+  }
+
+  /** Degree assortativity over the undirected graph (benchmark kernel set,
+    * /root/reference/benchmark/nk.py — DegreeAssortativity): Pearson correlation of
+    * endpoint degrees over the bidirected edge list. One row of exact integer sums +
+    * the correlation as one double expression. */
+  def assortativity(spark: SparkSession, g: LinkGraph): DataFrame = {
+    val deg = g.bidirected.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val pairs = g.bidirected
+      .join(deg.select(col("id").as("src"), col("deg").as("dx")), "src")
+      .join(deg.select(col("id").as("dst"), col("deg").as("dy")), "dst")
+    pairs.agg(
+      count(lit(1)).as("ne"),
+      sum("dx").as("sx"), sum("dy").as("sy"),
+      sum(col("dx") * col("dx")).as("sxx"), sum(col("dy") * col("dy")).as("syy"),
+      sum(col("dx") * col("dy")).as("sxy"))
+      .select(col("ne"), col("sx"), col("sxy"), col("sxx"),
+        ((col("ne") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("ne") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("ne") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("assortativity"))
+  }
+}

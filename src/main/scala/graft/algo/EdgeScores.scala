@@ -1,0 +1,63 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.model.LinkGraph
+
+/** Per-edge scores + sparsification (/root/reference/networkit/cpp/edgescores/
+  * TriangleEdgeScore.cpp:18-110, JaccardSimilarityAttributizer, and sparsification/
+  * GlobalThresholdFilter.cpp):
+  *
+  *   - triangle count per logical undirected edge, via the same degree-ordered
+  *     orientation as [[Triangles]] (each triangle found once; hub-skew capped);
+  *   - neighborhood Jaccard per edge = tri(e) / (deg(u) + deg(v) - tri(e)) — exact
+  *     integers + one double division;
+  *   - GlobalThresholdFilter: keep edges with score above/below a threshold — the
+  *     backbone/sparsification primitive (`edges.filter(score >= t)`).
+  */
+object EdgeScores {
+
+  /** (src, dst, tri) triangle count per canonical undirected edge; edges in no triangle
+    * get 0. */
+  def triangleEdgeScore(spark: SparkSession, g: LinkGraph): DataFrame = {
+    val (o, rank) = Triangles.oriented(g)
+    val oc = o.persist(StorageLevel.MEMORY_AND_DISK)
+    oc.count()
+    val e1 = oc.select(col("a"), col("b"))
+    val e2 = oc.select(col("a").as("b"), col("b").as("c"))
+    val wedges = e1.join(e2, "b").select(col("a"), col("b"), col("c"))
+    val tris = wedges.join(oc.select(col("a"), col("b").as("c")), Seq("a", "c"))
+    // Each triangle (a,b,c) in rank space hits its three edges (a,b), (b,c), (a,c).
+    val perEdge = tris.select(
+        explode(array(
+          struct(col("a").as("x"), col("b").as("y")),
+          struct(col("b").as("x"), col("c").as("y")),
+          struct(col("a").as("x"), col("c").as("y")))).as("e"))
+      .groupBy(col("e.x").as("x"), col("e.y").as("y")).agg(count(lit(1)).as("tri"))
+    val byRank = rank.select(col("id"), col("r"))
+    oc.join(perEdge, oc("a") === perEdge("x") && oc("b") === perEdge("y"), "left")
+      .select(col("a"), col("b"), coalesce(col("tri"), lit(0L)).as("tri"))
+      .join(byRank.select(col("r").as("a"), col("id").as("ia")), "a")
+      .join(byRank.select(col("r").as("b"), col("id").as("ib")), "b")
+      .select(least(col("ia"), col("ib")).as("src"),
+        greatest(col("ia"), col("ib")).as("dst"), col("tri"))
+  }
+
+  /** (src, dst, tri, jaccard) neighborhood Jaccard per canonical undirected edge. */
+  def jaccardEdgeScore(spark: SparkSession, g: LinkGraph): DataFrame = {
+    val deg = g.bidirected.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    triangleEdgeScore(spark, g)
+      .join(deg.select(col("id").as("src"), col("deg").as("ds")), "src")
+      .join(deg.select(col("id").as("dst"), col("deg").as("dd")), "dst")
+      .select(col("src"), col("dst"), col("tri"),
+        (col("tri").cast("double") / (col("ds") + col("dd") - col("tri"))).as("jaccard"))
+  }
+
+  /** GlobalThresholdFilter (sparsification/GlobalThresholdFilter.cpp): edges whose
+    * score meets the threshold. `above=true` keeps score >= t, else score <= t. */
+  def globalThresholdFilter(scored: DataFrame, scoreCol: String, t: Double,
+                            above: Boolean = true): DataFrame =
+    if (above) scored.filter(col(scoreCol) >= t) else scored.filter(col(scoreCol) <= t)
+}

@@ -1,0 +1,105 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.LinkGraph
+
+/** Partition quality measures and partition ops over `labels(id, label)`:
+  *
+  *   - Modularity (/root/reference/networkit/cpp/community/Modularity.cpp:28-92):
+  *     Q = coverage − Σ_c (vol_c/ω)²/4 with vol_c = Σ_{v∈c} weightedDegree(v) and
+  *     ω = total edge weight; here unweighted ⇒ all terms are exact integers and Q is a
+  *     single double expression over them (Σ vol_c² aggregated exactly, then divided —
+  *     algebraically identical to the reference's per-cluster sum).
+  *   - Coverage (community/Coverage.cpp:14-60): intra-cluster edge fraction.
+  *   - EdgeCut (community/EdgeCut.cpp:13-21): weight of inter-cluster edges.
+  *   - Per-community conductance cut(C)/min(vol(C), vol(V)−vol(C))
+  *     (community/Conductance.cpp semantics per cluster-vs-rest).
+  *   - ParallelPartitionCoarsening (coarsening/ParallelPartitionCoarsening.cpp:22-136):
+  *     cluster graph with summed edge weights, intra-cluster edges kept once as
+  *     self-loop rows.
+  *   - Rand index between two partitions (community/PartitionIntersection / NMIDistance
+  *     family): pair-counting over the contingency table.
+  *
+  * Every aggregate is a hash-partitioned groupBy on label keys — 2 joins + 1 agg, the
+  * shape that scales to 10^12 edges (labels broadcast when small; AQE handles skewed
+  * giant communities).
+  */
+object Measures {
+
+  /** Logical undirected edges with both endpoint labels attached. */
+  private def labeledEdges(g: LinkGraph, labels: DataFrame): DataFrame =
+    g.canonicalUndirected
+      .join(labels.select(col("id").as("src"), col("label").as("lsrc")), "src")
+      .join(labels.select(col("id").as("dst"), col("label").as("ldst")), "dst")
+
+  /** Undirected degree per vertex (isolated vertices absent). */
+  private def undDegrees(g: LinkGraph): DataFrame =
+    g.bidirected.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+
+  /** One-row summary: m_und, intra- and cut-edge counts, Σ vol_c², coverage, edge cut,
+    * modularity. Exact integers + two fixed double expressions. */
+  def summary(spark: SparkSession, g: LinkGraph, labels: DataFrame): DataFrame = {
+    val le = labeledEdges(g, labels)
+    val base = le.agg(
+      count(lit(1)).as("m_und"),
+      sum(when(col("lsrc") === col("ldst"), 1L).otherwise(0L)).as("intra"))
+    val vol = undDegrees(g).join(labels, "id")
+      .groupBy("label").agg(sum("deg").as("vol"))
+      .agg(sum(col("vol") * col("vol")).as("sum_vol2"))
+    base.crossJoin(vol).select(
+      col("m_und"), col("intra"), (col("m_und") - col("intra")).as("cut"), col("sum_vol2"),
+      (col("intra").cast("double") / col("m_und")).as("coverage"),
+      (col("intra").cast("double") / col("m_und") -
+        col("sum_vol2").cast("double") / (lit(4.0) * col("m_und") * col("m_und")))
+        .as("modularity"))
+  }
+
+  /** Per-community (label, vol, cut, conductance); vol-0 communities get conductance 0. */
+  def conductance(spark: SparkSession, g: LinkGraph, labels: DataFrame): DataFrame = {
+    val mu = g.canonicalUndirected.count()
+    val biLab = g.bidirected
+      .join(labels.select(col("id").as("src"), col("label").as("lsrc")), "src")
+      .join(labels.select(col("id").as("dst"), col("label").as("ldst")), "dst")
+    val cut = biLab.filter(col("lsrc") =!= col("ldst"))
+      .groupBy(col("lsrc").as("label")).agg(count(lit(1)).as("cut"))
+    val vol = undDegrees(g).join(labels, "id").groupBy("label").agg(sum("deg").as("vol"))
+    labels.select("label").distinct()
+      .join(vol, Seq("label"), "left").join(cut, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("vol"), lit(0L)).as("vol"),
+        coalesce(col("cut"), lit(0L)).as("cut"))
+      .withColumn("conductance",
+        when(least(col("vol"), lit(2L) * mu - col("vol")) === 0L, lit(0.0))
+          .otherwise(col("cut").cast("double") /
+            least(col("vol"), lit(2L) * mu - col("vol"))))
+  }
+
+  /** Coarsen the undirected graph by a partition: one node per label, edge weight =
+    * number (sum of weights) of fine edges between the label pair; intra-cluster edges
+    * become self-loop rows (a == b). Output (a, b, w) with a <= b. */
+  def coarsen(spark: SparkSession, g: LinkGraph, labels: DataFrame): DataFrame =
+    labeledEdges(g, labels)
+      .select(least(col("lsrc"), col("ldst")).as("a"),
+        greatest(col("lsrc"), col("ldst")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+
+  /** Rand index between two partitions of the same vertex set: one row
+    * (n, s_both, s_a, s_b, rand). Pair counts are exact integers via C(x,2). */
+  def randIndex(spark: SparkSession, a: DataFrame, b: DataFrame): DataFrame = {
+    val joined = a.select(col("id"), col("label").as("la"))
+      .join(b.select(col("id"), col("label").as("lb")), "id")
+    val cont = joined.groupBy("la", "lb").agg(count(lit(1)).as("nij"))
+    val sBoth = cont.agg(sum(expr("nij*(nij-1) div 2")).as("s_both"))
+    val sA = cont.groupBy("la").agg(sum("nij").as("ai"))
+      .agg(sum(expr("ai*(ai-1) div 2")).as("s_a"))
+    val sB = cont.groupBy("lb").agg(sum("nij").as("bj"))
+      .agg(sum(expr("bj*(bj-1) div 2")).as("s_b"))
+    val n = joined.agg(count(lit(1)).as("n"))
+    n.crossJoin(sBoth).crossJoin(sA).crossJoin(sB)
+      .select(col("n"), col("s_both"), col("s_a"), col("s_b"),
+        ((expr("n*(n-1) div 2") + lit(2L) * col("s_both") - col("s_a") - col("s_b"))
+          .cast("double") / expr("n*(n-1) div 2")).as("rand"))
+  }
+}

@@ -65,9 +65,8 @@ object OracleSql {
        |SELECT id, label FROM l$rounds""".stripMargin
   }
 
-  /** PLP, `rounds` fixed synchronous rounds, heaviest-label / smallest-id tie-break.
-    * Mirrors LabelPropagation.fixedRounds. */
-  def plp(rounds: Int): String = {
+  /** PLP round CTEs p0..p{rounds} (shared by plp + the measure oracles). */
+  private def plpSteps(rounds: Int): String = {
     val steps = (1 to rounds).map { i =>
       s"""p$i AS MATERIALIZED (SELECT v.id, coalesce(b.cand, v.label) AS label
          |  FROM p${i - 1} v LEFT JOIN (
@@ -77,11 +76,184 @@ object OracleSql {
          |      FROM bi JOIN p${i - 1} x ON bi.a = x.id GROUP BY bi.b, x.label) t
          |    WHERE rn = 1) b ON v.id = b.id)""".stripMargin
     }.mkString(",\n")
+    s"""p0 AS MATERIALIZED (SELECT id, id AS label FROM verts),
+       |$steps""".stripMargin
+  }
+
+  /** PLP, `rounds` fixed synchronous rounds, heaviest-label / smallest-id tie-break.
+    * Mirrors LabelPropagation.fixedRounds. */
+  def plp(rounds: Int): String =
     s"""$base,
        |$biCte,
-       |p0 AS MATERIALIZED (SELECT id, id AS label FROM verts),
-       |$steps
+       |${plpSteps(rounds)}
        |SELECT id, label FROM p$rounds""".stripMargin
+
+  /** Canonical undirected edge set + undirected degrees (shared fragments). */
+  private val undDegCte =
+    s"""und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS t FROM edges),
+       |deg AS MATERIALIZED (SELECT a AS id, count(*) AS deg FROM bi GROUP BY a)""".stripMargin
+
+  /** Mirrors Measures.summary over PLP labels at `rounds`. */
+  def modularity(rounds: Int): String =
+    s"""$base,
+       |$biCte,
+       |${plpSteps(rounds)},
+       |$undDegCte,
+       |le AS MATERIALIZED (SELECT ls.label AS lsrc, ld.label AS ldst FROM und
+       |  JOIN p$rounds ls ON und.s = ls.id JOIN p$rounds ld ON und.t = ld.id),
+       |b0 AS MATERIALIZED (SELECT count(*) AS m_und,
+       |  sum(CASE WHEN lsrc = ldst THEN 1 ELSE 0 END) AS intra FROM le),
+       |vol AS MATERIALIZED (SELECT p.label, sum(deg.deg) AS vol FROM deg JOIN p$rounds p ON deg.id = p.id GROUP BY p.label),
+       |v2 AS MATERIALIZED (SELECT sum(vol*vol) AS sum_vol2 FROM vol)
+       |SELECT CAST(m_und AS BIGINT) AS m_und, CAST(intra AS BIGINT) AS intra,
+       |  CAST(m_und - intra AS BIGINT) AS cut, CAST(sum_vol2 AS BIGINT) AS sum_vol2,
+       |  intra::double / m_und AS coverage,
+       |  intra::double / m_und - sum_vol2::double / (4.0 * m_und * m_und) AS modularity
+       |FROM b0 CROSS JOIN v2""".stripMargin
+
+  /** Mirrors Measures.conductance over PLP labels at `rounds`. */
+  def conductance(rounds: Int): String =
+    s"""$base,
+       |$biCte,
+       |${plpSteps(rounds)},
+       |$undDegCte,
+       |mu AS MATERIALIZED (SELECT count(*) AS mu FROM und),
+       |cut AS MATERIALIZED (SELECT ls.label, count(*) AS cut FROM bi
+       |  JOIN p$rounds ls ON bi.a = ls.id JOIN p$rounds ld ON bi.b = ld.id
+       |  WHERE ls.label != ld.label GROUP BY ls.label),
+       |vol AS MATERIALIZED (SELECT p.label, sum(deg.deg) AS vol FROM deg JOIN p$rounds p ON deg.id = p.id GROUP BY p.label),
+       |lbls AS MATERIALIZED (SELECT DISTINCT label FROM p$rounds)
+       |SELECT l.label, CAST(coalesce(vol.vol, 0) AS BIGINT) AS vol,
+       |  CAST(coalesce(cut.cut, 0) AS BIGINT) AS cut,
+       |  CASE WHEN least(coalesce(vol.vol, 0), 2 * mu.mu - coalesce(vol.vol, 0)) = 0 THEN 0.0
+       |       ELSE coalesce(cut.cut, 0)::double /
+       |            least(coalesce(vol.vol, 0), 2 * mu.mu - coalesce(vol.vol, 0)) END AS conductance
+       |FROM lbls l CROSS JOIN mu
+       |LEFT JOIN vol ON l.label = vol.label LEFT JOIN cut ON l.label = cut.label""".stripMargin
+
+  /** Mirrors Measures.coarsen over PLP labels at `rounds`. */
+  def coarsen(rounds: Int): String =
+    s"""$base,
+       |$biCte,
+       |${plpSteps(rounds)},
+       |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS t FROM edges)
+       |SELECT least(ls.label, ld.label) AS a, greatest(ls.label, ld.label) AS b,
+       |  CAST(count(*) AS BIGINT) AS w
+       |FROM und JOIN p$rounds ls ON und.s = ls.id JOIN p$rounds ld ON und.t = ld.id
+       |GROUP BY 1, 2""".stripMargin
+
+  /** Mirrors Measures.randIndex between PLP at `ra` and `rb` rounds (ra < rb). */
+  def randIndex(ra: Int, rb: Int): String =
+    s"""$base,
+       |$biCte,
+       |${plpSteps(rb)},
+       |cont AS MATERIALIZED (SELECT x.label AS la, y.label AS lb, count(*) AS nij
+       |  FROM p$ra x JOIN p$rb y ON x.id = y.id GROUP BY 1, 2),
+       |sb AS MATERIALIZED (SELECT sum(nij*(nij-1)//2) AS s_both FROM cont),
+       |sa AS MATERIALIZED (SELECT sum(ai*(ai-1)//2) AS s_a FROM (SELECT sum(nij) AS ai FROM cont GROUP BY la)),
+       |sc AS MATERIALIZED (SELECT sum(bj*(bj-1)//2) AS s_b FROM (SELECT sum(nij) AS bj FROM cont GROUP BY lb)),
+       |nn2 AS MATERIALIZED (SELECT count(*) AS n FROM verts)
+       |SELECT CAST(n AS BIGINT) AS n, CAST(s_both AS BIGINT) AS s_both,
+       |  CAST(s_a AS BIGINT) AS s_a, CAST(s_b AS BIGINT) AS s_b,
+       |  (n*(n-1)//2 + 2*s_both - s_a - s_b)::double / (n*(n-1)//2) AS rand
+       |FROM nn2 CROSS JOIN sb CROSS JOIN sa CROSS JOIN sc""".stripMargin
+
+  /** k-core membership: `rounds` unrolled peel rounds at threshold k (>= fixpoint depth).
+    * Mirrors KCore.kCore. */
+  def kcore(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT bi.a AS id FROM bi
+         |  JOIN a${i - 1} x ON bi.a = x.id JOIN a${i - 1} y ON bi.b = y.id
+         |  GROUP BY bi.a HAVING count(*) >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$biCte,
+       |a0 AS MATERIALIZED (SELECT id FROM verts),
+       |$steps
+       |SELECT id FROM a$rounds""".stripMargin
+  }
+
+  /** BFS hop distances from `source` via `rounds` unrolled min-plus steps (-1 =
+    * unreachable). Mirrors Distances.bfsHops at fixpoint. */
+  def bfsHops(source: Long, rounds: Int): String = {
+    val inf = 999999L
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT d.id, least(d.dist, coalesce(m.md, d.dist)) AS dist
+         |  FROM d${i - 1} d LEFT JOIN (
+         |    SELECT bi.b AS id, min(x.dist) + 1 AS md FROM bi JOIN d${i - 1} x ON bi.a = x.id
+         |    GROUP BY bi.b) m ON d.id = m.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$biCte,
+       |d0 AS MATERIALIZED (SELECT id, CASE WHEN id = $source THEN 0 ELSE $inf END AS dist FROM verts),
+       |$steps
+       |SELECT id, CAST(CASE WHEN dist >= $inf THEN -1 ELSE dist END AS BIGINT) AS dist FROM d$rounds""".stripMargin
+  }
+
+  /** Eccentricity + reached count of `source` (on the BFS fixpoint). */
+  def eccentricity(source: Long, rounds: Int): String =
+    s"""SELECT max(dist) AS ecc,
+       |  CAST(sum(CASE WHEN dist >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS reached
+       |FROM (${bfsHops(source, rounds)})""".stripMargin
+
+  /** Triangle count + neighborhood Jaccard per undirected edge. Mirrors
+    * EdgeScores.jaccardEdgeScore. */
+  def edgeJaccard: String =
+    s"""$base,
+       |$triCte,
+       |pe AS MATERIALIZED (SELECT x, y, count(*) AS tri FROM (
+       |    SELECT a AS x, b AS y FROM tri
+       |    UNION ALL SELECT b, c FROM tri
+       |    UNION ALL SELECT a, c FROM tri) GROUP BY x, y),
+       |ej AS MATERIALIZED (
+       |  SELECT least(ra.id, rb.id) AS src, greatest(ra.id, rb.id) AS dst,
+       |    CAST(coalesce(pe.tri, 0) AS BIGINT) AS tri
+       |  FROM o LEFT JOIN pe ON o.a = pe.x AND o.b = pe.y
+       |  JOIN rk ra ON o.a = ra.r JOIN rk rb ON o.b = rb.r)
+       |SELECT ej.src, ej.dst, ej.tri,
+       |  ej.tri::double / (ds.d + dd.d - ej.tri) AS jaccard
+       |FROM ej JOIN dg ds ON ej.src = ds.id JOIN dg dd ON ej.dst = dd.id""".stripMargin
+
+  /** Sparsifier: undirected edges in >= 1 triangle. */
+  def sparsifyTri: String =
+    s"""$base,
+       |$triCte,
+       |pe AS MATERIALIZED (SELECT x, y, count(*) AS tri FROM (
+       |    SELECT a AS x, b AS y FROM tri
+       |    UNION ALL SELECT b, c FROM tri
+       |    UNION ALL SELECT a, c FROM tri) GROUP BY x, y)
+       |SELECT least(ra.id, rb.id) AS src, greatest(ra.id, rb.id) AS dst
+       |FROM pe JOIN rk ra ON pe.x = ra.r JOIN rk rb ON pe.y = rb.r""".stripMargin
+
+  /** Degree assortativity sums + Pearson r. Mirrors Centralities.assortativity. */
+  def assortativity: String =
+    s"""$base,
+       |$biCte,
+       |deg AS MATERIALIZED (SELECT a AS id, count(*) AS deg FROM bi GROUP BY a),
+       |s0 AS MATERIALIZED (
+       |  SELECT count(*) AS ne, sum(dx.deg) AS sx, sum(dy.deg) AS sy,
+       |    sum(dx.deg * dx.deg) AS sxx, sum(dy.deg * dy.deg) AS syy,
+       |    sum(dx.deg * dy.deg) AS sxy
+       |  FROM bi JOIN deg dx ON bi.a = dx.id JOIN deg dy ON bi.b = dy.id)
+       |SELECT CAST(ne AS BIGINT) AS ne, CAST(sx AS BIGINT) AS sx,
+       |  CAST(sxy AS BIGINT) AS sxy, CAST(sxx AS BIGINT) AS sxx,
+       |  (ne * sxy - sx * sy)::double /
+       |    (sqrt((ne * sxx - sx * sx)::double) * sqrt((ne * syy - sy * sy)::double)) AS assortativity
+       |FROM s0""".stripMargin
+
+  /** Fixed-point Katz-style recurrence, `iters` unrolled rounds. Mirrors
+    * Centralities.katzFixedPoint. */
+  def katzFixed(iters: Int, scale: Long = 1000000L): String = {
+    val steps = (1 to iters).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT v.id, CAST(coalesce(m.s, 0) // 4096 AS BIGINT) AS katz
+         |  FROM verts v LEFT JOIN (
+         |    SELECT e.dst AS id, sum(x.katz + $scale) AS s FROM edges e JOIN k${i - 1} x ON e.src = x.id
+         |    GROUP BY e.dst) m ON v.id = m.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |k0 AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS katz FROM verts),
+       |$steps
+       |SELECT id, katz FROM k$iters""".stripMargin
   }
 
   /** Degree-ordered oriented triangle enumeration (mirrors Triangles.oriented). */
