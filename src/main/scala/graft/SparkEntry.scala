@@ -7,7 +7,7 @@ import graft.algo.{Centralities, ConnectedComponents, Distances, EdgeScores, KCo
   LabelPropagation, Measures, PageRank, Triangles}
 import graft.model.LinkGraph
 import graft.emb.Embeddings
-import graft.oracle.{DedupOracleSql, DocOracleSql, EmbOracleSql, OracleSql}
+import graft.oracle.{DedupOracleSql, DocOracleSql, EmbOracleSql, MediaOracleSql, OracleSql}
 import graft.text.{Dedup, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -108,6 +108,11 @@ object SparkEntry {
     "q_neardup_minhash" -> ((s, dir) => Dedup.minhashNearDups(docs(s, dir), 0.5)),
     "q_neardup_simhash" -> ((s, dir) => Dedup.simhashNearDups(docs(s, dir), 8)),
 
+    // --- multimodal binary-column plumbing over the page table ---
+    "q_media_meta" -> ((s, dir) =>
+      graft.media.Multimodal.metadata(
+        graft.media.Multimodal.mediaTable(graft.synth.PageTableGen.pages(s, dir)))),
+
     // --- similarity search over embeddings (brute-force + LSH scale path) ---
     "q_ann_topk"        -> ((s, dir) =>
       Embeddings.bruteTopK(s.read.parquet(s"$dir/embeddings.parquet"))),
@@ -143,6 +148,7 @@ object SparkEntry {
     "q_neardup_jaccard"  -> DedupOracleSql.ngramJaccard(0.5),
     "q_neardup_minhash"  -> DedupOracleSql.minhashNearDups(0.5),
     "q_neardup_simhash"  -> DedupOracleSql.simhashNearDups(8),
+    "q_media_meta"       -> MediaOracleSql.mediaMeta(),
     "q_ann_topk"         -> EmbOracleSql.bruteTopK(),
     "q_emb_neardup_lsh"  -> EmbOracleSql.lshNearDups(0.35),
   )

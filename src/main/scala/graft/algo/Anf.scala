@@ -1,0 +1,111 @@
+package graft.algo
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.model.LinkGraph
+
+/** ANF / effective diameter approximation with Flajolet–Martin sketches
+  * (/root/reference/networkit/cpp/distance/EffectiveDiameterApproximation.cpp:13-120):
+  * every node carries k bitmask registers; one bit per register is set at geometric
+  * position i with P(i) = 2^-(i+1); per hop every node ORs its neighbors' previous
+  * masks into its own; a node "finishes" at hop h when its estimated reachable count
+  * 2^b / 0.77351 (b = average lowest-unset-bit over registers) reaches ratio*n;
+  * effective diameter = average finish hop.
+  *
+  * Spark shape: the k registers are k plain LongType columns, the per-hop merge is ONE
+  * `groupBy(dst).agg(bit_or(m_j)...)` — all built-in, codegen'd, one shuffle per hop
+  * (the same plan as a PageRank iteration, so it scales identically). Differences from
+  * the reference: 64-bit registers (vs 32) and a seeded LCG hash instead of ambient
+  * RNG, so results are deterministic at any parallelism.
+  */
+object Anf {
+
+  val K = 8
+
+  /** Geometric bit position from a uniform 31-bit hash: number of trailing zeros
+    * (P(i) = 2^-(i+1)); the all-zero hash caps at `cap`. */
+  private def fmBit(h: Column, cap: Int): Column =
+    when(h === 0L, lit(cap.toLong))
+      .otherwise(log2((h.bitwiseAND(-h)).cast("double")).cast("long"))
+
+  private def lcgCol(x: Column): Column = {
+    import graft.synth.GraphSpec.{A, C, M}
+    (lit(A) * ((lit(A) * pmod(x, lit(M)) + C) % M) + C) % M
+  }
+
+  final case class Result(effectiveDiameter: Double, perHopFinished: Seq[(Int, Long)])
+
+  /** Effective diameter at `ratio` (default .9, the reference default). */
+  def effectiveDiameter(spark: SparkSession, g: LinkGraph, ratio: Double = 0.9,
+                        seed: Long = 42L, maxHops: Int = 64): Result = {
+    val n = g.n
+    val maskBits = math.min(62, (math.ceil(math.log(n.toDouble) / math.log(2.0)) + 7).toInt)
+    val threshold = math.ceil(ratio * n)
+    val bi = g.bidirected.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    bi.count()
+
+    val maskCols = (0 until K).map(j => s"m$j")
+    var masks = g.vertices
+      .select(col("id") +: (0 until K).map(j =>
+        fmBit(lcgCol(col("id") * K + j + seed * 1000003L), maskBits).as(s"p$j")): _*)
+      .select(col("id") +: (0 until K).map(j =>
+        when(col(s"p$j") < maskBits, expr(s"shiftleft(cast(1 as bigint), int(p$j))"))
+          .otherwise(0L).as(s"m$j")): _*)
+      .localCheckpoint(true)
+
+    // Lowest-unset-bit estimate: b_j = log2((~m) & (m+1)); est = 2^(avg b) / 0.77351.
+    def estCol: Column = {
+      val bSum = (0 until K).map(j =>
+        log2((bitwise_not(col(s"m$j")).bitwiseAND(col(s"m$j") + 1L)).cast("double")))
+        .reduce(_ + _)
+      pow(lit(2.0), bSum / K) / 0.77351
+    }
+
+    var finished = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      new org.apache.spark.sql.types.StructType()
+        .add("id", "long").add("hop", "long"))
+    var hopCounts = List.empty[(Int, Long)]
+    var h = 1
+    var activeCount = n
+    while (activeCount > 0 && h <= maxHops) {
+      val msgs = bi.join(masks.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(expr(s"bit_or(${maskCols.head})").as(maskCols.head),
+          maskCols.tail.map(c => expr(s"bit_or($c)").as(c)): _*)
+      val curr = masks.as("x").join(msgs.as("y"), Seq("id"), "left")
+        .select(col("id") +: maskCols.map(c =>
+          coalesce(col(s"y.$c"), lit(0L)).bitwiseOR(col(s"x.$c")).as(c)): _*)
+        .localCheckpoint(true)
+      val unchanged = curr.as("a").join(masks.as("b"), "id")
+        .filter(maskCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _))
+        .select("id")
+      val nowDone = curr
+        .join(finished.select("id"), Seq("id"), "left_anti")
+        .filter(estCol >= threshold)
+        .select(col("id"), lit(h.toLong).as("hop"))
+      // Saturated-but-not-done nodes also stop (their masks can't change again).
+      val saturated = unchanged
+        .join(finished.select("id"), Seq("id"), "left_anti")
+        .join(nowDone.select("id"), Seq("id"), "left_anti")
+        .select(col("id"), lit(h.toLong).as("hop"))
+      val newlyFinished = nowDone.union(saturated).localCheckpoint(true)
+      val cnt = newlyFinished.count()
+      val prevFinished = finished
+      finished = finished.union(newlyFinished).localCheckpoint(true)
+      prevFinished.unpersist(false)
+      newlyFinished.unpersist(false)
+      hopCounts = (h, cnt) :: hopCounts
+      activeCount -= cnt
+      masks.unpersist(false)
+      masks = curr
+      h += 1
+    }
+    bi.unpersist()
+    val leftover = activeCount
+    val sumHops = finished.agg(sum("hop")).head().getLong(0) + leftover * maxHops
+    Result(sumHops.toDouble / n, hopCounts.reverse)
+  }
+}

@@ -53,9 +53,12 @@ object Centralities {
         .groupBy(col("dst").as("id")).agg(sum(col("weight") * col("score")).as("s"))
       val raw = g.vertices.join(contrib, Seq("id"), "left")
         .select(col("id"), coalesce(col("s"), lit(0.0)).as("score"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       len = math.sqrt(raw.agg(sum(col("score") * col("score"))).head().getDouble(0))
+      val prev = x
       x = raw.select(col("id"), (col("score") / len).as("score")).localCheckpoint(true)
+      prev.unpersist(false)
+      raw.unpersist(false)
       iter += 1
     }
     inEdges.unpersist()
@@ -75,10 +78,12 @@ object Centralities {
       val contrib = inEdges.join(x.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(col("weight") * lit(alpha) * (lit(1.0) + col("score"))).as("s"))
+      val prev = x
       x = g.vertices.join(contrib, Seq("id"), "left")
         .select(col("id"), (coalesce(col("s"), lit(0.0)) + lit(beta)).as("score"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       len = math.sqrt(x.agg(sum(col("score") * col("score"))).head().getDouble(0))
+      prev.unpersist(false)
       iter += 1
     }
     inEdges.unpersist()
@@ -98,9 +103,11 @@ object Centralities {
       val contrib = e.join(x.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(col("katz") + scale).as("s"))
+      val prev = x
       x = g.vertices.join(contrib, Seq("id"), "left")
         .select(col("id"), expr("coalesce(s, 0L) div 4096").as("katz"))
         .localCheckpoint(true)
+      prev.unpersist(false)
       i += 1
     }
     e.unpersist()

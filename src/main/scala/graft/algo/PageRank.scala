@@ -48,21 +48,30 @@ object PageRank {
     var delta = Double.MaxValue
     val teleport = (1.0 - damp) / n
     while (iter < maxIter && delta > tol) {
+      // Co-partitioned shuffle-hash joins: `transfer` is persisted hash(src, P); the
+      // rank state leaves each iteration hash(id, P) (groupBy(dst) exchange + alias-
+      // aware propagation through localCheckpoint), so both joins below run exchange-
+      // free — the ONLY per-iteration shuffle is the m contribution rows, with map-side
+      // partial aggregation. Broadcasting the rank state instead would re-collect and
+      // re-ship n rows through the driver every iteration (it mutates each round) and
+      // bills every task for deserializing it — measurably the scaling killer.
       val contribs = transfer
-        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(ranks.select(col("id").as("src"), col("score")).hint("shuffle_hash"), "src")
         .groupBy(col("dst"))
         .agg(sum(col("score") * col("coef")).as("mass"))
-      val next = g.vertices
-        .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
+      // Join against the previous ranks (same id universe as the vertex table) so the
+      // old score rides along into the checkpoint — the L2 delta then needs no second
+      // shuffle join, just a scan of the materialized iteration state.
+      val next = ranks.select(col("id"), col("score").as("prev"))
+        .join(contribs.withColumnRenamed("dst", "id").hint("shuffle_hash"), Seq("id"), "left")
         .select(col("id"),
-          (lit(damp) * coalesce(col("mass"), lit(0.0)) + lit(teleport)).as("score"))
-      // L2 delta (reference :48-57) and the checkpoint write share one job.
+          (lit(damp) * coalesce(col("mass"), lit(0.0)) + lit(teleport)).as("score"),
+          col("prev"))
       val checked = job.step(iter, next)
       delta = math.sqrt(
-        checked.join(ranks.withColumnRenamed("score", "prev"), "id")
-          .agg(sum(pow(col("score") - col("prev"), 2.0))).head().getDouble(0))
+        checked.agg(sum(pow(col("score") - col("prev"), 2.0))).head().getDouble(0))
       job.recordMetric(iter, "l2_delta", delta)
-      ranks = checked
+      ranks = checked.select("id", "score")
       iter += 1
     }
     // Final sum-to-1 normalization (reference :62-68).
@@ -99,8 +108,6 @@ object PageRank {
         .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .select(col("id"),
           (expr("85 * coalesce(mass, 0L) div 100") + lit(tele)).as("pr"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
       val prev = ranks
       ranks = next.localCheckpoint(true)
       prev.unpersist()

@@ -19,6 +19,17 @@ import org.apache.spark.sql.functions._
   */
 final case class IterativeJob(spark: SparkSession, checkpointDir: Option[String], name: String) {
 
+  /** The two live locally-checkpointed states. `step` returns a LAZY local checkpoint
+    * so the caller's convergence action (count / agg) materializes it in the same job —
+    * one job per iteration instead of two. Contract: the caller MUST run an action on
+    * the returned frame before calling `step` again (all algorithms do — the
+    * convergence check is the action). `pending` is the frame returned by the last
+    * step (materialized by the caller's action); `retired` is its predecessor, whose
+    * blocks can be freed once `pending` is materialized — without this cleanup a
+    * 100-iteration run holds 100 copies of the state and GC-thrashes the executors. */
+  private var pending: DataFrame = null
+  private var retired: DataFrame = null
+
   private def iterPath(i: Int) = checkpointDir.map(d => s"$d/$name/iter_$i").orNull
   private def manifestPath = checkpointDir.map(d => s"$d/$name/manifest.jsonl").orNull
 
@@ -40,14 +51,20 @@ final case class IterativeJob(spark: SparkSession, checkpointDir: Option[String]
   def load(i: Int): DataFrame = spark.read.parquet(iterPath(i))
 
   def init(df: DataFrame): DataFrame = checkpointDir match {
-    case None    => df.localCheckpoint(true)
+    case None =>
+      pending = df.localCheckpoint(true)
+      pending
     case Some(_) => df // init state is re-derivable; first step() persists
   }
 
-  /** Materialize iteration i's state; returns the truncated-lineage frame to iterate on. */
+  /** Truncate iteration i's lineage; returns the frame to iterate on (lazy local
+    * checkpoint — the caller's convergence action materializes it). */
   def step(i: Int, df: DataFrame): DataFrame = checkpointDir match {
     case None =>
-      df.localCheckpoint(true)
+      if (retired != null) retired.unpersist(false)
+      retired = pending
+      pending = df.localCheckpoint(false)
+      pending
     case Some(_) =>
       val path = iterPath(i)
       df.write.mode("overwrite").parquet(path)

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Dynamic-graph event streaming — the Structured Streaming analog of the reference's
+  * dynamics stack (/root/reference/networkit/cpp/dynamics/GraphEvent.h:24-39,
+  * DGSStreamParser.cpp:18-120, GraphUpdater.cpp, base/DynAlgorithm.h:21-26).
+  *
+  * Events: EDGE_ADDITION ("ae"), EDGE_REMOVAL ("re"), EDGE_WEIGHT_UPDATE ("ce"),
+  * NODE_ADDITION ("an"), NODE_REMOVAL ("rn"), TIME_STEP ("st"). The reference replays a
+  * totally-ordered DGS file; here events arrive as a stream with event-time
+  * (`TIME_STEP` generalizes to watermarks), state folds per micro-batch via
+  * `foreachBatch`, and incremental algorithms (DynConnectedComponents insert path) warm-
+  * start from the previous result instead of recomputing.
+  */
+object GraphEvents {
+
+  val schema = "etype string, u bigint, v bigint, w double, ts timestamp"
+
+  /** Parse DGS-style lines `"<op> <u> [<v> [<w>]]"` into typed event rows
+    * (DGSStreamParser.cpp:18-60; numeric ids, 0-based). Works on both batch and
+    * streaming DataFrames of a single `value` string column. */
+  def parseDgs(lines: DataFrame): DataFrame =
+    lines
+      .select(split(trim(col("value")), "\\s+").as("f"))
+      .filter(size(col("f")) >= 1 && col("f").getItem(0).isin("ae", "re", "ce", "an", "rn", "st"))
+      .select(
+        col("f").getItem(0).as("etype"),
+        expr("get(f, 1)").cast("long").as("u"),
+        expr("get(f, 2)").cast("long").as("v"),
+        coalesce(expr("get(f, 3)").cast("double"), lit(1.0)).as("w"))
+
+  /** Fold one micro-batch of events onto an edge table (GraphUpdater semantics with
+    * per-batch set semantics: additions ∪, weight updates overwrite, removals \). */
+  def applyBatch(edges: DataFrame, events: DataFrame): DataFrame = {
+    val adds = events.filter(col("etype") === "ae")
+      .select(col("u").as("src"), col("v").as("dst"), col("w").as("weight"))
+    val updates = events.filter(col("etype") === "ce")
+      .select(col("u").as("src"), col("v").as("dst"), col("w").as("nw"))
+    val removes = events.filter(col("etype") === "re")
+      .select(col("u").as("src"), col("v").as("dst"))
+    edges
+      .unionByName(adds)
+      .groupBy("src", "dst").agg(max("weight").as("weight"))
+      .join(updates, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"), coalesce(col("nw"), col("weight")).as("weight"))
+      .join(removes, Seq("src", "dst"), "left_anti")
+  }
+
+  /** Streaming event-rate monitor: windowed per-type counts with an event-time
+    * watermark (late events beyond the delay are dropped — the streaming-native
+    * generalization of the reference's TIME_STEP batching). */
+  def eventRates(events: DataFrame, window_ : String = "1 minute",
+                 watermarkDelay: String = "30 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), window_), col("etype"))
+      .agg(count(lit(1)).as("events"))
+
+  /** DynConnectedComponents insert path (components/DynConnectedComponents.cpp edge-
+    * addition case): warm-start min-label propagation from the previous labels with the
+    * frontier seeded by the new edges' endpoints — converges in O(merged-component
+    * diameter) rounds instead of a full recompute. `bi` must already include the new
+    * edges (both directions). */
+  def incrementalCC(spark: SparkSession, labels: DataFrame, bi: DataFrame,
+                    newEdges: DataFrame): DataFrame = {
+    val biC = bi.persist(StorageLevel.MEMORY_AND_DISK)
+    var lbl = labels.localCheckpoint(true)
+    var frontier = newEdges
+      .select(col("src").as("id")).union(newEdges.select(col("dst")))
+      .distinct()
+      .join(lbl, "id")
+    var active = frontier.count()
+    while (active > 0) {
+      val msgs = biC.join(frontier.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("label").as("cand"))
+      val next = lbl.join(msgs, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("cand"), col("label"))).as("label"),
+          (col("cand") < col("label")).as("changed"))
+        .localCheckpoint(true)
+      frontier = next.filter(col("changed")).select("id", "label")
+      active = frontier.count()
+      lbl = next.select("id", "label")
+    }
+    biC.unpersist()
+    lbl
+  }
+}
