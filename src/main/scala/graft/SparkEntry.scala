@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.algo.{Centralities, ConnectedComponents, Distances, EdgeScores, KCore,
-  LabelPropagation, Measures, PageRank, Triangles}
+  LabelPropagation, Measures, PLM, PageRank, Triangles}
 import graft.model.LinkGraph
 import graft.emb.Embeddings
 import graft.oracle.{DedupOracleSql, DocOracleSql, EmbOracleSql, MediaOracleSql, OracleSql}
@@ -95,6 +95,17 @@ object SparkEntry {
         .select(col("src"), col("dst"))),
     "q_assortativity" -> ((s, dir) => Centralities.assortativity(s, graph(s, dir))),
     "q_katz_fixed"    -> ((s, dir) => Centralities.katzFixedPoint(s, graph(s, dir), 10)),
+    "q_sssp_weighted" -> ((s, dir) =>
+      Distances.weightedSssp(s, graph(s, dir), 0L,
+        lit(1L) + pmod(col("src") + col("dst"), lit(5L)))),
+    "q_subgraph"      -> ((s, dir) => {
+      val g = graph(s, dir)
+      g.edges.filter(col("src") % 7 === 0 && col("dst") % 7 === 0)
+        .select("src", "dst")
+    }),
+    // Deterministic multilevel Louvain + ANF sketch — no SQL oracle (driver records
+    // the weaker rows-only check); invariants covered by unit tests.
+    "q_plm" -> ((s, dir) => PLM.run(s, graph(s, dir)).labels),
 
     // --- training-data pipeline: text analysis + dedup over `documents` ---
     "q_text_stats"  -> ((s, dir) => TextOps.stats(docs(s, dir))),
@@ -140,6 +151,8 @@ object SparkEntry {
     "q_sparsify_tri"     -> OracleSql.sparsifyTri,
     "q_assortativity"    -> OracleSql.assortativity,
     "q_katz_fixed"       -> OracleSql.katzFixed(10),
+    "q_sssp_weighted"    -> OracleSql.weightedSssp(0L, 40),
+    "q_subgraph"         -> OracleSql.subgraph7,
     "q_text_stats"       -> DocOracleSql.stats,
     "q_langid"           -> DocOracleSql.langId,
     "q_fingerprint"      -> DocOracleSql.fingerprint,

@@ -1,5 +1,7 @@
 package graft.algo
 
+import graft.DataFrameLineageOps
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -53,7 +55,7 @@ object Anf {
       .select(col("id") +: (0 until K).map(j =>
         when(col(s"p$j") < maskBits, expr(s"shiftleft(cast(1 as bigint), int(p$j))"))
           .otherwise(0L).as(s"m$j")): _*)
-      .localCheckpoint(true)
+      .cutLineage
 
     // Lowest-unset-bit estimate: b_j = log2((~m) & (m+1)); est = 2^(avg b) / 0.77351.
     def estCol: Column = {
@@ -78,7 +80,7 @@ object Anf {
       val curr = masks.as("x").join(msgs.as("y"), Seq("id"), "left")
         .select(col("id") +: maskCols.map(c =>
           coalesce(col(s"y.$c"), lit(0L)).bitwiseOR(col(s"x.$c")).as(c)): _*)
-        .localCheckpoint(true)
+        .cutLineage
       val unchanged = curr.as("a").join(masks.as("b"), "id")
         .filter(maskCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _))
         .select("id")
@@ -91,10 +93,10 @@ object Anf {
         .join(finished.select("id"), Seq("id"), "left_anti")
         .join(nowDone.select("id"), Seq("id"), "left_anti")
         .select(col("id"), lit(h.toLong).as("hop"))
-      val newlyFinished = nowDone.union(saturated).localCheckpoint(true)
+      val newlyFinished = nowDone.union(saturated).cutLineage
       val cnt = newlyFinished.count()
       val prevFinished = finished
-      finished = finished.union(newlyFinished).localCheckpoint(true)
+      finished = finished.union(newlyFinished).cutLineage
       prevFinished.unpersist(false)
       newlyFinished.unpersist(false)
       hopCounts = (h, cnt) :: hopCounts

@@ -1,5 +1,7 @@
 package graft.algo
 
+import graft.DataFrameLineageOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -45,7 +47,7 @@ object Centralities {
     val inEdges = g.edges.select(col("src"), col("dst"), col("weight"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     inEdges.count()
-    var x = g.vertices.select(col("id"), lit(1.0).as("score")).localCheckpoint(true)
+    var x = g.vertices.select(col("id"), lit(1.0).as("score")).cutLineage
     var len = 0.0; var oldLen = Double.MaxValue; var iter = 0
     while (math.abs(len - oldLen) > tol && iter < maxIter) {
       oldLen = len
@@ -53,10 +55,10 @@ object Centralities {
         .groupBy(col("dst").as("id")).agg(sum(col("weight") * col("score")).as("s"))
       val raw = g.vertices.join(contrib, Seq("id"), "left")
         .select(col("id"), coalesce(col("s"), lit(0.0)).as("score"))
-        .localCheckpoint(false)
+        .cutLineageLazy
       len = math.sqrt(raw.agg(sum(col("score") * col("score"))).head().getDouble(0))
       val prev = x
-      x = raw.select(col("id"), (col("score") / len).as("score")).localCheckpoint(true)
+      x = raw.select(col("id"), (col("score") / len).as("score")).cutLineage
       prev.unpersist(false)
       raw.unpersist(false)
       iter += 1
@@ -71,7 +73,7 @@ object Centralities {
            tol: Double = 1e-8, maxIter: Int = 500): DataFrame = {
     val inEdges = g.edges.persist(StorageLevel.MEMORY_AND_DISK)
     inEdges.count()
-    var x = g.vertices.select(col("id"), lit(1.0).as("score")).localCheckpoint(true)
+    var x = g.vertices.select(col("id"), lit(1.0).as("score")).cutLineage
     var len = 0.0; var oldLen = Double.MaxValue; var iter = 0
     while (math.abs(len - oldLen) > tol && iter < maxIter) {
       oldLen = len
@@ -81,7 +83,7 @@ object Centralities {
       val prev = x
       x = g.vertices.join(contrib, Seq("id"), "left")
         .select(col("id"), (coalesce(col("s"), lit(0.0)) + lit(beta)).as("score"))
-        .localCheckpoint(false)
+        .cutLineageLazy
       len = math.sqrt(x.agg(sum(col("score") * col("score"))).head().getDouble(0))
       prev.unpersist(false)
       iter += 1
@@ -97,7 +99,7 @@ object Centralities {
                      scale: Long = 1000000L): DataFrame = {
     val e = g.edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
     e.count()
-    var x = g.vertices.select(col("id"), lit(0L).as("katz")).localCheckpoint(true)
+    var x = g.vertices.select(col("id"), lit(0L).as("katz")).cutLineage
     var i = 0
     while (i < rounds) {
       val contrib = e.join(x.withColumnRenamed("id", "src"), "src")
@@ -106,7 +108,7 @@ object Centralities {
       val prev = x
       x = g.vertices.join(contrib, Seq("id"), "left")
         .select(col("id"), expr("coalesce(s, 0L) div 4096").as("katz"))
-        .localCheckpoint(true)
+        .cutLineage
       prev.unpersist(false)
       i += 1
     }

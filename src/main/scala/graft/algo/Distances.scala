@@ -1,5 +1,7 @@
 package graft.algo
 
+import graft.DataFrameLineageOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -21,7 +23,7 @@ object Distances {
     val bi = g.bidirected.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
     bi.count()
     var visited = g.vertices.filter(col("id") === source)
-      .select(col("id"), lit(0L).as("dist")).localCheckpoint(true)
+      .select(col("id"), lit(0L).as("dist")).cutLineage
     var frontier = visited
     var level = 1L
     var more = frontier.count() > 0
@@ -30,10 +32,10 @@ object Distances {
         .select(col("dst").as("id")).distinct()
         .join(visited.select("id"), Seq("id"), "left_anti")
         .select(col("id"), lit(level).as("dist"))
-        .localCheckpoint(true)
+        .cutLineage
       more = next.count() > 0
       if (more) {
-        visited = visited.union(next).localCheckpoint(true)
+        visited = visited.union(next).cutLineage
         frontier = next
         level += 1
       }
@@ -49,4 +51,40 @@ object Distances {
     bfsHops(spark, g, source)
       .agg(max(col("dist")).as("ecc"),
         sum(when(col("dist") >= 0L, 1L).otherwise(0L)).as("reached"))
+
+  /** Weighted single-source shortest paths (distance/Dijkstra.cpp semantics) as a
+    * distributed Bellman-Ford: iterate dist' = min(dist, min over in-neighbors
+    * (dist[v] + w)) until fixpoint — priority queues don't distribute, min-plus
+    * relaxation does (one shuffle per round, rounds <= longest shortest-path edge
+    * count). Integer weights keep the state exact. Unreachable => -1. */
+  def weightedSssp(spark: SparkSession, g: LinkGraph, source: Long,
+                   weight: org.apache.spark.sql.Column,
+                   maxRounds: Int = 200): DataFrame = {
+    val inf = 999999999L
+    val bi = g.bidirected.select(col("src"), col("dst"), weight.cast("long").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    bi.count()
+    var dist = g.vertices
+      .select(col("id"), when(col("id") === source, 0L).otherwise(inf).as("dist"))
+      .cutLineage
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val relax = bi.join(dist.select(col("id").as("src"), col("dist").as("ds")), "src")
+        .filter(col("ds") < inf)
+        .groupBy(col("dst").as("id")).agg(min(col("ds") + col("w")).as("cand"))
+      val next = dist.join(relax, Seq("id"), "left")
+        .select(col("id"),
+          least(col("dist"), coalesce(col("cand"), col("dist"))).as("dist"),
+          (col("cand") < col("dist")).as("changed"))
+        .cutLineageLazy
+      changed = next.filter(col("changed")).count()
+      val prev = dist
+      dist = next.select("id", "dist").cutLineage
+      prev.unpersist(false); next.unpersist(false)
+      round += 1
+    }
+    bi.unpersist()
+    dist.select(col("id"), when(col("dist") >= inf, -1L).otherwise(col("dist")).as("dist"))
+  }
 }

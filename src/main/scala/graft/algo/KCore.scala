@@ -1,5 +1,7 @@
 package graft.algo
 
+import graft.DataFrameLineageOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -22,7 +24,7 @@ object KCore {
   def kCore(spark: SparkSession, g: LinkGraph, k: Int, maxRounds: Int = 1000): DataFrame = {
     val bi = g.bidirected.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
     bi.count()
-    var alive = g.vertices.select(col("id")).localCheckpoint(true)
+    var alive = g.vertices.select(col("id")).cutLineage
     var n = alive.count()
     var round = 0
     var converged = false
@@ -31,7 +33,7 @@ object KCore {
         .join(alive.withColumnRenamed("id", "src"), "src")
         .join(alive.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-      val next = deg.filter(col("deg") >= k).select("id").localCheckpoint(true)
+      val next = deg.filter(col("deg") >= k).select("id").cutLineage
       val m = next.count()
       converged = m == n
       alive = next
@@ -55,7 +57,7 @@ object KCore {
         out = out.join(core.withColumn("ink", lit(true)), Seq("id"), "left")
           .select(col("id"),
             when(col("ink"), lit(k.toLong)).otherwise(col("coreness")).as("coreness"))
-          .localCheckpoint(true)
+          .cutLineage
         k += 1
       }
     }

@@ -1,5 +1,7 @@
 package graft.algo
 
+import graft.DataFrameLineageOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -109,7 +111,7 @@ object PageRank {
         .select(col("id"),
           (expr("85 * coalesce(mass, 0L) div 100") + lit(tele)).as("pr"))
       val prev = ranks
-      ranks = next.localCheckpoint(true)
+      ranks = next.cutLineage
       prev.unpersist()
       i += 1
     }

@@ -52,7 +52,7 @@ final case class IterativeJob(spark: SparkSession, checkpointDir: Option[String]
 
   def init(df: DataFrame): DataFrame = checkpointDir match {
     case None =>
-      pending = df.localCheckpoint(true)
+      pending = Lineage.cut(df, eager = true)
       pending
     case Some(_) => df // init state is re-derivable; first step() persists
   }
@@ -63,7 +63,7 @@ final case class IterativeJob(spark: SparkSession, checkpointDir: Option[String]
     case None =>
       if (retired != null) retired.unpersist(false)
       retired = pending
-      pending = df.localCheckpoint(false)
+      pending = Lineage.cut(df, eager = false)
       pending
     case Some(_) =>
       val path = iterPath(i)

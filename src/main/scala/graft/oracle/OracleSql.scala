@@ -241,6 +241,31 @@ object OracleSql {
        |    (sqrt((ne * sxx - sx * sx)::double) * sqrt((ne * syy - sy * sy)::double)) AS assortativity
        |FROM s0""".stripMargin
 
+  /** Weighted SSSP from `source`: `rounds` unrolled min-plus relaxations over the
+    * bidirected graph with synthetic integer weights w = 1 + (src+dst)%5. Mirrors
+    * Distances.weightedSssp at fixpoint. */
+  def weightedSssp(source: Long, rounds: Int): String = {
+    val inf = 999999999L
+    val steps = (1 to rounds).map { i =>
+      s"""w$i AS MATERIALIZED (SELECT d.id, least(d.dist, coalesce(m.md, d.dist)) AS dist
+         |  FROM w${i - 1} d LEFT JOIN (
+         |    SELECT bw.b AS id, min(x.dist + bw.w) AS md FROM bw JOIN w${i - 1} x ON bw.a = x.id
+         |    WHERE x.dist < $inf GROUP BY bw.b) m ON d.id = m.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$biCte,
+       |bw AS MATERIALIZED (SELECT a, b, 1 + (a + b) % 5 AS w FROM bi),
+       |w0 AS MATERIALIZED (SELECT id, CAST(CASE WHEN id = $source THEN 0 ELSE $inf END AS BIGINT) AS dist FROM verts),
+       |$steps
+       |SELECT id, CAST(CASE WHEN dist >= $inf THEN -1 ELSE dist END AS BIGINT) AS dist FROM w$rounds""".stripMargin
+  }
+
+  /** Induced subgraph on vertices with id % 7 == 0 (GraphTools subgraphFromNodes,
+    * graph/Graph.h:558). */
+  def subgraph7: String =
+    s"""$base
+       |SELECT src, dst FROM edges WHERE src % 7 = 0 AND dst % 7 = 0""".stripMargin
+
   /** Fixed-point Katz-style recurrence, `iters` unrolled rounds. Mirrors
     * Centralities.katzFixedPoint. */
   def katzFixed(iters: Int, scale: Long = 1000000L): String = {

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.DataFrameLineageOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -67,7 +69,7 @@ object GraphEvents {
   def incrementalCC(spark: SparkSession, labels: DataFrame, bi: DataFrame,
                     newEdges: DataFrame): DataFrame = {
     val biC = bi.persist(StorageLevel.MEMORY_AND_DISK)
-    var lbl = labels.localCheckpoint(true)
+    var lbl = labels.cutLineage
     var frontier = newEdges
       .select(col("src").as("id")).union(newEdges.select(col("dst")))
       .distinct()
@@ -80,7 +82,7 @@ object GraphEvents {
         .select(col("id"),
           least(col("label"), coalesce(col("cand"), col("label"))).as("label"),
           (col("cand") < col("label")).as("changed"))
-        .localCheckpoint(true)
+        .cutLineage
       frontier = next.filter(col("changed")).select("id", "label")
       active = frontier.count()
       lbl = next.select("id", "label")
