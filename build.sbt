@@ -26,7 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // -Xmx defaults high for the bench harness (this image has 128 GiB); no -Xms pin so
+  // the JVM still starts on small machines. Override with SPARK_DRIVER_MEM.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 ) ++ sys.env.get("SPARK_GC_OPTS").toSeq.flatMap(_.split(" ")) ++ Seq(
 )

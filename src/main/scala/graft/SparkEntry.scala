@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algo.{Centralities, ConnectedComponents, Distances, EdgeScores, KCore,
-  LabelPropagation, Measures, PLM, PageRank, Triangles}
+import graft.algo.{Betweenness, Centralities, ConnectedComponents, Distances, EdgeScores,
+  KCore, LabelPropagation, Measures, PLM, PageRank, Triangles}
 import graft.model.LinkGraph
 import graft.emb.Embeddings
 import graft.oracle.{DedupOracleSql, DocOracleSql, EmbOracleSql, MediaOracleSql, OracleSql}
@@ -95,6 +95,17 @@ object SparkEntry {
         .select(col("src"), col("dst"))),
     "q_assortativity" -> ((s, dir) => Centralities.assortativity(s, graph(s, dir))),
     "q_katz_fixed"    -> ((s, dir) => Centralities.katzFixedPoint(s, graph(s, dir), 10)),
+    "q_eigen_fixed"   -> ((s, dir) => Centralities.eigenvectorFixedPoint(s, graph(s, dir), 10)),
+    // Sampled-source Brandes (ApproxBetweenness-style batch of sources id%1000==0)
+    // and exact closeness/harmonic of the same sources, from ONE multi-source BFS.
+    "q_betweenness_fixed" -> ((s, dir) => {
+      val g = graph(s, dir)
+      Betweenness.fixedPoint(s, g, g.vertices.filter(col("id") % 1000 === 0))
+    }),
+    "q_closeness" -> ((s, dir) => {
+      val g = graph(s, dir)
+      Betweenness.closenessHarmonic(s, g, g.vertices.filter(col("id") % 1000 === 0))
+    }),
     "q_sssp_weighted" -> ((s, dir) =>
       Distances.weightedSssp(s, graph(s, dir), 0L,
         lit(1L) + pmod(col("src") + col("dst"), lit(5L)))),
@@ -103,9 +114,10 @@ object SparkEntry {
       g.edges.filter(col("src") % 7 === 0 && col("dst") % 7 === 0)
         .select("src", "dst")
     }),
-    // Deterministic multilevel Louvain + ANF sketch — no SQL oracle (driver records
-    // the weaker rows-only check); invariants covered by unit tests.
-    "q_plm" -> ((s, dir) => PLM.run(s, graph(s, dir)).labels),
+    // Deterministic multilevel Louvain, fixed schedule (6 rounds x 2 levels) so the
+    // DuckDB twin can unroll the identical recursion; integer-exact gain compares.
+    // The adaptive PLM.run is the production path (PlmSpec covers it).
+    "q_plm" -> ((s, dir) => PLM.runFixed(s, graph(s, dir), rounds = 6, levels = 2)),
 
     // --- training-data pipeline: text analysis + dedup over `documents` ---
     "q_text_stats"  -> ((s, dir) => TextOps.stats(docs(s, dir))),
@@ -117,7 +129,8 @@ object SparkEntry {
     // --- near-duplicate detection (shingle Jaccard / MinHash-LSH / SimHash) ---
     "q_neardup_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), 0.5)),
     "q_neardup_minhash" -> ((s, dir) => Dedup.minhashNearDups(docs(s, dir), 0.5)),
-    "q_neardup_simhash" -> ((s, dir) => Dedup.simhashNearDups(docs(s, dir), 8)),
+    // maxHamming=3 = the chunk-banding exact-recall bound (pigeonhole over 4 chunks).
+    "q_neardup_simhash" -> ((s, dir) => Dedup.simhashNearDups(docs(s, dir), 3)),
 
     // --- multimodal binary-column plumbing over the page table ---
     "q_media_meta" -> ((s, dir) =>
@@ -151,8 +164,12 @@ object SparkEntry {
     "q_sparsify_tri"     -> OracleSql.sparsifyTri,
     "q_assortativity"    -> OracleSql.assortativity,
     "q_katz_fixed"       -> OracleSql.katzFixed(10),
+    "q_eigen_fixed"      -> OracleSql.eigenvectorFixed(10),
+    "q_betweenness_fixed" -> OracleSql.betweennessFixed(1000, 15),
+    "q_closeness"        -> OracleSql.closenessHarmonic(1000, 15),
     "q_sssp_weighted"    -> OracleSql.weightedSssp(0L, 40),
     "q_subgraph"         -> OracleSql.subgraph7,
+    "q_plm"              -> OracleSql.plm(6, 2),
     "q_text_stats"       -> DocOracleSql.stats,
     "q_langid"           -> DocOracleSql.langId,
     "q_fingerprint"      -> DocOracleSql.fingerprint,
@@ -160,7 +177,7 @@ object SparkEntry {
     "q_dedup_exact"      -> DocOracleSql.dedupExact,
     "q_neardup_jaccard"  -> DedupOracleSql.ngramJaccard(0.5),
     "q_neardup_minhash"  -> DedupOracleSql.minhashNearDups(0.5),
-    "q_neardup_simhash"  -> DedupOracleSql.simhashNearDups(8),
+    "q_neardup_simhash"  -> DedupOracleSql.simhashNearDups(3),
     "q_media_meta"       -> MediaOracleSql.mediaMeta(),
     "q_ann_topk"         -> EmbOracleSql.bruteTopK(),
     "q_emb_neardup_lsh"  -> EmbOracleSql.lshNearDups(0.35),

@@ -97,11 +97,11 @@ object Anf {
       val cnt = newlyFinished.count()
       val prevFinished = finished
       finished = finished.union(newlyFinished).cutLineage
-      prevFinished.unpersist(false)
-      newlyFinished.unpersist(false)
+      prevFinished.releaseState()
+      newlyFinished.releaseState()
       hopCounts = (h, cnt) :: hopCounts
       activeCount -= cnt
-      masks.unpersist(false)
+      masks.releaseState()
       masks = curr
       h += 1
     }

@@ -1,0 +1,153 @@
+package graft.algo
+
+import graft.DataFrameLineageOps
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.model.LinkGraph
+
+/** Betweenness (Brandes) + closeness/harmonic-closeness from ONE batched multi-source
+  * BFS harness — the distributed re-architecture of the reference's per-source SSSP
+  * loops (/root/reference/networkit/cpp/centrality/Betweenness.cpp:28-140,
+  * Closeness.cpp:35-66, HarmonicCloseness.cpp:20-46, ApproxBetweenness.cpp sampling).
+  *
+  * Forward pass: level-synchronous BFS from ALL sources simultaneously; the state is
+  * one DataFrame (s, id, dist, sigma) keyed by (source, node) — shortest-path counts
+  * sigma accumulate via sum over predecessor messages, the textbook Brandes forward
+  * phase. One shuffle per BFS level regardless of the number of sources: batching
+  * sources is what makes Brandes feasible on Spark (n sequential SSSPs would be n
+  * driver loops; here the source dimension rides inside the row key).
+  *
+  * Backward pass: dependencies in order of decreasing distance,
+  * delta(v) += sigma_v/sigma_w * (1 + delta(w)) over successors w (dist_w = dist_v+1),
+  * one level per round. Unnormalized scores match the reference exactly: score(t) =
+  * sum of dependencies over sources, NO undirected halving (Betweenness.cpp:84,105-112
+  * divides only in the `normalized` branch).
+  *
+  * Exact closeness/harmonic of the source nodes come free from the forward state:
+  * closeness(s) = 1/Σ dist (Closeness.cpp:55-60), harmonic(s) = Σ 1/d
+  * (HarmonicCloseness.cpp:36-43). With all sources = all vertices this is the exact
+  * full algorithm; with a sampled source set it is the Approx* family (the scale
+  * path — cost is levels × m × |S|/n per level).
+  *
+  * The `fixedPoint` variant keeps the dependency recursion in scaled-integer floor
+  * division (delta' = Σ (sigma_v * (SCALE + delta_w)) div sigma_w) — exact and
+  * order-independent, so the DuckDB oracle replays it bit-for-bit.
+  */
+object Betweenness {
+
+  /** LCM(1..16): exact-integer harmonic numerators for BFS distances <= 16. */
+  val HarmonicLcm = 720720L
+
+  /** Forward multi-source BFS: state (s, id, dist, sigma) for every (source, reached
+    * node) pair, plus the number of levels. `sources` must be a DataFrame(id). */
+  def msBfs(spark: SparkSession, g: LinkGraph, sources: DataFrame,
+            maxLevels: Int = 64): (DataFrame, Int) = {
+    val bi = g.bidirected.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    bi.count()
+    var state = sources.select(col("id").as("s"), col("id"),
+      lit(0L).as("dist"), lit(1L).as("sigma")).cutLineage
+    var frontier = state
+    var level = 1
+    var more = frontier.count() > 0
+    while (more && level <= maxLevels) {
+      val msgs = frontier
+        .join(bi, frontier("id") === bi("src"))
+        .groupBy(col("s"), col("dst"))
+        .agg(sum("sigma").as("sigma"))
+        .select(col("s"), col("dst").as("id"), col("sigma"))
+      val next = msgs
+        .join(state.select("s", "id"), Seq("s", "id"), "left_anti")
+        .select(col("s"), col("id"), lit(level.toLong).as("dist"), col("sigma"))
+        .cutLineage
+      more = next.count() > 0
+      if (more) {
+        val prev = state
+        state = state.union(next).cutLineage
+        prev.releaseState()
+        frontier = next
+        level += 1
+      }
+    }
+    bi.unpersist()
+    (state, level)
+  }
+
+  /** Exact Brandes dependencies (float) from `sources`; with sources = all vertices
+    * this is exact betweenness, with a sample it is EstimateBetweenness's sum (no
+    * rescaling). Output (id, bc) over ALL vertices (0 where never intermediate). */
+  def run(spark: SparkSession, g: LinkGraph, sources: DataFrame): DataFrame =
+    backward(spark, g, sources, fpScale = None)
+
+  /** Scaled-integer twin of [[run]] for the cross-engine oracle: dependencies carried
+    * as floor((sigma_v * (SCALE + delta_w)) / sigma_w) sums — exact int64, identical
+    * in DuckDB (OracleSql.betweennessFixed). Output (id, bc) longs. */
+  def fixedPoint(spark: SparkSession, g: LinkGraph, sources: DataFrame,
+                 scale: Long = 10000L): DataFrame =
+    backward(spark, g, sources, fpScale = Some(scale))
+
+  // Shared backward sweep; fpScale = Some(s) switches the dependency term to the
+  // scaled-integer floor-division form.
+  private def backward(spark: SparkSession, g: LinkGraph, sources: DataFrame,
+                       fpScale: Option[Long]): DataFrame = {
+    val zero: Column = fpScale.map(_ => lit(0L)).getOrElse(lit(0.0))
+    val deltaType = if (fpScale.isDefined) "long" else "double"
+    val (state0, levels) = msBfs(spark, g, sources)
+    val state = state0.persist(StorageLevel.MEMORY_AND_DISK)
+    state.count()
+    val bi = g.bidirected.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    bi.count()
+    // delta rows accumulate level by level, highest level first (those nodes have no
+    // successors -> delta 0 and contribute via the join's left side only).
+    var delta = state.filter(lit(false))
+      .select(col("s"), col("id"), zero.as("delta")) // empty, typed
+    var lev = levels - 1
+    while (lev >= 0) {
+      val preds = state.filter(col("dist") === lev.toLong)
+        .select(col("s"), col("id"), col("sigma"))
+      val succs = state.filter(col("dist") === (lev + 1).toLong)
+        .select(col("s").as("ws"), col("id").as("wid"), col("sigma").as("wsigma"))
+      val nd = preds
+        .join(bi, preds("id") === bi("src"))
+        .join(succs, col("wid") === col("dst") && col("ws") === col("s"))
+        .join(delta.select(col("s").as("ds"), col("id").as("did"), col("delta").as("wdelta")),
+          col("ds") === col("s") && col("did") === col("wid"), "left")
+        .select(col("s"), col("id"), col("sigma"), col("wsigma"),
+          coalesce(col("wdelta"), zero).as("wdelta"))
+        .select(col("s"), col("id"), (fpScale match {
+          case Some(sc) => expr(s"sigma * ($sc + wdelta) div wsigma")
+          case None => col("sigma").cast("double") / col("wsigma").cast("double") *
+            (lit(1.0) + col("wdelta"))
+        }).as("c"))
+        .groupBy("s", "id").agg(sum("c").as("delta"))
+      val prev = delta
+      delta = delta.union(nd).cutLineage
+      prev.releaseState()
+      lev -= 1
+    }
+    val scores = delta.filter(col("id") =!= col("s"))
+      .groupBy("id").agg(sum("delta").as("bc0"))
+    val out = g.vertices.join(scores, Seq("id"), "left")
+      .select(col("id"), coalesce(col("bc0"), zero).cast(deltaType).as("bc"))
+    state.unpersist(); bi.unpersist()
+    out
+  }
+
+  /** Exact closeness + harmonic closeness OF the source nodes (unnormalized reference
+    * semantics: closeness = 1/Σdist over reachable, harmonic = Σ 1/d). All doubles are
+    * single divisions of exact integers (harmonic via the LCM(1..16) numerator), so
+    * the DuckDB twin matches bit-for-bit. Requires BFS depth <= 16. */
+  def closenessHarmonic(spark: SparkSession, g: LinkGraph, sources: DataFrame): DataFrame = {
+    val (state, levels) = msBfs(spark, g, sources)
+    require(levels <= 16, s"harmonic LCM covers distances <= 16, BFS depth was $levels")
+    state.groupBy(col("s").as("id"))
+      .agg((count(lit(1)) - 1L).as("reached"),
+        sum("dist").as("sumdist"),
+        sum(when(col("dist") > 0L, expr(s"$HarmonicLcm div dist")).otherwise(0L)).as("hnum"))
+      .select(col("id"), col("reached"), col("sumdist"),
+        when(col("sumdist") > 0L, lit(1.0) / col("sumdist")).otherwise(lit(0.0)).as("closeness"),
+        (col("hnum").cast("double") / lit(HarmonicLcm.toDouble)).as("harmonic"))
+  }
+}

@@ -36,37 +36,82 @@ object Centralities {
     }
   }
 
-  /** scores -> (rank, id, score) sorted by score desc, ties by id (deterministic). */
+  /** scores -> (rank, id, score) sorted by score desc, ties by id (deterministic).
+    * Distributed rank (Layout.zipWithRankBy) — no global window. */
   def ranking(scores: DataFrame): DataFrame =
-    scores.select(
-      row_number().over(Window.orderBy(desc("score"), asc("id"))).cast("long").as("rank"),
-      col("id"), col("score"))
+    graft.layout.Layout
+      .zipWithRankBy(scores, Seq(desc("score"), asc("id")), "rank0")
+      .select((col("rank0") + 1L).as("rank"), col("id"), col("score"))
+      .orderBy("rank")
 
+  /** Power iteration over in-edges, L2-normalized each step. The reference converges
+    * when the pre-normalization NORM stabilizes (EigenvectorCentrality.cpp:27-29,62-67);
+    * we additionally require the normalized score VECTOR's residual
+    * ‖x_t − x_{t−1}‖ <= tol — a stable norm alone cannot certify a rotating iterate.
+    * The residual comes free from the same single aggregation via
+    * ‖x/len − p‖² = Σx²/len² − 2Σxp/len + Σp² with len = sqrt(Σx²). */
   def eigenvector(spark: SparkSession, g: LinkGraph, tol: Double = 1e-9,
                   maxIter: Int = 500): DataFrame = {
     val inEdges = g.edges.select(col("src"), col("dst"), col("weight"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     inEdges.count()
     var x = g.vertices.select(col("id"), lit(1.0).as("score")).cutLineage
-    var len = 0.0; var oldLen = Double.MaxValue; var iter = 0
-    while (math.abs(len - oldLen) > tol && iter < maxIter) {
+    var len = 0.0; var oldLen = Double.MaxValue
+    var residual = Double.MaxValue
+    var iter = 0
+    while ((math.abs(len - oldLen) > tol || residual > tol) && iter < maxIter) {
       oldLen = len
       val contrib = inEdges.join(x.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(sum(col("weight") * col("score")).as("s"))
-      val raw = g.vertices.join(contrib, Seq("id"), "left")
-        .select(col("id"), coalesce(col("s"), lit(0.0)).as("score"))
+      // Carry the previous score through the checkpoint so norm AND residual need one
+      // scan, no second shuffle (same trick as PageRank's delta).
+      val raw = x.select(col("id"), col("score").as("prev"))
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"), coalesce(col("s"), lit(0.0)).as("score"), col("prev"))
         .cutLineageLazy
-      len = math.sqrt(raw.agg(sum(col("score") * col("score"))).head().getDouble(0))
+      val sums = raw.agg(
+        sum(col("score") * col("score")).as("sxx"),
+        sum(col("score") * col("prev")).as("sxp"),
+        sum(col("prev") * col("prev")).as("spp")).head()
+      len = math.sqrt(sums.getDouble(0))
+      residual = math.sqrt(math.max(0.0,
+        1.0 - 2.0 * sums.getDouble(1) / len + sums.getDouble(2)))
       val prev = x
       x = raw.select(col("id"), (col("score") / len).as("score")).cutLineage
-      prev.unpersist(false)
-      raw.unpersist(false)
+      prev.releaseState()
+      raw.releaseState()
       iter += 1
     }
     inEdges.unpersist()
     // Sign correction (reference: flip if score[0] < 0, using the smallest vertex id).
     val s0 = x.orderBy("id").select("score").head().getDouble(0)
     if (s0 < 0) x.select(col("id"), negate(col("score")).as("score")) else x
+  }
+
+  /** Fixed-point eigenvector twin for the oracle gate: power iteration with L-INFINITY
+    * normalization — max is exact on integers, so every round is order-independent and
+    * bit-identical across engines. x0 = scale; per round s[u] = Σ_in x[v] (exact int64),
+    * x'[u] = (s[u] * scale) div max(s). Converges to the same eigenvector direction as
+    * the L2-normalized float path (normalization choice only rescales). */
+  def eigenvectorFixedPoint(spark: SparkSession, g: LinkGraph, rounds: Int,
+                            scale: Long = 1000000L): DataFrame = {
+    val e = g.edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    var x = g.vertices.select(col("id"), lit(scale).as("ev")).cutLineage
+    var i = 0
+    while (i < rounds) {
+      val contrib = e.join(x.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(sum("ev").as("s"))
+      val mx = contrib.agg(max("s")).head().getLong(0)
+      val prev = x
+      x = g.vertices.join(contrib, Seq("id"), "left")
+        .select(col("id"), expr(s"coalesce(s, 0L) * $scale div $mx").as("ev"))
+        .cutLineage
+      prev.releaseState()
+      i += 1
+    }
+    e.unpersist()
+    x
   }
 
   def katz(spark: SparkSession, g: LinkGraph, alpha: Double = 5e-4, beta: Double = 0.1,
@@ -85,7 +130,7 @@ object Centralities {
         .select(col("id"), (coalesce(col("s"), lit(0.0)) + lit(beta)).as("score"))
         .cutLineageLazy
       len = math.sqrt(x.agg(sum(col("score") * col("score"))).head().getDouble(0))
-      prev.unpersist(false)
+      prev.releaseState()
       iter += 1
     }
     inEdges.unpersist()
@@ -109,7 +154,7 @@ object Centralities {
       x = g.vertices.join(contrib, Seq("id"), "left")
         .select(col("id"), expr("coalesce(s, 0L) div 4096").as("katz"))
         .cutLineage
-      prev.unpersist(false)
+      prev.releaseState()
       i += 1
     }
     e.unpersist()

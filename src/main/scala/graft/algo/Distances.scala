@@ -81,7 +81,7 @@ object Distances {
       changed = next.filter(col("changed")).count()
       val prev = dist
       dist = next.select("id", "dist").cutLineage
-      prev.unpersist(false); next.unpersist(false)
+      prev.releaseState(); next.releaseState()
       round += 1
     }
     bi.unpersist()

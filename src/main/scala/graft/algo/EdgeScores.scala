@@ -22,27 +22,20 @@ object EdgeScores {
   /** (src, dst, tri) triangle count per canonical undirected edge; edges in no triangle
     * get 0. */
   def triangleEdgeScore(spark: SparkSession, g: LinkGraph): DataFrame = {
-    val (o, rank) = Triangles.oriented(g)
-    val oc = o.persist(StorageLevel.MEMORY_AND_DISK)
+    val oc = Triangles.oriented(g).persist(StorageLevel.MEMORY_AND_DISK)
     oc.count()
-    val e1 = oc.select(col("a"), col("b"))
-    val e2 = oc.select(col("a").as("b"), col("b").as("c"))
-    val wedges = e1.join(e2, "b").select(col("a"), col("b"), col("c"))
-    val tris = wedges.join(oc.select(col("a"), col("b").as("c")), Seq("a", "c"))
-    // Each triangle (a,b,c) in rank space hits its three edges (a,b), (b,c), (a,c).
-    val perEdge = tris.select(
+    // Each triangle (a,b,c) — raw ids, (deg,id)-ordered a<b<c — hits its three oriented
+    // edges (a,b), (b,c), (a,c); count per edge, left-join back so 0-triangle edges stay.
+    val perEdge = Triangles.triangleCorners(oc).select(
         explode(array(
           struct(col("a").as("x"), col("b").as("y")),
           struct(col("b").as("x"), col("c").as("y")),
           struct(col("a").as("x"), col("c").as("y")))).as("e"))
       .groupBy(col("e.x").as("x"), col("e.y").as("y")).agg(count(lit(1)).as("tri"))
-    val byRank = rank.select(col("id"), col("r"))
     oc.join(perEdge, oc("a") === perEdge("x") && oc("b") === perEdge("y"), "left")
-      .select(col("a"), col("b"), coalesce(col("tri"), lit(0L)).as("tri"))
-      .join(byRank.select(col("r").as("a"), col("id").as("ia")), "a")
-      .join(byRank.select(col("r").as("b"), col("id").as("ib")), "b")
-      .select(least(col("ia"), col("ib")).as("src"),
-        greatest(col("ia"), col("ib")).as("dst"), col("tri"))
+      .select(least(col("a"), col("b")).as("src"),
+        greatest(col("a"), col("b")).as("dst"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
   }
 
   /** (src, dst, tri, jaccard) neighborhood Jaccard per canonical undirected edge. */

@@ -70,10 +70,10 @@ object LabelPropagation {
 
   /** Compact labels to 0..k-1 preserving order of the original ids —
     * Partition::compact(useTurbo=false) (/root/reference/networkit/cpp/structures/
-    * Partition.cpp:91-119). */
+    * Partition.cpp:91-119). Distributed rank via Layout.zipWithRank (no global window). */
   def compact(labels: DataFrame): DataFrame = {
-    val distinctLabels = labels.select(col("label")).distinct()
-      .withColumn("clabel", row_number().over(Window.orderBy("label")).cast("long") - 1L)
+    val distinctLabels = graft.layout.Layout
+      .zipWithRank(labels.select(col("label")).distinct(), "label", "clabel")
     labels.join(distinctLabels, "label").select(col("id"), col("clabel").as("label"))
   }
 }

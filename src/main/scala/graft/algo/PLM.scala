@@ -25,47 +25,64 @@ import graft.model.LinkGraph
   *
   * The reference moves asynchronously under OpenMP (racy by design); this engine runs
   * synchronous (Jacobi) rounds with a deterministic tie-break (max gain, then smallest
-  * community id), so results are reproducible at any parallelism. All sums stay exact:
-  * weights are integer-valued doubles (< 2^53), so aggregation order cannot change a
-  * gain comparison.
+  * community id), so results are reproducible at any parallelism.
   *
-  * Spark shape per round: one groupBy for affinities (the m-row shuffle), two n-row
-  * aggregations for volumes, one argmax — the same shuffle budget as a PLP round.
+  * Gains are compared in CLEARED-DENOMINATOR INTEGER form: at γ=1,
+  * ΔQ·2ω² = 2ω(aff_D − aff_C) + ((vol(C∖u) − vol(D∖u))·vol(u)), and every term is an
+  * exact int64 (weights are integer-valued at every level: 1 at level 0, sums after
+  * coarsening). Integer compares are order-independent, so the result is bit-identical
+  * across engines and partitionings — this is what lets the DuckDB oracle replay the
+  * whole multilevel recursion (`OracleSql.plm`). Exact while ω < ~2^31 (≈2B edges);
+  * beyond that swap the gain column to DecimalType(38,0) — same plan shape.
+  *
+  * Spark shape per round: one groupBy for the batch's affinities (the m-row shuffle),
+  * two n-row aggregations for volumes, one argmax — the same shuffle budget as a PLP
+  * round. Gains are computed ONLY for the round's parity batch, not all nodes.
   */
 object PLM {
 
   final case class Result(labels: DataFrame, levels: Int, rounds: Int)
 
   /** edges: (src, dst, weight) one row per logical undirected edge, src<=dst, MAY
-    * contain self-loops (coarse levels). Returns (id, label) over `vertices`. */
+    * contain self-loops (coarse levels); weights must be integer-valued. Returns
+    * (id, label) over `vertices` after `maxRounds` synchronous rounds (early exit on a
+    * full quiet batch cycle unless `fixedSchedule`). */
   private def movePhase(spark: SparkSession, vertices: DataFrame, edges: DataFrame,
-                        gamma: Double, maxRounds: Int, batches: Int): (DataFrame, Int) = {
+                        maxRounds: Int, batches: Int,
+                        fixedSchedule: Boolean): (DataFrame, Int) = {
+    val e = edges.select(col("src"), col("dst"), col("weight").cast("long").as("w"))
     // Bidirected non-loop view for neighbor expansion.
-    val nonLoop = edges.filter(col("src") =!= col("dst"))
+    val nonLoop = e.filter(col("src") =!= col("dst"))
     val bi = nonLoop.union(
-      nonLoop.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+      nonLoop.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val loops = edges.filter(col("src") === col("dst"))
-      .select(col("src").as("id"), col("weight").as("lw"))
-    // vol(u) = weightedDegree + w(u,u) [counted twice: once in wdeg once more here]
+    val loops = e.filter(col("src") === col("dst"))
+      .select(col("src").as("id"), col("w").as("lw"))
+    // vol(u) = weightedDegree + w(u,u) [loop counted twice: once in wdeg once more here]
     val volNode = vertices
-      .join(bi.groupBy(col("src").as("id")).agg(sum("weight").as("wd")), Seq("id"), "left")
+      .join(bi.groupBy(col("src").as("id")).agg(sum("w").as("wd")), Seq("id"), "left")
       .join(loops, Seq("id"), "left")
       .select(col("id"),
-        (coalesce(col("wd"), lit(0.0)) + lit(2.0) * coalesce(col("lw"), lit(0.0))).as("vol"))
+        (coalesce(col("wd"), lit(0L)) + lit(2L) * coalesce(col("lw"), lit(0L))).as("vol"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val omega = edges.agg(sum("weight")).head().getDouble(0)
+    val omega = e.agg(sum("w")).head().getLong(0)
 
     var labels = vertices.select(col("id"), col("id").as("label")).cutLineage
     var round = 0
     var quiet = 0 // consecutive quiet rounds (a full cycle of batches = stable)
-    while (quiet < batches && round < maxRounds) {
+    while ((fixedSchedule || quiet < batches) && round < maxRounds) {
       val volComm = volNode.join(labels, "id").groupBy("label").agg(sum("vol").as("volC"))
-      // affinity of u toward each neighboring community D (and its own C)
-      val aff = bi
+      // Parity gating: only one batch of nodes (id parity == round parity) moves per
+      // round. The reference's async execution never moves two adjacent nodes at the
+      // same instant; a pure Jacobi update would let symmetric pairs swap communities
+      // forever (2-cycles). Alternating batches is deterministic and breaks every
+      // symmetric oscillation; convergence = a full quiet batch cycle. The affinity
+      // aggregation is restricted to the batch up front — 1/batches of the shuffle.
+      val batchSrc = pmod(col("src"), lit(batches.toLong)) === lit((round % batches).toLong)
+      val aff = bi.filter(batchSrc)
         .join(labels.select(col("id").as("dst"), col("label").as("d")), "dst")
         .groupBy(col("src").as("id"), col("d"))
-        .agg(sum("weight").as("aff"))
+        .agg(sum("w").as("aff"))
       val withOwn = aff
         .join(labels, "id")
         .join(volNode, "id")
@@ -74,39 +91,31 @@ object PLM {
       // aff toward own community (0 if no intra neighbor)
       val ownAff = withOwn.filter(col("d") === col("label"))
         .select(col("id"), col("aff").as("affC"))
+      // ΔQ·2ω² — exact int64 at γ=1 (see scaladoc).
       val gains = withOwn.filter(col("d") =!= col("label"))
         .join(ownAff, Seq("id"), "left")
-        .select(col("id"), col("label"), col("d"), col("vol"),
-          ((col("aff") - coalesce(col("affC"), lit(0.0))) / omega +
-            lit(gamma) * (((col("volC") - col("vol")) - col("volD")) * col("vol")) /
-              (2.0 * omega * omega)).as("gain"))
-      // Parity gating: only half the nodes move per round (id parity == round
-      // parity). The reference's async execution never moves two adjacent nodes at
-      // the same instant; a pure Jacobi update would let symmetric pairs swap
-      // communities forever (2-cycles). Alternating halves is deterministic and
-      // breaks every symmetric oscillation; convergence = an even+odd pair of
-      // quiet rounds.
+        .select(col("id"), col("label"), col("d"),
+          (lit(2L) * lit(omega) * (col("aff") - coalesce(col("affC"), lit(0L))) +
+            ((col("volC") - col("vol")) - col("volD")) * col("vol")).as("gain"))
       val best = gains
-        .filter(pmod(col("id"), lit(batches.toLong)) === (round % batches).toLong)
         .groupBy("id")
         .agg(max(struct(col("gain"), (-col("d")).as("nd"))).as("top"))
         .select(col("id"), col("top.gain").as("gain"), (-col("top.nd")).as("best"))
-        .filter(col("gain") > 0)
+        .filter(col("gain") > 0L)
       val next = labels.join(best.select(col("id"), col("best")), Seq("id"), "left")
         .select(col("id"), coalesce(col("best"), col("label")).as("label"),
           col("best").isNotNull.as("changed"))
         .cutLineageLazy
-      val moved = next.filter(col("changed")).count()
-      if (sys.env.contains("PLM_DEBUG"))
-        println(s"PLMROUND round=$round moved=$moved t=${System.nanoTime() / 1000000}" +
-          s" leaves=${next.queryExecution.analyzed.collectLeaves().size}" +
-          s" nodes=${next.queryExecution.analyzed.collect { case p => p }.size}" +
-          s" labelLeaves=${labels.queryExecution.analyzed.collectLeaves().size}")
-      quiet = if (moved == 0) quiet + 1 else 0
+      if (fixedSchedule) {
+        next.count() // materialize the lazy checkpoint
+      } else {
+        val moved = next.filter(col("changed")).count()
+        quiet = if (moved == 0) quiet + 1 else 0
+      }
       val prev = labels
       labels = next.select("id", "label").cutLineage
-      prev.unpersist(false)
-      next.unpersist(false)
+      prev.releaseState()
+      next.releaseState()
       round += 1
     }
     bi.unpersist(); volNode.unpersist()
@@ -123,7 +132,9 @@ object PLM {
         greatest(col("ls"), col("ld")).as("dst"), col("weight"))
       .groupBy("src", "dst").agg(sum("weight").as("weight"))
 
-  def run(spark: SparkSession, g: LinkGraph, gamma: Double = 1.0,
+  /** Adaptive multilevel run (the production entry point): move until a full quiet
+    * batch cycle, coarsen while communities keep merging, prolong. γ=1. */
+  def run(spark: SparkSession, g: LinkGraph,
           maxRounds: Int = 32, maxLevels: Int = 10, batches: Int = 4): Result = {
     var edges = g.canonicalUndirected.persist(StorageLevel.MEMORY_AND_DISK)
     var vertices = g.vertices
@@ -132,7 +143,8 @@ object PLM {
     var totalRounds = 0
     var done = false
     while (!done && level < maxLevels) {
-      val (lv, rounds) = movePhase(spark, vertices, edges, gamma, maxRounds, batches)
+      val (lv, rounds) = movePhase(spark, vertices, edges, maxRounds, batches,
+        fixedSchedule = false)
       totalRounds += rounds
       val k = lv.select("label").distinct().count()
       val n = vertices.count()
@@ -152,5 +164,34 @@ object PLM {
       }
     }
     Result(labels, level + 1, totalRounds)
+  }
+
+  /** Fixed-schedule run for the cross-engine oracle: exactly `rounds` move rounds at
+    * each of `levels` levels, always coarsening between levels — fully deterministic
+    * and unrollable as chained CTEs (OracleSql.plm replays it bit-for-bit in DuckDB). */
+  def runFixed(spark: SparkSession, g: LinkGraph, rounds: Int, levels: Int,
+               batches: Int = 4): DataFrame = {
+    var edges = g.canonicalUndirected.persist(StorageLevel.MEMORY_AND_DISK)
+    var vertices = g.vertices
+    var labels: DataFrame = null
+    var level = 0
+    while (level < levels) {
+      val (lv, _) = movePhase(spark, vertices, edges, rounds, batches,
+        fixedSchedule = true)
+      labels =
+        if (labels == null) lv
+        else labels.select(col("id"), col("label").as("coarse"))
+          .join(lv.select(col("id").as("coarse"), col("label")), "coarse")
+          .select(col("id"), col("label")).cutLineage
+      if (level < levels - 1) {
+        val coarse = coarsenW(edges, lv).persist(StorageLevel.MEMORY_AND_DISK)
+        coarse.count()
+        edges.unpersist()
+        edges = coarse
+        vertices = lv.select(col("label").as("id")).distinct().cutLineage
+      }
+      level += 1
+    }
+    labels
   }
 }

@@ -1,7 +1,6 @@
 package graft.algo
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -16,61 +15,63 @@ import graft.model.LinkGraph
   * of the oriented graph is O(sqrt(m)) — this *is* the hub-skew mitigation (a 10^6-degree
   * hub never becomes a join fan-out key on its full neighborhood).
   *
-  * Plan shape: rank nodes by (degree, id); relabel edges by rank so orientation becomes a
-  * plain `<`; wedge self-join on the low endpoint; close with a semi-ish join against the
-  * oriented edge set. All joins shuffle on a key whose fan-out is degree-capped.
+  * Plan shape: two degree joins orient each edge with a plain `struct(deg, id)`
+  * comparison — NO global rank, NO single-partition window, nothing that funnels the
+  * vertex set through one task; wedge self-join on the low endpoint; close with a join
+  * against the oriented edge set. All joins shuffle on keys whose fan-out is
+  * degree-capped, so the plan survives a 100x scale-up unchanged.
   */
 object Triangles {
 
-  /** (oriented edges relabeled to rank space, rank dictionary id<->rank(+degree)). */
-  def oriented(g: LinkGraph): (DataFrame, DataFrame) = {
+  /** Oriented edges `(a, b, db)` in raw id space: a -> b iff
+    * (deg(a), a) < (deg(b), b) lexicographically; `db` = deg(b) rides along so wedge
+    * endpoints can be ordered without another join. */
+  def oriented(g: LinkGraph): DataFrame = {
     val und = g.canonicalUndirected.select("src", "dst")
     val deg = und.select(col("src").as("id")).union(und.select(col("dst").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
-    // Total order (deg asc, id asc) -> dense rank. Window is test-scale fine; at cluster
-    // scale swap for a sort-based zipWithIndex equivalent; orientation only needs ANY
-    // total order consistent with degree, so ties could also hash-break without a sort.
-    val rank = deg.withColumn("r",
-      row_number().over(Window.orderBy(col("deg"), col("id"))).cast("long") - 1L)
-    val bySrc = rank.select(col("id").as("src"), col("r").as("rs"))
-    val byDst = rank.select(col("id").as("dst"), col("r").as("rd"))
-    val o = und.join(bySrc, "src").join(byDst, "dst")
-      .select(least(col("rs"), col("rd")).as("a"), greatest(col("rs"), col("rd")).as("b"))
-    (o, rank)
+    val j = und
+      .join(deg.select(col("id").as("src"), col("deg").as("ds")), "src")
+      .join(deg.select(col("id").as("dst"), col("deg").as("dd")), "dst")
+    val srcFirst = struct(col("ds"), col("src")) < struct(col("dd"), col("dst"))
+    j.select(
+      when(srcFirst, col("src")).otherwise(col("dst")).as("a"),
+      when(srcFirst, col("dst")).otherwise(col("src")).as("b"),
+      when(srcFirst, col("dd")).otherwise(col("ds")).as("db"))
   }
 
   /** Per-node triangle counts (id, triangles) over the undirected graph; nodes in no
     * triangle are absent. */
   def perNode(spark: SparkSession, g: LinkGraph): DataFrame = {
-    val (o, rank) = oriented(g)
-    val oc = o.persist(StorageLevel.MEMORY_AND_DISK)
+    val oc = oriented(g).persist(StorageLevel.MEMORY_AND_DISK)
     oc.count()
-    val tri = triangleCorners(oc)
-    val perRank = tri.select(explode(array(col("a"), col("b"), col("c"))).as("r"))
-      .groupBy("r").agg(count(lit(1)).as("triangles"))
-    val out = perRank.join(rank.select(col("id"), col("r")), "r")
-      .select(col("id"), col("triangles"))
+    val out = triangleCorners(oc)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
     oc.unpersist()
     out
   }
 
   /** Total number of triangles in the undirected graph. */
   def globalCount(spark: SparkSession, g: LinkGraph): Long = {
-    val (o, _) = oriented(g)
-    val oc = o.persist(StorageLevel.MEMORY_AND_DISK)
+    val oc = oriented(g).persist(StorageLevel.MEMORY_AND_DISK)
     oc.count()
     val c = triangleCorners(oc).count()
     oc.unpersist()
     c
   }
 
-  /** All triangles as rank triples (a < b < c): wedge join + closing join. */
-  private def triangleCorners(o: DataFrame): DataFrame = {
-    val e1 = o.select(col("a"), col("b"))
-    val e2 = o.select(col("a").as("b"), col("b").as("c"))
-    val wedges = e1.join(e2, "b").select(col("a"), col("b"), col("c"))
-    val e3 = o.select(col("a"), col("b").as("c"))
-    wedges.join(e3, Seq("a", "c"))
+  /** All triangles as id triples (a, b, c) with (deg,id)-order a < b < c: wedge join on
+    * the low endpoint + closing join. The closing edge of a wedge (b, c) with
+    * (deg_b,b) < (deg_c,c) is oriented b -> c, so one equi-join closes it. */
+  private[algo] def triangleCorners(o: DataFrame): DataFrame = {
+    val e1 = o.select(col("a"), col("b"), col("db"))
+    val e2 = o.select(col("a"), col("b").as("c"), col("db").as("dc"))
+    val wedges = e1.join(e2, Seq("a"))
+      .filter(struct(col("db"), col("b")) < struct(col("dc"), col("c")))
+      .select(col("a"), col("b"), col("c"))
+    val e3 = o.select(col("a").as("b"), col("b").as("c"))
+    wedges.join(e3, Seq("b", "c")).select(col("a"), col("b"), col("c"))
   }
 
   /** Local clustering coefficient c(u) = 2*tri(u) / (d(u)(d(u)-1)), degree over the

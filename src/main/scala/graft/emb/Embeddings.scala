@@ -22,7 +22,20 @@ object Embeddings {
   val Scale = 1000000L
   val Dim = 64
   val NumTables = 6 // LSH tables (OR-amplification)
-  val NumPlanes = 4 // hyperplanes per table -> 16 buckets each
+  /** Planes per table at the correctness-gate scale (n=500 -> planesFor = 5). */
+  val NumPlanes = 5
+  private val MaxPlanes = 64 // coef stride, so coefficients don't shift with planes
+
+  /** THE scale parameterization rule: planes = log2(n / targetBucket), so the bucket
+    * count (2^planes per table) GROWS with the corpus and expected bucket occupancy
+    * stays ~targetBucket — in-bucket candidate pairs per table are then
+    * O(n * targetBucket), LINEAR in n, not n^2/constant. The recall narrower buckets
+    * cost is recovered by radius-1 multiprobe (each vector also probes the `planes`
+    * buckets one sign-flip away) OR-ed over [[NumTables]] tables; recall vs brute
+    * force is measured in DedupSpec. */
+  def planesFor(n: Long, targetBucket: Int = 16): Int =
+    math.max(4, math.ceil(
+      math.log((n.toDouble / targetBucket).max(2.0)) / math.log(2.0)).toInt)
 
   private def lcg(x: Long): Long = {
     import GraphSpec.{A, C, M}
@@ -30,7 +43,7 @@ object Embeddings {
   }
   /** Hyperplane coefficient in [-1000, 1000], pure function of (table, plane, dim). */
   def coef(t: Int, p: Int, d: Int): Long =
-    lcg((((t.toLong * NumPlanes + p) * Dim + d) * 31L) + 7L) % 2001L - 1000L
+    lcg((((t.toLong * MaxPlanes + p) * Dim + d) * 31L) + 7L) % 2001L - 1000L
 
   /** (vec_id, v: exact int vector, nrm: exact squared norm). */
   def vectors(emb: DataFrame): DataFrame = {
@@ -65,11 +78,11 @@ object Embeddings {
   }
 
   /** LSH bucket ids per vector: (vec_id, t, bucket) for each of the [[NumTables]]
-    * sign-random-projection tables. */
-  def lshBuckets(emb: DataFrame): DataFrame = {
+    * sign-random-projection tables with `planes` hyperplanes each. */
+  def lshBuckets(emb: DataFrame, planes: Int = NumPlanes): DataFrame = {
     val vs = vectors(emb)
     val buckets = (0 until NumTables).map { t =>
-      val bucket = (0 until NumPlanes).map { p =>
+      val bucket = (0 until planes).map { p =>
         val coefs = array((0 until Dim).map(d => lit(coef(t, p, d))): _*)
         when(dot(col("v"), coefs) >= 0, lit(1L << p)).otherwise(0L)
       }.reduce(_ + _)
@@ -81,13 +94,25 @@ object Embeddings {
         col("tb.t").as("t"), col("tb.bucket").as("bucket"))
   }
 
-  /** Near-duplicate pairs by cosine >= tau, candidates restricted to vectors sharing an
-    * LSH bucket in any table. Output (a, b, cos), a < b. Candidate generation touches
-    * only same-bucket pairs — the scale path vs the O(n^2) brute force. */
-  def lshNearDups(emb: DataFrame, tau: Double): DataFrame = {
-    val b = lshBuckets(emb).persist(StorageLevel.MEMORY_AND_DISK)
-    val pairs = b.as("x").join(b.as("y"),
-        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
+  /** Near-duplicate pairs by cosine >= tau, candidates restricted to vectors whose LSH
+    * codes agree (multiprobe: differ in at most one sign bit) in some table. Output
+    * (a, b, cos), a < b. Candidate generation touches only same/adjacent-bucket pairs
+    * — O(n * bucketSize * (planes+1)) per table with [[planesFor]] sizing, vs the
+    * O(n^2) brute force. Multiprobe is what keeps recall up when `planes` grows with
+    * the corpus (each extra plane halves single-bucket collision probability). */
+  def lshNearDups(emb: DataFrame, tau: Double, planes: Int = NumPlanes,
+                  multiprobe: Boolean = true): DataFrame = {
+    val b = lshBuckets(emb, planes).persist(StorageLevel.MEMORY_AND_DISK)
+    // Probe rows: own bucket + (if multiprobe) each single-bit flip of it. If codes of
+    // x and y differ in exactly bit p, x's p-flip probe lands on y's home bucket (and
+    // vice versa), so restricting probes to the smaller id still finds every pair.
+    val probeBuckets =
+      if (multiprobe) col("bucket") +: (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))
+      else Seq(col("bucket"))
+    val probes = b.select(col("vec_id"), col("v"), col("nrm"), col("t"),
+      explode(array(probeBuckets: _*)).as("probe"))
+    val pairs = probes.as("x").join(b.as("y"),
+        col("x.t") === col("y.t") && col("x.probe") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
         cosine(dot(col("x.v"), col("y.v")), col("x.nrm"), col("y.nrm")).as("cos"))

@@ -1,8 +1,9 @@
 package graft.ingest
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.layout.Layout
 
 /** Page-table ingestion: html -> hyperlinks -> vertex dictionary -> edge table.
   *
@@ -25,12 +26,12 @@ object Ingest {
   /** Dense vertex dictionary `(url, id)`: id = rank of url in lexicographic order.
     * Mirrors GraphTools::getContinuousNodeIds (graph/GraphTools.h:18-48).
     *
-    * NOTE (scale): the unpartitioned window is a deliberate test-scale path — it funnels
-    * through one task. At 10^12 documents use [[hashedDictionary]] (xxhash64 ids, no
-    * global sort) instead; every algorithm downstream is id-agnostic. */
+    * Fully distributed (Layout.zipWithRank: range partition + per-partition offsets) —
+    * no global window, no single-task funnel; the result is persisted/materialized by
+    * the helper. At 10^12 documents [[hashedDictionary]] (no global sort at all) remains
+    * the cheaper alternative; every algorithm downstream is id-agnostic. */
   def denseDictionary(pages: DataFrame): DataFrame =
-    pages.select(col("url")).distinct()
-      .withColumn("id", row_number().over(Window.orderBy("url")).cast("long") - 1L)
+    Layout.zipWithRank(pages.select(col("url")).distinct(), "url", "id")
 
   /** Scale-path dictionary: id = xxhash64(url). Collision audit is the caller's job
     * (count distinct id == count distinct url) — see SURVEY.md §7.4 item 6. */

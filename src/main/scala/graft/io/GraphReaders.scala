@@ -1,9 +1,9 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.layout.Layout
 import graft.model.LinkGraph
 
 /** Graph file readers/writers as distributed Catalyst pipelines — the engine's analog
@@ -21,20 +21,23 @@ import graft.model.LinkGraph
   */
 object GraphReaders {
 
-  /** Read a METIS .graph file. Line numbers come from a zipWithIndex-style window over
-    * the file order (single text file ⇒ ordering is by line position). */
+  /** Read a METIS .graph file. `%` comment lines are dropped BEFORE data-line numbering
+    * (the format allows comments anywhere and the reference's reader skips them without
+    * shifting node indices, io/METISGraphReader.cpp:17-38); data line 0 is the header,
+    * data line i is the adjacency of node i-1. Numbering is distributed
+    * (Layout.zipWithRank over monotonically_increasing_id, which is ascending in file
+    * order) — no global window. */
   def readMetis(spark: SparkSession, path: String): LinkGraph = {
-    import spark.implicits._
-    val lines = spark.read.textFile(path)
-      .withColumn("lineno", row_number().over(
-        Window.orderBy(monotonically_increasing_id())).cast("long"))
+    val lines = spark.read.text(path)
+      .withColumn("mid", monotonically_increasing_id())
       .filter(!col("value").startsWith("%"))
-    val header = lines.orderBy("lineno").head()
+    val numbered = Layout.zipWithRank(lines, "mid", "lineno").drop("mid")
+    val header = numbered.filter(col("lineno") === 0).head()
     val parts = header.getString(0).trim.split("\\s+")
     val n = parts(0).toLong
     val weighted = parts.length >= 3 && parts(2).toLong % 10 == 1
-    val adj = lines.filter(col("lineno") > 1)
-      .select((col("lineno") - 2).as("src"),
+    val adj = numbered.filter(col("lineno") >= 1)
+      .select((col("lineno") - 1).as("src"),
         posexplode_outer(split(trim(col("value")), "\\s+")).as(Seq("pos", "tok")))
       .filter(col("tok").isNotNull && col("tok") =!= "")
     val edges =
@@ -68,8 +71,9 @@ object GraphReaders {
         (col("su").cast("long") - firstNode).as("src"),
         (col("sv").cast("long") - firstNode).as("dst"), col("weight")))
     else {
-      val dict = raw.select(col("su").as("name")).union(raw.select(col("sv"))).distinct()
-        .withColumn("id", row_number().over(Window.orderBy("name")).cast("long") - 1)
+      val dict = Layout.zipWithRank(
+        raw.select(col("su").as("name")).union(raw.select(col("sv"))).distinct(),
+        "name", "id")
       val e = raw
         .join(dict.select(col("name").as("su"), col("id").as("src")), "su")
         .join(dict.select(col("name").as("sv"), col("id").as("dst")), "sv")

@@ -61,7 +61,7 @@ final case class IterativeJob(spark: SparkSession, checkpointDir: Option[String]
     * checkpoint — the caller's convergence action materializes it). */
   def step(i: Int, df: DataFrame): DataFrame = checkpointDir match {
     case None =>
-      if (retired != null) retired.unpersist(false)
+      if (retired != null) Lineage.release(retired)
       retired = pending
       pending = Lineage.cut(df, eager = false)
       pending

@@ -9,4 +9,12 @@ import org.apache.spark.sql.DataFrame
 object Lineage {
   def cut(df: DataFrame, eager: Boolean = true): DataFrame =
     org.apache.spark.sql.GraftInternals.cleanLocalCheckpoint(df, eager)
+
+  /** Free a retired iteration state's blocks immediately: drops any CacheManager entry
+    * AND unpersists the local checkpoint's underlying RDD (Dataset.unpersist alone is a
+    * no-op for localCheckpoint blocks). Callers must not read the frame afterwards. */
+  def release(df: DataFrame): Unit = {
+    df.unpersist(false)
+    org.apache.spark.sql.GraftInternals.releaseCheckpoint(df)
+  }
 }

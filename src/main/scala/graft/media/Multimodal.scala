@@ -68,8 +68,10 @@ object Multimodal {
     MediaFeatures(r.url, r.blob.length.toLong, w, h, hist)
   }
 
-  /** "Resize" stub: truncate/pad the payload to `targetBytes` (stands in for an image
-    * resize that bounds per-row cost); pure expression. */
+  /** "Resize" stub: truncate/pad the payload to exactly `targetBytes` (stands in for
+    * an image resize that bounds per-row cost); pure expression. Appends `targetBytes`
+    * zero bytes before the cut so blobs shorter than the target come back zero-padded
+    * to full length, not short. */
   def resize(blob: Column, targetBytes: Int): Column =
-    substring(concat(blob, lit(Array.fill[Byte](1)(0))), 1, targetBytes)
+    substring(concat(blob, lit(Array.fill[Byte](targetBytes)(0))), 1, targetBytes)
 }

@@ -56,8 +56,7 @@ object LinkGraph {
   /** Full ingest: page table -> links -> dense dictionary -> edge table, with the
     * canonical layout persisted (partitioned by src, sorted within partitions). */
   def build(spark: SparkSession, pages: DataFrame, numPartitions: Int = 0): LinkGraph = {
-    val dict = Ingest.denseDictionary(pages)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dict = Ingest.denseDictionary(pages) // persisted+materialized by zipWithRank
     val raw = Ingest.deriveEdges(pages, dict)
     val parts = if (numPartitions > 0) numPartitions
                 else spark.conf.get("spark.sql.shuffle.partitions").toInt

@@ -63,9 +63,9 @@ object DedupOracleSql {
   }
 
   private val simCte = {
-    val bitSums = (0 until 32).map(j =>
+    val bitSums = (0 until Dedup.SimBits).map(j =>
       s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n    ")
-    val combine = (0 until 32).map(j =>
+    val combine = (0 until Dedup.SimBits).map(j =>
       s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
     s"""bits AS MATERIALIZED (SELECT doc_id,
        |    $bitSums
@@ -74,8 +74,9 @@ object DedupOracleSql {
   }
 
   def simhashNearDups(maxHamming: Int): String = {
-    val chunkSelects = (0 until 4).map(c =>
-      s"SELECT doc_id, simhash, $c AS chunk, (simhash >> ${8 * c}) & 255 AS v FROM sim")
+    val mask = (1L << Dedup.SimChunkBits) - 1L
+    val chunkSelects = (0 until Dedup.SimChunks).map(c =>
+      s"SELECT doc_id, simhash, $c AS chunk, (simhash >> ${Dedup.SimChunkBits * c}) & $mask AS v FROM sim")
       .mkString("\n  UNION ALL ")
     s"""WITH $shCtes,
        |$simCte,

@@ -31,9 +31,9 @@ object EmbOracleSql {
        |  FROM scored)
        |SELECT query_id, rnk, neighbor_id, cos FROM ranked WHERE rnk <= $k""".stripMargin
 
-  private val bucketCte = {
+  private def bucketCte(planes: Int) = {
     val tables = (0 until NumTables).map { t =>
-      val bucket = (0 until NumPlanes).map { p =>
+      val bucket = (0 until planes).map { p =>
         val cs = (0 until Dim).map(d => s"${coef(t, p, d)}::double").mkString("[", ", ", "]")
         s"CASE WHEN list_dot_product(v, $cs) >= 0 THEN ${1L << p} ELSE 0 END"
       }.mkString(" + ")
@@ -42,11 +42,16 @@ object EmbOracleSql {
     s"b AS MATERIALIZED (\n  $tables)"
   }
 
-  def lshNearDups(tau: Double): String =
+  /** Candidates = code distance <= 1 within a table (home bucket or one sign-flip away)
+    * — the set the Spark side's radius-1 multiprobe join produces. */
+  def lshNearDups(tau: Double, planes: Int = NumPlanes, multiprobe: Boolean = true): String = {
+    val cond = if (multiprobe) "bit_count(xor(x.bucket, y.bucket)) <= 1"
+               else "x.bucket = y.bucket"
     s"""WITH $vecCte,
-       |$bucketCte
+       |${bucketCte(planes)}
        |SELECT DISTINCT x.vec_id AS a, y.vec_id AS b,
        |  list_dot_product(x.v, y.v)/sqrt(x.nrm)/sqrt(y.nrm) AS cos
-       |FROM b x JOIN b y ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |FROM b x JOIN b y ON x.t = y.t AND $cond AND x.vec_id < y.vec_id
        |WHERE list_dot_product(x.v, y.v)/sqrt(x.nrm)/sqrt(y.nrm) >= $tau""".stripMargin
+  }
 }

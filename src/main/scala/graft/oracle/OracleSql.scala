@@ -281,6 +281,143 @@ object OracleSql {
        |SELECT id, katz FROM k$iters""".stripMargin
   }
 
+  /** Forward multi-source BFS CTEs (mirrors Betweenness.msBfs): sources = ids with
+    * id % mod == 0; produces st{levels}(s, id, dist, sigma). */
+  private def msBfsCtes(mod: Long, levels: Int): String = {
+    val steps = (1 to levels).map { i =>
+      s"""mg$i AS MATERIALIZED (SELECT f.s, bi.b AS id, sum(f.sigma) AS sigma
+         |  FROM f${i - 1} f JOIN bi ON f.id = bi.a GROUP BY 1, 2),
+         |f$i AS MATERIALIZED (SELECT m.s, m.id, $i AS dist, m.sigma FROM mg$i m
+         |  LEFT JOIN st${i - 1} x ON m.s = x.s AND m.id = x.id WHERE x.s IS NULL),
+         |st$i AS MATERIALIZED (SELECT * FROM st${i - 1} UNION ALL SELECT * FROM f$i)""".stripMargin
+    }.mkString(",\n")
+    s"""f0 AS MATERIALIZED (SELECT id AS s, id, 0 AS dist, CAST(1 AS BIGINT) AS sigma
+       |  FROM verts WHERE id % $mod = 0),
+       |st0 AS MATERIALIZED (SELECT * FROM f0),
+       |$steps""".stripMargin
+  }
+
+  /** Sampled-source Brandes betweenness, scaled-integer dependency recursion
+    * (mirrors Betweenness.fixedPoint): delta = Σ_w (sigma_v*(scale+delta_w)) // sigma_w
+    * swept level by level downward. */
+  def betweennessFixed(mod: Long, levels: Int, scale: Long = 10000L): String = {
+    val down = (0 until levels).reverse.map { lev =>
+      s"""nd$lev AS MATERIALIZED (SELECT p.s, p.id,
+         |    sum(p.sigma * ($scale + coalesce(d.delta, 0)) // w.sigma) AS delta
+         |  FROM st$levels p
+         |  JOIN bi ON p.id = bi.a
+         |  JOIN st$levels w ON w.s = p.s AND w.id = bi.b AND w.dist = p.dist + 1
+         |  LEFT JOIN d${lev + 1} d ON d.s = w.s AND d.id = w.id
+         |  WHERE p.dist = $lev
+         |  GROUP BY p.s, p.id),
+         |d$lev AS MATERIALIZED (SELECT * FROM d${lev + 1} UNION ALL SELECT * FROM nd$lev)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$biCte,
+       |${msBfsCtes(mod, levels)},
+       |d$levels AS MATERIALIZED (SELECT s, id, CAST(0 AS BIGINT) AS delta FROM st$levels WHERE 1 = 0),
+       |$down
+       |SELECT v.id, CAST(coalesce(b.bc, 0) AS BIGINT) AS bc
+       |FROM verts v LEFT JOIN (
+       |  SELECT id, sum(delta) AS bc FROM d0 WHERE id != s GROUP BY id) b ON v.id = b.id""".stripMargin
+  }
+
+  /** Exact closeness + harmonic of the sampled sources (mirrors
+    * Betweenness.closenessHarmonic; LCM(1..16)=720720 keeps 1/d exact). */
+  def closenessHarmonic(mod: Long, levels: Int): String = {
+    val L = 720720L
+    s"""$base,
+       |$biCte,
+       |${msBfsCtes(mod, levels)}
+       |SELECT s AS id, CAST(count(*) - 1 AS BIGINT) AS reached,
+       |  CAST(sum(dist) AS BIGINT) AS sumdist,
+       |  CASE WHEN sum(dist) > 0 THEN 1.0 / CAST(sum(dist) AS DOUBLE) ELSE 0.0 END AS closeness,
+       |  CAST(sum(CASE WHEN dist > 0 THEN $L // dist ELSE 0 END) AS DOUBLE) / $L.0 AS harmonic
+       |FROM st$levels GROUP BY s""".stripMargin
+  }
+
+  /** Fixed-point eigenvector (mirrors Centralities.eigenvectorFixedPoint): power
+    * iteration with L-infinity normalization, `iters` unrolled rounds — exact integers,
+    * order-independent. */
+  def eigenvectorFixed(iters: Int, scale: Long = 1000000L): String = {
+    val steps = (1 to iters).map { i =>
+      s"""s$i AS MATERIALIZED (SELECT e.dst AS id, sum(x.ev) AS s
+         |  FROM edges e JOIN ev${i - 1} x ON e.src = x.id GROUP BY e.dst),
+         |m$i AS MATERIALIZED (SELECT max(s) AS mx FROM s$i),
+         |ev$i AS MATERIALIZED (SELECT v.id, CAST(coalesce(s.s, 0) * $scale // m.mx AS BIGINT) AS ev
+         |  FROM verts v LEFT JOIN s$i s ON v.id = s.id CROSS JOIN m$i m)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |ev0 AS MATERIALIZED (SELECT id, CAST($scale AS BIGINT) AS ev FROM verts),
+       |$steps
+       |SELECT id, ev FROM ev$iters""".stripMargin
+  }
+
+  /** Multilevel Louvain (mirrors PLM.runFixed): `rounds` move rounds at each of
+    * `levels` levels, parity-batched, gains in cleared-denominator integer form
+    * ΔQ·2ω² = 2ω(aff_D − aff_C) + ((vol(C∖u) − vol(D∖u))·vol(u)) at γ=1 — exact
+    * integers on both engines, so the argmax (gain DESC, d ASC) is bit-identical.
+    * Coarsening + prolongation unrolled as chained CTEs. */
+  def plm(rounds: Int, levels: Int, batches: Int = 4): String = {
+    val ctes = new scala.collection.mutable.ArrayBuffer[String]
+    ctes += s"""e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst, 1 AS w FROM edges)"""
+    ctes += s"""verts0 AS MATERIALIZED (SELECT id FROM verts)"""
+    for (l <- 0 until levels) {
+      ctes += s"""b$l AS MATERIALIZED (SELECT src, dst, w FROM e$l WHERE src != dst
+                 |  UNION ALL SELECT dst, src, w FROM e$l WHERE src != dst)""".stripMargin
+      ctes += s"""vol$l AS MATERIALIZED (SELECT v.id,
+                 |  coalesce(wd.wd, 0) + 2 * coalesce(lp.lw, 0) AS vol
+                 |  FROM verts$l v
+                 |  LEFT JOIN (SELECT src AS id, sum(w) AS wd FROM b$l GROUP BY src) wd ON v.id = wd.id
+                 |  LEFT JOIN (SELECT src AS id, w AS lw FROM e$l WHERE src = dst) lp ON v.id = lp.id)""".stripMargin
+      ctes += s"""om$l AS MATERIALIZED (SELECT sum(w) AS om FROM e$l)"""
+      ctes += s"""lab${l}r0 AS MATERIALIZED (SELECT id, id AS label FROM verts$l)"""
+      for (r <- 0 until rounds) {
+        val p = s"${l}_$r"
+        ctes += s"""vc_$p AS MATERIALIZED (SELECT lb.label, sum(v.vol) AS volC
+                   |  FROM vol$l v JOIN lab${l}r$r lb ON v.id = lb.id GROUP BY lb.label)""".stripMargin
+        ctes += s"""af_$p AS MATERIALIZED (SELECT b.src AS id, x.label AS d, sum(b.w) AS aff
+                   |  FROM b$l b JOIN lab${l}r$r x ON b.dst = x.id
+                   |  WHERE b.src % $batches = ${r % batches} GROUP BY 1, 2)""".stripMargin
+        ctes += s"""ow_$p AS MATERIALIZED (SELECT a.id, a.aff AS affC
+                   |  FROM af_$p a JOIN lab${l}r$r lb ON a.id = lb.id AND a.d = lb.label)""".stripMargin
+        ctes += s"""gn_$p AS MATERIALIZED (SELECT a.id, a.d,
+                   |  2 * om.om * (a.aff - coalesce(o.affC, 0)) +
+                   |    ((vcc.volC - v.vol) - vcd.volC) * v.vol AS gain
+                   |  FROM af_$p a
+                   |  JOIN lab${l}r$r lb ON a.id = lb.id
+                   |  JOIN vol$l v ON a.id = v.id
+                   |  JOIN vc_$p vcd ON a.d = vcd.label
+                   |  JOIN vc_$p vcc ON lb.label = vcc.label
+                   |  LEFT JOIN ow_$p o ON a.id = o.id
+                   |  CROSS JOIN om$l om
+                   |  WHERE a.d != lb.label)""".stripMargin
+        ctes += s"""bs_$p AS MATERIALIZED (SELECT id, d FROM (
+                   |  SELECT id, d, gain, row_number() OVER (PARTITION BY id ORDER BY gain DESC, d ASC) AS rn
+                   |  FROM gn_$p) WHERE rn = 1 AND gain > 0)""".stripMargin
+        ctes += s"""lab${l}r${r + 1} AS MATERIALIZED (SELECT lb.id, coalesce(b.d, lb.label) AS label
+                   |  FROM lab${l}r$r lb LEFT JOIN bs_$p b ON lb.id = b.id)""".stripMargin
+      }
+      if (l < levels - 1) {
+        ctes += s"""e${l + 1} AS MATERIALIZED (SELECT least(ls.label, ld.label) AS src,
+                   |  greatest(ls.label, ld.label) AS dst, sum(e.w) AS w
+                   |  FROM e$l e JOIN lab${l}r$rounds ls ON e.src = ls.id
+                   |  JOIN lab${l}r$rounds ld ON e.dst = ld.id GROUP BY 1, 2)""".stripMargin
+        ctes += s"""verts${l + 1} AS MATERIALIZED (SELECT DISTINCT label AS id FROM lab${l}r$rounds)"""
+      }
+    }
+    // Prolong coarse labels back through the levels: fine -> level1 -> ... -> levelL.
+    val joins = (1 until levels)
+      .map(l => s"JOIN lab${l}r$rounds p$l ON ${if (l == 1) "f.label" else s"p${l - 1}.label"} = p$l.id")
+      .mkString("\n")
+    val lastLabel = if (levels == 1) "f.label" else s"p${levels - 1}.label"
+    s"""$base,
+       |${ctes.mkString(",\n")}
+       |SELECT f.id, CAST($lastLabel AS BIGINT) AS label
+       |FROM lab0r$rounds f
+       |$joins""".stripMargin
+  }
+
   /** Degree-ordered oriented triangle enumeration (mirrors Triangles.oriented). */
   private val triCte =
     s"""und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS t FROM edges),

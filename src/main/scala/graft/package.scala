@@ -7,5 +7,8 @@ package object graft {
   implicit class DataFrameLineageOps(private val df: DataFrame) extends AnyVal {
     def cutLineage: DataFrame = iterate.Lineage.cut(df, eager = true)
     def cutLineageLazy: DataFrame = iterate.Lineage.cut(df, eager = false)
+    /** Free a retired iteration state's blocks NOW (cache entry + checkpoint RDD);
+      * the frame must never be read again. */
+    def releaseState(): Unit = iterate.Lineage.release(df)
   }
 }

@@ -77,8 +77,9 @@ object Dedup {
   }
 
   /** MinHash signature per doc: m_i = min over shingles of (a_i*(h mod P)+b_i) mod P. */
-  def minhashSignature(docs: DataFrame): DataFrame = {
-    val (sh, _) = prepared(docs)
+  def minhashSignature(docs: DataFrame): DataFrame = signatureFrom(prepared(docs)._1)
+
+  private def signatureFrom(sh: DataFrame): DataFrame = {
     val hm = pmod(col("h"), lit(P))
     val aggs = (0 until NumPerms).map(i =>
       min(pmod(lit(permA(i)) * hm + lit(permB(i)), lit(P))).as(s"m$i"))
@@ -95,7 +96,8 @@ object Dedup {
     * This is the 100 TB-scale path — candidate generation never compares non-colliding
     * docs, and band keys distribute uniformly. */
   def minhashNearDups(docs: DataFrame, tau: Double): DataFrame = {
-    val sig = minhashSignature(docs)
+    val (sh, sizes) = prepared(docs)
+    val sig = signatureFrom(sh)
     val bands = sig.select(col("doc_id"),
       explode(array((0 until NumBands).map(b => struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
@@ -104,30 +106,53 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    ngramJaccardPairs(docs, tau).join(cand, Seq("a", "b"))
+    // Exact Jaccard computed for CANDIDATE pairs only — join the candidate list to the
+    // two shingle sets and count shared hashes. No all-pairs shingle self-join anywhere:
+    // the scale cost is |candidates| x shingles-per-doc, which is what banded LSH buys.
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a"), col("h")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("h")), Seq("b", "h"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .select(col("a"), col("b"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= tau)
   }
 
-  /** 32-bit SimHash per doc over its shingle-hash set: bit j is set iff more shingles
+  /** SimHash width: the shingle hashes are 60-bit md5-derived ints, so 60 informative
+    * fingerprint bits; banded as 4 chunks of 16 (chunk 3 carries 12 live bits). */
+  val SimBits = 60
+  val SimChunks = 4
+  val SimChunkBits = 16
+
+  /** 60-bit SimHash per doc over its shingle-hash set: bit j is set iff more shingles
     * have bit j set than clear. */
   def simhash(docs: DataFrame): DataFrame = {
     val (sh, _) = prepared(docs)
-    val aggs = (0 until 32).map { j =>
+    val aggs = (0 until SimBits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$j")
     }
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
-        (0 until 32).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
+        (0 until SimBits).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, candidates generated by
-    * 8-bit chunk banding (pigeonhole: any pair within distance 24 shares a chunk; for
-    * the usual <=3-bit regime every true pair is caught). Output (a, b, hamming). */
+    * 16-bit chunk banding. Pigeonhole guarantee: any pair within Hamming distance
+    * <= SimChunks-1 = 3 shares at least one identical chunk, so recall is exact for
+    * maxHamming <= 3 and approximate beyond. Bucket space is ~2^16 per chunk (vs 2^8
+    * before), so in-bucket candidate pairs stay sub-quadratic as the corpus grows.
+    * Output (a, b, hamming). */
   def simhashNearDups(docs: DataFrame, maxHamming: Int): DataFrame = {
     val sig = simhash(docs).persist(StorageLevel.MEMORY_AND_DISK)
     val chunks = sig.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(c =>
-        struct(lit(c).as("chunk"), shiftright(col("simhash"), 8 * c).bitwiseAND(lit(255L)).as("v"))): _*)).as("cv"))
+      explode(array((0 until SimChunks).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("simhash"), SimChunkBits * c)
+            .bitwiseAND(lit((1L << SimChunkBits) - 1L)).as("v"))): _*)).as("cv"))
       .select(col("doc_id"), col("simhash"), col("cv.chunk").as("chunk"), col("cv.v").as("v"))
     chunks.as("x").join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.v") === col("y.v") &&

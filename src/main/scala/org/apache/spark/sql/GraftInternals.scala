@@ -32,4 +32,16 @@ object GraftInternals {
     * for driver-loop algorithms. */
   def cleanLocalCheckpoint(df: DataFrame, eager: Boolean): DataFrame =
     freshStats(df.localCheckpoint(eager))
+
+  /** Free a retired checkpoint's blocks NOW. `Dataset.unpersist` only drops
+    * CacheManager entries, but localCheckpoint persists at the RDD level — so the
+    * retired state of an iterative loop would otherwise only be reclaimed by
+    * ContextCleaner after a driver GC (a 100-iteration run meanwhile holds 100 state
+    * copies). Unpersisting the LogicalRDD's rdd releases the blocks immediately; the
+    * caller must guarantee nothing will read the frame again (a released local
+    * checkpoint is unrecoverable by design). */
+  def releaseCheckpoint(df: DataFrame): Unit = df.queryExecution.analyzed match {
+    case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+    case _ => ()
+  }
 }

@@ -77,4 +77,25 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.subsetOf(brute))
     assert(lsh.nonEmpty)
   }
+
+  test("lsh multiprobe recall vs brute force >= 0.8 at oracle parameters; buckets grow with n") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val lsh = Embeddings.lshNearDups(emb, 0.35).select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vs = Embeddings.vectors(emb)
+    val brute = vs.as("x").join(vs.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id"), col("y.vec_id"),
+        (aggregate(zip_with(col("x.v"), col("y.v"), (p, q) => p * q), lit(0L), (a, x) => a + x)
+          .cast("double") / sqrt(col("x.nrm").cast("double")) / sqrt(col("y.nrm").cast("double"))).as("cos"))
+      .filter(col("cos") >= 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute))
+    val recall = lsh.size.toDouble / brute.size
+    info(s"multiprobe lsh recall = $recall (${lsh.size}/${brute.size})")
+    assert(recall >= 0.8)
+    // The scale rule: bucket count grows with n (planes ~ log2(n/16)).
+    assert(Embeddings.planesFor(500) == 5)
+    assert(Embeddings.planesFor(1000000) == 16)
+    assert(Embeddings.planesFor(10000000000L) > 25)
+  }
 }
