@@ -21,7 +21,7 @@ import graft.emb.Embeddings
   */
 object Bench {
 
-  private def session(cores: Int): SparkSession = {
+  private def session(cores: Int, partitions: Int = 0): SparkSession = {
     // AQE off for the benchmark sessions: the iterative loops rely on stable
     // co-partitioning across iterations (see PageRank's shuffle_hash notes); AQE's
     // per-stage re-planning would re-coalesce the exchange and break partitioning
@@ -29,7 +29,8 @@ object Bench {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
-      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.shuffle.partitions",
+        if (partitions > 0) partitions else cores)
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -45,17 +46,20 @@ object Bench {
   }
 
   /** PageRank edge-iteration throughput at `cores` parallelism: fixed 10 damped float
-    * iterations (tol=0 disables early exit) over a freshly built graph. The scaling
-    * measurement replicates the page table until the graph is large enough that
+    * iterations (tol=0 disables early exit) over the pre-built scale graph loaded from
+    * `edgesDir` (built ONCE at full parallelism — the low-core legs must not pay a
+    * low-core ingest). The scaling measurement replicates the page table until
     * per-iteration compute dominates Spark's fixed job overhead (otherwise the
-    * efficiency ratio measures scheduler latency, not the engine) — same input at both
-    * parallelism levels, so the comparison is apples-to-apples. */
-  private def pagerankThroughput(sfDir: String, cores: Int, replicate: Long,
+    * efficiency ratio measures scheduler latency, not the engine) — same input at every
+    * parallelism level, so the comparison is apples-to-apples. */
+  private def pagerankThroughput(edgesDir: String, cores: Int,
                                  iters: Int = 10): (Double, Long) = {
-    val spark = session(cores)
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val g = LinkGraph.build(spark,
-      graft.synth.PageTableGen.fromDocuments(spark, docs, replicate))
+    // 4 partitions per core: measured sweet spot (BENCH.md partMult sweep) — per-task
+    // aggregation maps shrink to ~n/P keys and stay cache-resident.
+    val spark = session(cores, cores * 4)
+    val g = LinkGraph.fromEdges(spark,
+      spark.read.parquet(s"$edgesDir/edges"),
+      Some(spark.read.parquet(s"$edgesDir/verts")))
     PageRank.run(spark, g, tol = 0.0, maxIter = 2) // warm-up (JIT + shuffle files)
     val (_, secs) = timed {
       PageRank.run(spark, g, damp = 0.85, tol = 0.0, maxIter = iters)
@@ -64,6 +68,22 @@ object Bench {
     val eps = g.m.toDouble * iters / secs
     spark.stop()
     (eps, g.m)
+  }
+
+  /** Build the replicated scale graph once (at full parallelism) and park it as
+    * parquet for the per-core scaling legs. Returns (dir, m). */
+  private def buildScaleGraph(sfDir: String, cpus: Int, replicate: Long): (String, Long) = {
+    val spark = session(cpus, cpus * 4)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val g = LinkGraph.build(spark,
+      graft.synth.PageTableGen.fromDocuments(spark, docs, replicate))
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "bench_scale").toString
+    g.edges.write.mode("overwrite").parquet(s"$dir/edges")
+    g.vertices.write.mode("overwrite").parquet(s"$dir/verts")
+    val m = g.m
+    spark.stop()
+    (dir, m)
   }
 
   def main(args: Array[String]): Unit = {
@@ -94,19 +114,28 @@ object Bench {
     val (_, annSecs) = timed(Embeddings.bruteTopK(emb).count())
     spark.stop()
 
-    // Scaling evidence: identical fixed-iteration PageRank job at N and 4N cores.
+    // Scaling evidence: identical fixed-iteration PageRank job over the SAME pre-built
+    // graph at three parallelism levels — two 4x pairs (2->8 and 8->32). The low pair
+    // runs in the regime below the box's memory-subsystem saturation; BENCH.md carries
+    // the microbenchmark that pins the machine's own 4x-process ceiling (~0.75).
     val scaleJson =
       if (sys.env.get("SPARK_GRAFT_NO_SCALING").contains("1")) "null"
       else {
         val nCores = math.max(1, cpus / 4)
-        // Target ~8M edges for the scaling runs (compute-bound regime).
+        val lowCores = math.max(1, cpus / 16)
+        // Target ~30M edges for the scaling runs: iterations must cost seconds of real
+        // compute or the ratio measures the per-iteration driver floor (BENCH.md).
         val replicate = sys.env.get("SPARK_GRAFT_REPLICATE").map(_.toLong)
-          .getOrElse(math.max(1L, 8000000L / math.max(1L, m)))
-        val (epsN, scaleM) = pagerankThroughput(sfDir, nCores, replicate)
-        val (eps4N, _) = pagerankThroughput(sfDir, cpus, replicate)
+          .getOrElse(math.max(1L, 30000000L / math.max(1L, m)))
+        val (dir, scaleM) = buildScaleGraph(sfDir, cpus, replicate)
+        val (epsLow, _) = pagerankThroughput(dir, lowCores)
+        val (epsN, _) = pagerankThroughput(dir, nCores)
+        val (eps4N, _) = pagerankThroughput(dir, cpus)
         val eff = eps4N / (4.0 * epsN)
-        s"""{"cores_n":$nCores,"cores_4n":$cpus,"scale_m":$scaleM,""" +
-          s""""eps_n":$epsN,"eps_4n":$eps4N,"efficiency":$eff}"""
+        val effLow = epsN / (4.0 * epsLow)
+        s"""{"cores_low":$lowCores,"cores_n":$nCores,"cores_4n":$cpus,"scale_m":$scaleM,""" +
+          s""""eps_low":$epsLow,"eps_n":$epsN,"eps_4n":$eps4N,""" +
+          s""""efficiency_low":$effLow,"efficiency":$eff}"""
       }
 
     val queries = Seq(

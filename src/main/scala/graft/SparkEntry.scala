@@ -83,6 +83,38 @@ object SparkEntry {
       Measures.randIndex(s,
         LabelPropagation.fixedRounds(s, g, 5), LabelPropagation.fixedRounds(s, g, 10))
     }),
+    "q_adjusted_rand" -> ((s, dir) => {
+      val g = graph(s, dir)
+      Measures.adjustedRand(s,
+        LabelPropagation.fixedRounds(s, g, 5), LabelPropagation.fixedRounds(s, g, 10))
+    }),
+    "q_nmi" -> ((s, dir) => {
+      val g = graph(s, dir)
+      Measures.nmi(s,
+        LabelPropagation.fixedRounds(s, g, 5), LabelPropagation.fixedRounds(s, g, 10))
+    }),
+    "q_diameter_est" -> ((s, dir) => Distances.diameterTwoSweep(s, graph(s, dir))),
+    "q_link_pred" -> ((s, dir) =>
+      graft.algo.LinkPrediction.scores(s, graph(s, dir), uMod = 50L)),
+    "q_anf" -> ((s, dir) => graft.algo.Anf.finishHops(s, graph(s, dir), maxHops = 15)),
+    // Reader/writer oracle gates: the synthetic graph round-trips through the text
+    // formats and must land exactly back on the arithmetic-spec edge set.
+    "q_edgelist_roundtrip" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val p = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/root/repo/target"), "vrt").resolve("el").toString
+      graft.io.GraphReaders.writeEdgeList(g, p)
+      graft.io.GraphReaders.readEdgeList(s, p, sep = "\t")
+        .edges.select(col("src"), col("dst"))
+    }),
+    "q_metis_roundtrip" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val p = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/root/repo/target"), "vrt").resolve("metis").toString
+      graft.io.GraphReaders.writeMetis(g, p)
+      graft.io.GraphReaders.readMetis(s, p)
+        .canonicalUndirected.select(col("src"), col("dst"))
+    }),
 
     // --- k-core / distances / edge scores / assortativity / Katz ---
     "q_kcore3"        -> ((s, dir) => KCore.kCore(s, graph(s, dir), 3)),
@@ -157,6 +189,13 @@ object SparkEntry {
     "q_conductance"      -> OracleSql.conductance(10),
     "q_coarsen"          -> OracleSql.coarsen(10),
     "q_rand_index"       -> OracleSql.randIndex(5, 10),
+    "q_adjusted_rand"    -> OracleSql.adjustedRand(5, 10),
+    "q_nmi"              -> OracleSql.nmi(5, 10),
+    "q_diameter_est"     -> OracleSql.diameterTwoSweep(15),
+    "q_link_pred"        -> OracleSql.linkPrediction(50L),
+    "q_anf"              -> OracleSql.anfHops(15),
+    "q_edgelist_roundtrip" -> OracleSql.edges,
+    "q_metis_roundtrip"  -> OracleSql.undirectedEdges,
     "q_kcore3"           -> OracleSql.kcore(3, 20),
     "q_bfs_hops"         -> OracleSql.bfsHops(0L, 15),
     "q_eccentricity"     -> OracleSql.eccentricity(0L, 15),

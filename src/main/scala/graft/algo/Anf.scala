@@ -13,38 +13,54 @@ import graft.model.LinkGraph
   * every node carries k bitmask registers; one bit per register is set at geometric
   * position i with P(i) = 2^-(i+1); per hop every node ORs its neighbors' previous
   * masks into its own; a node "finishes" at hop h when its estimated reachable count
-  * 2^b / 0.77351 (b = average lowest-unset-bit over registers) reaches ratio*n;
-  * effective diameter = average finish hop.
+  * 2^b / 0.77351 (b = average lowest-unset-bit over registers) reaches ratio*n — or
+  * when its masks saturate (cannot change again); effective diameter = average finish
+  * hop.
   *
   * Spark shape: the k registers are k plain LongType columns, the per-hop merge is ONE
   * `groupBy(dst).agg(bit_or(m_j)...)` — all built-in, codegen'd, one shuffle per hop
   * (the same plan as a PageRank iteration, so it scales identically). Differences from
   * the reference: 64-bit registers (vs 32) and a seeded LCG hash instead of ambient
   * RNG, so results are deterministic at any parallelism.
+  *
+  * EVERYTHING is integer arithmetic: the lowest-unset-bit index is
+  * bit_count(((~m) & (m+1)) - 1) and the finish test compares the integer SUM of
+  * indices against a precomputed integer threshold (ceil(k*log2(0.77351*ratio*n))),
+  * so the per-node finish hops are bit-identical in the DuckDB twin
+  * (OracleSql-side: DedupOracleSql-style exact replay, see OracleSql.anfHops).
   */
 object Anf {
 
   val K = 8
+  /** est = 2^(sumB/k)/0.77351 >= ratio*n  <=>  sumB >= k*log2(0.77351*ratio*n);
+    * sumB is an exact integer, so the RHS collapses to one integer literal. */
+  def thresholdBits(n: Long, ratio: Double): Long =
+    math.ceil(K * math.log(0.77351 * ratio * n) / math.log(2.0) - 1e-12).toLong
+
+  def maskBitsFor(n: Long): Int =
+    math.min(62, (math.ceil(math.log(n.toDouble) / math.log(2.0)) + 7).toInt)
 
   /** Geometric bit position from a uniform 31-bit hash: number of trailing zeros
-    * (P(i) = 2^-(i+1)); the all-zero hash caps at `cap`. */
+    * (P(i) = 2^-(i+1)) via bit_count((h & -h) - 1); the all-zero hash caps at `cap`. */
   private def fmBit(h: Column, cap: Int): Column =
     when(h === 0L, lit(cap.toLong))
-      .otherwise(log2((h.bitwiseAND(-h)).cast("double")).cast("long"))
+      .otherwise(bit_count((h.bitwiseAND(-h)) - 1L).cast("long"))
 
   private def lcgCol(x: Column): Column = {
     import graft.synth.GraphSpec.{A, C, M}
     (lit(A) * ((lit(A) * pmod(x, lit(M)) + C) % M) + C) % M
   }
 
-  final case class Result(effectiveDiameter: Double, perHopFinished: Seq[(Int, Long)])
+  final case class Result(effectiveDiameter: Double, perHopFinished: Seq[(Long, Long)])
 
-  /** Effective diameter at `ratio` (default .9, the reference default). */
-  def effectiveDiameter(spark: SparkSession, g: LinkGraph, ratio: Double = 0.9,
-                        seed: Long = 42L, maxHops: Int = 64): Result = {
+  /** Per-node finish hop (id, hop): first hop at which the node's neighborhood
+    * estimate passes `ratio*n` or its registers saturate; nodes still active after
+    * maxHops get hop = maxHops. Deterministic integer state throughout. */
+  def finishHops(spark: SparkSession, g: LinkGraph, ratio: Double = 0.9,
+                 seed: Long = 42L, maxHops: Int = 64): DataFrame = {
     val n = g.n
-    val maskBits = math.min(62, (math.ceil(math.log(n.toDouble) / math.log(2.0)) + 7).toInt)
-    val threshold = math.ceil(ratio * n)
+    val maskBits = maskBitsFor(n)
+    val threshBits = thresholdBits(n, ratio)
     val bi = g.bidirected.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
     bi.count()
 
@@ -57,19 +73,17 @@ object Anf {
           .otherwise(0L).as(s"m$j")): _*)
       .cutLineage
 
-    // Lowest-unset-bit estimate: b_j = log2((~m) & (m+1)); est = 2^(avg b) / 0.77351.
-    def estCol: Column = {
-      val bSum = (0 until K).map(j =>
-        log2((bitwise_not(col(s"m$j")).bitwiseAND(col(s"m$j") + 1L)).cast("double")))
+    // Exact-integer estimate: sum over registers of the lowest-unset-bit index.
+    def sumBits(prefix: String): Column =
+      (0 until K).map(j =>
+        bit_count((bitwise_not(col(s"$prefix$j")).bitwiseAND(col(s"$prefix$j") + 1L)) - 1L)
+          .cast("long"))
         .reduce(_ + _)
-      pow(lit(2.0), bSum / K) / 0.77351
-    }
 
     var finished = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       new org.apache.spark.sql.types.StructType()
         .add("id", "long").add("hop", "long"))
-    var hopCounts = List.empty[(Int, Long)]
     var h = 1
     var activeCount = n
     while (activeCount > 0 && h <= maxHops) {
@@ -86,7 +100,7 @@ object Anf {
         .select("id")
       val nowDone = curr
         .join(finished.select("id"), Seq("id"), "left_anti")
-        .filter(estCol >= threshold)
+        .filter(sumBits("m") >= threshBits)
         .select(col("id"), lit(h.toLong).as("hop"))
       // Saturated-but-not-done nodes also stop (their masks can't change again).
       val saturated = unchanged
@@ -99,15 +113,26 @@ object Anf {
       finished = finished.union(newlyFinished).cutLineage
       prevFinished.releaseState()
       newlyFinished.releaseState()
-      hopCounts = (h, cnt) :: hopCounts
       activeCount -= cnt
       masks.releaseState()
       masks = curr
       h += 1
     }
     bi.unpersist()
-    val leftover = activeCount
-    val sumHops = finished.agg(sum("hop")).head().getLong(0) + leftover * maxHops
-    Result(sumHops.toDouble / n, hopCounts.reverse)
+    g.vertices.join(finished, Seq("id"), "left")
+      .select(col("id"), coalesce(col("hop"), lit(maxHops.toLong)).as("hop"))
+  }
+
+  /** Effective diameter at `ratio` (default .9, the reference default). */
+  def effectiveDiameter(spark: SparkSession, g: LinkGraph, ratio: Double = 0.9,
+                        seed: Long = 42L, maxHops: Int = 64): Result = {
+    val hops = finishHops(spark, g, ratio, seed, maxHops)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sumHops = hops.agg(sum("hop")).head().getLong(0)
+    val perHop = hops.groupBy("hop").count().orderBy("hop")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val out = Result(sumHops.toDouble / g.n, perHop)
+    hops.unpersist()
+    out
   }
 }

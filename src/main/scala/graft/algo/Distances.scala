@@ -52,6 +52,19 @@ object Distances {
       .agg(max(col("dist")).as("ecc"),
         sum(when(col("dist") >= 0L, 1L).otherwise(0L)).as("reached"))
 
+  /** Diameter bounds by the classic double sweep (the lower-bound seed of the
+    * reference's iFub, distance/Diameter.cpp:1-324 estimatedRange): BFS from `start`,
+    * take the farthest node u (ties: smallest id), BFS from u; lb = ecc(u) <= diameter
+    * <= 2*ecc(u) = ub. Two BFS passes regardless of graph size. One row (lb, ub). */
+  def diameterTwoSweep(spark: SparkSession, g: LinkGraph, start: Long = 0L): DataFrame = {
+    val d1 = bfsHops(spark, g, start)
+    val u = d1.filter(col("dist") >= 0L)
+      .orderBy(desc("dist"), asc("id")).select("id").head().getLong(0)
+    bfsHops(spark, g, u)
+      .agg(max("dist").as("lb"))
+      .select(col("lb"), (col("lb") * 2L).as("ub"))
+  }
+
   /** Weighted single-source shortest paths (distance/Dijkstra.cpp semantics) as a
     * distributed Bellman-Ford: iterate dist' = min(dist, min over in-neighbors
     * (dist[v] + w)) until fixpoint — priority queues don't distribute, min-plus

@@ -44,23 +44,44 @@ object KCore {
     alive
   }
 
-  /** Coreness per vertex: run [[kCore]] for k = 1.. until empty; coreness = max k whose
-    * core contains the node (0 for isolated vertices). */
-  def coreness(spark: SparkSession, g: LinkGraph, maxK: Int = 64): DataFrame = {
-    var out = g.vertices.select(col("id"), lit(0L).as("coreness"))
+  /** Coreness per vertex in ONE ascending-k peel (the ParK shape,
+    * CoreDecomposition.cpp:45-150): maintain the surviving subgraph; at stage k remove
+    * nodes of residual degree < k to a fixpoint — everything removed at stage k has
+    * coreness k-1. Each vertex is peeled exactly once, so total work is the peel
+    * sequence, not maxK full re-peels. Isolated vertices get coreness 0. */
+  def coreness(spark: SparkSession, g: LinkGraph, maxK: Int = 1 << 20): DataFrame = {
+    val bi = g.bidirected.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    bi.count()
+    var alive = g.vertices.select(col("id")).cutLineage
+    var out = g.vertices.filter(lit(false))
+      .select(col("id"), lit(0L).as("coreness")) // empty, typed
+    var n = alive.count()
     var k = 1
-    var done = false
-    while (!done && k <= maxK) {
-      val core = kCore(spark, g, k)
-      if (core.isEmpty) done = true
-      else {
-        out = out.join(core.withColumn("ink", lit(true)), Seq("id"), "left")
-          .select(col("id"),
-            when(col("ink"), lit(k.toLong)).otherwise(col("coreness")).as("coreness"))
-          .cutLineage
-        k += 1
+    while (n > 0 && k <= maxK) {
+      var stable = false
+      while (!stable && n > 0) {
+        val deg = bi
+          .join(alive.withColumnRenamed("id", "src"), "src")
+          .join(alive.withColumnRenamed("id", "dst"), "dst")
+          .groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+        val survivors = deg.filter(col("deg") >= k).select("id")
+        val dead = alive.join(survivors, Seq("id"), "left_anti").cutLineage
+        val d = dead.count()
+        if (d == 0) stable = true
+        else {
+          val prevOut = out
+          out = out.union(dead.select(col("id"), lit((k - 1).toLong).as("coreness")))
+            .cutLineage
+          prevOut.releaseState()
+          val prevAlive = alive
+          alive = alive.join(dead, Seq("id"), "left_anti").cutLineage
+          prevAlive.releaseState()
+          n -= d
+        }
       }
+      k += 1
     }
+    bi.unpersist()
     out
   }
 }

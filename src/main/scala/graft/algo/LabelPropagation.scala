@@ -1,5 +1,7 @@
 package graft.algo
 
+import graft.DataFrameLineageOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -37,12 +39,24 @@ object LabelPropagation {
     bi.count()
     val job = IterativeJob(spark, checkpointDir, "plp")
     var labels = job.init(g.vertices.select(col("id"), col("id").as("label")))
+    // Active-set frontier (the reference's reactivation sets, PLP.cpp:63-102): a node
+    // can only change if some neighbor changed last round, so label frequencies are
+    // recomputed ONLY for neighbors of last round's movers — exactly equivalent to the
+    // full Jacobi update (untouched nodes keep their label via the left join), and
+    // once communities stabilize each round's shuffle shrinks with the frontier.
+    var changed: DataFrame = null // null = round 0, everyone active
     var round = 0
     var updated = Long.MaxValue
     while (round < maxIterations && updated > threshold) {
+      val active = if (changed == null) bi
+        else bi.join(
+          bi.join(changed.withColumnRenamed("id", "src"), "src")
+            .select(col("dst").as("aid")).distinct()
+            .withColumnRenamed("aid", "dst"),
+          Seq("dst"), "left_semi")
       // Heaviest neighbor label, smallest-id tie-break, in one aggregation:
       // max(struct(w, -label)) orders by weight then by -label (= smallest label wins).
-      val freq = bi
+      val freq = active
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst"), col("label"))
         .agg(sum("weight").as("w"))
@@ -56,6 +70,9 @@ object LabelPropagation {
       val stepped = job.step(round, next)
       updated = stepped.filter(col("changed")).count()
       job.recordMetric(round, "updated", updated.toDouble)
+      val prevChanged = changed
+      changed = stepped.filter(col("changed")).select("id").cutLineage
+      if (prevChanged != null) prevChanged.releaseState()
       labels = stepped.select("id", "label")
       round += 1
     }

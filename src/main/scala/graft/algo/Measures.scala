@@ -102,4 +102,42 @@ object Measures {
         ((expr("n*(n-1) div 2") + lit(2L) * col("s_both") - col("s_a") - col("s_b"))
           .cast("double") / expr("n*(n-1) div 2")).as("rand"))
   }
+
+  /** Adjusted Rand index (chance-corrected pair counting, the AdjustedRandMeasure of
+    * the NMIDistance family): ARI = (s_both − E) / ((s_a+s_b)/2 − E) with
+    * E = s_a·s_b / C(n,2). All inputs are exact integers and the double arithmetic is
+    * one fixed expression tree, so the value is engine-deterministic. */
+  def adjustedRand(spark: SparkSession, a: DataFrame, b: DataFrame): DataFrame =
+    randIndex(spark, a, b).select(
+      col("n"), col("s_both"), col("s_a"), col("s_b"),
+      ((col("s_both").cast("double") -
+        (col("s_a") * col("s_b")).cast("double") / expr("n*(n-1) div 2").cast("double")) /
+        ((col("s_a") + col("s_b")).cast("double") / 2.0 -
+          (col("s_a") * col("s_b")).cast("double") / expr("n*(n-1) div 2").cast("double")))
+        .as("ari"))
+
+  /** Normalized mutual information between two partitions
+    * (community/NMIDistance.cpp:19-131): MI = Σ_cells (n_ij/n)·log2(n_ij·n/(a_i·b_j)),
+    * H = −Σ p·log2 p, NMI = 2·MI/(H_a+H_b), NMID = 1 − NMI. The log sums are the one
+    * place the oracle surface is not exact-integer (reassociation noise ~1e-15), so the
+    * output columns are rounded to 7 decimals on BOTH engines. */
+  def nmi(spark: SparkSession, a: DataFrame, b: DataFrame): DataFrame = {
+    val joined = a.select(col("id"), col("label").as("la"))
+      .join(b.select(col("id"), col("label").as("lb")), "id")
+    val cont = joined.groupBy("la", "lb").agg(count(lit(1)).as("nij"))
+    val n = joined.count().toDouble
+    val ai = cont.groupBy("la").agg(sum("nij").as("ai"))
+    val bj = cont.groupBy("lb").agg(sum("nij").as("bj"))
+    val mi = cont.join(ai, "la").join(bj, "lb")
+      .agg(sum(col("nij") / n * log2(col("nij") * n / (col("ai") * col("bj")))).as("mi"))
+    val ha = ai.agg((-sum(col("ai") / n * log2(col("ai") / n))).as("h_a"))
+    val hb = bj.agg((-sum(col("bj") / n * log2(col("bj") / n))).as("h_b"))
+    mi.crossJoin(ha).crossJoin(hb).select(
+      lit(n.toLong).as("n"),
+      round(col("mi"), 7).as("mi"),
+      round(col("h_a"), 7).as("h_a"),
+      round(col("h_b"), 7).as("h_b"),
+      round(when(col("h_a") + col("h_b") === 0.0, 0.0)
+        .otherwise(lit(2.0) * col("mi") / (col("h_a") + col("h_b"))), 7).as("nmi"))
+  }
 }

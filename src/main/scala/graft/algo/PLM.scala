@@ -49,7 +49,8 @@ object PLM {
     * full quiet batch cycle unless `fixedSchedule`). */
   private def movePhase(spark: SparkSession, vertices: DataFrame, edges: DataFrame,
                         maxRounds: Int, batches: Int,
-                        fixedSchedule: Boolean): (DataFrame, Int) = {
+                        fixedSchedule: Boolean,
+                        init: Option[DataFrame] = None): (DataFrame, Int) = {
     val e = edges.select(col("src"), col("dst"), col("weight").cast("long").as("w"))
     // Bidirected non-loop view for neighbor expansion.
     val nonLoop = e.filter(col("src") =!= col("dst"))
@@ -67,7 +68,7 @@ object PLM {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val omega = e.agg(sum("w")).head().getLong(0)
 
-    var labels = vertices.select(col("id"), col("id").as("label")).cutLineage
+    var labels = init.getOrElse(vertices.select(col("id"), col("id").as("label"))).cutLineage
     var round = 0
     var quiet = 0 // consecutive quiet rounds (a full cycle of batches = stable)
     while ((fixedSchedule || quiet < batches) && round < maxRounds) {
@@ -133,9 +134,14 @@ object PLM {
       .groupBy("src", "dst").agg(sum("weight").as("weight"))
 
   /** Adaptive multilevel run (the production entry point): move until a full quiet
-    * batch cycle, coarsen while communities keep merging, prolong. γ=1. */
+    * batch cycle, coarsen while communities keep merging, prolong. γ=1.
+    * `refine` = the reference's optional refinement pass (PLM.cpp:275-296,
+    * constructor default false): after prolongation, one more move phase on the FINE
+    * graph seeded with the prolonged partition — individual nodes may defect to a
+    * better neighboring community that only became visible at fine granularity. */
   def run(spark: SparkSession, g: LinkGraph,
-          maxRounds: Int = 32, maxLevels: Int = 10, batches: Int = 4): Result = {
+          maxRounds: Int = 32, maxLevels: Int = 10, batches: Int = 4,
+          refine: Boolean = false): Result = {
     var edges = g.canonicalUndirected.persist(StorageLevel.MEMORY_AND_DISK)
     var vertices = g.vertices
     var labels: DataFrame = null // fine labels accumulated through prolongation
@@ -162,6 +168,13 @@ object PLM {
         vertices = lv.select(col("label").as("id")).distinct().cutLineage
         level += 1
       }
+    }
+    if (refine) {
+      val (refined, r) = movePhase(spark, g.vertices,
+        g.canonicalUndirected, maxRounds, batches,
+        fixedSchedule = false, init = Some(labels))
+      totalRounds += r
+      labels = refined
     }
     Result(labels, level + 1, totalRounds)
   }

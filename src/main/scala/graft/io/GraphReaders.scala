@@ -86,6 +86,86 @@ object GraphReaders {
   def readSnap(spark: SparkSession, path: String): LinkGraph =
     readEdgeList(spark, path, sep = "\\s+", comment = "#")
 
+  /** KONECT reader (io/KONECTGraphReader.cpp:23-279): first line is a `%`-prefixed
+    * property header `% (sym|asym|bip) (unweighted|positive|...)`; an optional second
+    * `%` line carries size hints (ignored — we count); data lines `u v [w]`, 1-based.
+    * Duplicate (multi-)edges are summed (the reference's SUM_WEIGHTS_UP handling);
+    * `sym` graphs rely on the engine's undirected views (canonicalUndirected /
+    * bidirected), matching the reference's one-logical-edge storage. */
+  def readKonect(spark: SparkSession, path: String): LinkGraph = {
+    val g0 = readEdgeList(spark, path, sep = "\\s+", comment = "%", firstNode = 1)
+    val summed = g0.edges.groupBy("src", "dst").agg(sum("weight").as("weight"))
+    LinkGraph.fromEdges(spark, summed, Some(g0.vertices))
+  }
+
+  /** MatrixMarket coordinate reader (io/MatrixMarketReader.cpp): `%%MatrixMarket`
+    * banner + `%` comments, first data line `rows cols nnz`, then `i j [v]` 1-based
+    * COO entries — directly our edge table. */
+  def readMatrixMarket(spark: SparkSession, path: String): LinkGraph = {
+    val lines = spark.read.text(path)
+      .withColumn("mid", monotonically_increasing_id())
+      .filter(!col("value").startsWith("%"))
+    val numbered = Layout.zipWithRank(lines, "mid", "lineno").drop("mid")
+    val dims = numbered.filter(col("lineno") === 0).head().getString(0).trim.split("\\s+")
+    val n = math.max(dims(0).toLong, dims(1).toLong)
+    val entries = numbered.filter(col("lineno") >= 1)
+      .select(split(trim(col("value")), "\\s+").as("f"))
+      .select((col("f").getItem(0).cast("long") - 1).as("src"),
+        (col("f").getItem(1).cast("long") - 1).as("dst"),
+        coalesce(expr("try_element_at(f, 3)").cast("double"), lit(1.0)).as("weight"))
+    LinkGraph.fromEdges(spark, entries,
+      Some(spark.range(n).select(col("id"))))
+  }
+
+  /** Cover reader (io/CoverReader.cpp:5-30): data line i (after '#' comments) lists the
+    * node ids of subset i. Output (id, label) with duplicate ids — the multi-label
+    * Cover relation (structures/Cover.h). */
+  def readCover(spark: SparkSession, path: String): DataFrame = {
+    val lines = spark.read.text(path)
+      .withColumn("mid", monotonically_increasing_id())
+      .filter(!col("value").startsWith("#") && trim(col("value")) =!= "")
+    Layout.zipWithRank(lines, "mid", "label").drop("mid")
+      .select(explode(split(trim(col("value")), "\\s+")).as("tok"), col("label"))
+      .select(col("tok").cast("long").as("id"), col("label"))
+  }
+
+  /** Cover writer (io/CoverWriter.cpp): one line per subset, space-separated node ids.
+    * Sorted for determinism; subsets collected per line via groupBy. */
+  def writeCover(cover: DataFrame, path: String): Unit =
+    cover.groupBy("label").agg(concat_ws(" ", sort_array(collect_list(col("id")))).as("value"))
+      .orderBy("label").select("value")
+      .write.mode("overwrite").text(path)
+
+  /** Partition reader (io/PartitionReader.cpp): data line i = label of node i
+    * ('*'/'#' comments skipped). Output (id, label). */
+  def readPartition(spark: SparkSession, path: String): DataFrame = {
+    val lines = spark.read.text(path)
+      .withColumn("mid", monotonically_increasing_id())
+      .filter(!col("value").startsWith("#") && !col("value").startsWith("*"))
+    Layout.zipWithRank(lines, "mid", "id").drop("mid")
+      .select(col("id"), trim(col("value")).cast("long").as("label"))
+  }
+
+  /** METIS writer (io/METISGraphWriter.cpp analog): header `n m 0`, line i+1 = space-
+    * separated 1-based adjacency of node i over the undirected view. Single text file
+    * (coalesce(1) after a global sort) — METIS is a fixture-scale exchange format; at
+    * scale Parquet is the graph store. */
+  def writeMetis(g: LinkGraph, path: String): Unit = {
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    val n = g.n
+    val m = g.canonicalUndirected.count()
+    val adj = g.vertices
+      .join(g.bidirected.groupBy(col("src").as("id"))
+        .agg(sort_array(collect_list(col("dst") + 1)).as("nb")), Seq("id"), "left")
+      .select(col("id"),
+        concat_ws(" ", transform(coalesce(col("nb"), array()),
+          x => x.cast("string"))).as("line"))
+    Seq((-1L, s"$n $m 0")).toDF("id", "line").union(adj)
+      .orderBy("id").select("line").coalesce(1)
+      .write.mode("overwrite").text(path)
+  }
+
   /** Write an edge list (TSV `src dst weight`) — EdgeListWriter analog. */
   def writeEdgeList(g: LinkGraph, path: String): Unit =
     g.edges.select(col("src"), col("dst"), col("weight"))

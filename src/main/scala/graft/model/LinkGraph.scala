@@ -70,6 +70,25 @@ object LinkGraph {
     LinkGraph(vertices, edges, n, m)
   }
 
+  /** Disjoint union — Graph::append (graph/Graph.h:540-545, Graph.cpp:1010-1025): the
+    * second graph's vertex ids are remapped past this graph's id range. */
+  def append(a: LinkGraph, b: LinkGraph): LinkGraph = {
+    val off = a.vertices.agg(max("id")).head().getLong(0) + 1L
+    val bv = b.vertices.select((col("id") + off).as("id"))
+    val be = b.edges.select((col("src") + off).as("src"),
+      (col("dst") + off).as("dst"), col("weight"))
+    fromEdges(a.vertices.sparkSession, a.edges.union(be), Some(a.vertices.union(bv)))
+  }
+
+  /** Overlay union — Graph::merge (Graph.h:547-552, Graph.cpp:1027-1035): same id
+    * space; edges of `b` not already in `a` are added (a's weights win, like the
+    * reference which skips existing edges). */
+  def merge(a: LinkGraph, b: LinkGraph): LinkGraph = {
+    val newEdges = b.edges.join(a.edges.select("src", "dst"), Seq("src", "dst"), "left_anti")
+    fromEdges(a.vertices.sparkSession, a.edges.union(newEdges),
+      Some(a.vertices.union(b.vertices).distinct()))
+  }
+
   /** A graph directly from an explicit edge list (fixtures, readers). Vertex universe =
     * endpoints unless a vertex table is supplied (isolated nodes need one). */
   def fromEdges(spark: SparkSession, edges: DataFrame, vertices: Option[DataFrame] = None): LinkGraph = {

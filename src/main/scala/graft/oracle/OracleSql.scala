@@ -19,6 +19,9 @@ object OracleSql {
   val edges: String =
     s"$base SELECT src, dst FROM edges"
 
+  val undirectedEdges: String =
+    s"$base SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst FROM edges"
+
   val degrees: String =
     s"""$base,
        |od AS MATERIALIZED (SELECT src AS id, count(*) AS c FROM edges GROUP BY src),
@@ -157,6 +160,90 @@ object OracleSql {
        |  CAST(s_a AS BIGINT) AS s_a, CAST(s_b AS BIGINT) AS s_b,
        |  (n*(n-1)//2 + 2*s_both - s_a - s_b)::double / (n*(n-1)//2) AS rand
        |FROM nn2 CROSS JOIN sb CROSS JOIN sa CROSS JOIN sc""".stripMargin
+
+  /** Mirrors Measures.adjustedRand between PLP at `ra` and `rb` rounds: same pair
+    * counts as randIndex + the chance-corrected index as one fixed expression tree. */
+  def adjustedRand(ra: Int, rb: Int): String =
+    s"""$base,
+       |$biCte,
+       |${plpSteps(rb)},
+       |cont AS MATERIALIZED (SELECT x.label AS la, y.label AS lb, count(*) AS nij
+       |  FROM p$ra x JOIN p$rb y ON x.id = y.id GROUP BY 1, 2),
+       |sb AS MATERIALIZED (SELECT sum(nij*(nij-1)//2) AS s_both FROM cont),
+       |sa AS MATERIALIZED (SELECT sum(ai*(ai-1)//2) AS s_a FROM (SELECT sum(nij) AS ai FROM cont GROUP BY la)),
+       |sc AS MATERIALIZED (SELECT sum(bj*(bj-1)//2) AS s_b FROM (SELECT sum(nij) AS bj FROM cont GROUP BY lb)),
+       |nn2 AS MATERIALIZED (SELECT count(*) AS n FROM verts)
+       |SELECT CAST(n AS BIGINT) AS n, CAST(s_both AS BIGINT) AS s_both,
+       |  CAST(s_a AS BIGINT) AS s_a, CAST(s_b AS BIGINT) AS s_b,
+       |  (CAST(s_both AS DOUBLE) - CAST(s_a*s_b AS DOUBLE) / CAST(n*(n-1)//2 AS DOUBLE)) /
+       |  (CAST(s_a+s_b AS DOUBLE) / 2.0 - CAST(s_a*s_b AS DOUBLE) / CAST(n*(n-1)//2 AS DOUBLE)) AS ari
+       |FROM nn2 CROSS JOIN sb CROSS JOIN sa CROSS JOIN sc""".stripMargin
+
+  /** Mirrors Measures.nmi between PLP at `ra` and `rb` rounds; the log sums are rounded
+    * to 7 decimals on both engines (the only non-exact aggregation in the oracle
+    * surface — reassociation noise ~1e-15). */
+  def nmi(ra: Int, rb: Int): String =
+    s"""$base,
+       |$biCte,
+       |${plpSteps(rb)},
+       |cont AS MATERIALIZED (SELECT x.label AS la, y.label AS lb, count(*) AS nij
+       |  FROM p$ra x JOIN p$rb y ON x.id = y.id GROUP BY 1, 2),
+       |nn2 AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+       |ai AS MATERIALIZED (SELECT la, sum(nij) AS ai FROM cont GROUP BY la),
+       |bj AS MATERIALIZED (SELECT lb, sum(nij) AS bj FROM cont GROUP BY lb),
+       |mi AS MATERIALIZED (SELECT sum(nij / n * log2(nij * n / (ai * bj))) AS mi
+       |  FROM cont JOIN ai USING (la) JOIN bj USING (lb) CROSS JOIN nn2),
+       |ha AS MATERIALIZED (SELECT -sum(ai / n * log2(ai / n)) AS h_a FROM ai CROSS JOIN nn2),
+       |hb AS MATERIALIZED (SELECT -sum(bj / n * log2(bj / n)) AS h_b FROM bj CROSS JOIN nn2)
+       |SELECT CAST(n AS BIGINT) AS n, round(mi, 7) AS mi,
+       |  round(h_a, 7) AS h_a, round(h_b, 7) AS h_b,
+       |  round(CASE WHEN h_a + h_b = 0 THEN 0.0 ELSE 2.0 * mi / (h_a + h_b) END, 7) AS nmi
+       |FROM nn2 CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb""".stripMargin
+
+  /** Double-sweep diameter bounds (mirrors Distances.diameterTwoSweep): BFS from 0,
+    * farthest node u (smallest id on ties), BFS from u; lb = ecc(u), ub = 2*lb. */
+  def diameterTwoSweep(rounds: Int): String = {
+    val inf = 999999L
+    def sweep(prefix: String, sourceExpr: String): String = {
+      val steps = (1 to rounds).map { i =>
+        s"""$prefix$i AS MATERIALIZED (SELECT d.id, least(d.dist, coalesce(m.md, d.dist)) AS dist
+           |  FROM $prefix${i - 1} d LEFT JOIN (
+           |    SELECT bi.b AS id, min(x.dist) + 1 AS md FROM bi JOIN $prefix${i - 1} x ON bi.a = x.id
+           |    GROUP BY bi.b) m ON d.id = m.id)""".stripMargin
+      }.mkString(",\n")
+      s"""${prefix}0 AS MATERIALIZED (SELECT id, CASE WHEN id = ($sourceExpr) THEN 0 ELSE $inf END AS dist FROM verts),
+         |$steps""".stripMargin
+    }
+    s"""$base,
+       |$biCte,
+       |${sweep("da", "0")},
+       |uu AS MATERIALIZED (SELECT min(id) AS u FROM da$rounds
+       |  WHERE dist < $inf AND dist = (SELECT max(dist) FROM da$rounds WHERE dist < $inf)),
+       |${sweep("db", "SELECT u FROM uu")}
+       |SELECT CAST(max(dist) AS BIGINT) AS lb, CAST(2 * max(dist) AS BIGINT) AS ub
+       |FROM db$rounds WHERE dist < $inf""".stripMargin
+  }
+
+  /** Mirrors LinkPrediction.scores with u-sample `uMod`: distance-2 non-adjacent pairs
+    * with common-neighbor / preferential-attachment / Jaccard / Adamic-Adar indices. */
+  def linkPrediction(uMod: Long): String =
+    s"""$base,
+       |$biCte,
+       |deg AS MATERIALIZED (SELECT a AS id, count(*) AS deg FROM bi GROUP BY a),
+       |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS t FROM edges),
+       |wu AS MATERIALIZED (SELECT a AS z, b AS u FROM bi WHERE b % $uMod = 0),
+       |pairs AS MATERIALIZED (
+       |  SELECT wu.u, wv.b AS v, count(*) AS cn, sum(1.0 / ln(dg.deg)) AS aa
+       |  FROM wu JOIN bi wv ON wu.z = wv.a JOIN deg dg ON wu.z = dg.id
+       |  WHERE wu.u < wv.b GROUP BY 1, 2),
+       |cand AS MATERIALIZED (
+       |  SELECT p.* FROM pairs p LEFT JOIN und e ON e.s = p.u AND e.t = p.v
+       |  WHERE e.s IS NULL)
+       |SELECT c.u, c.v, CAST(c.cn AS BIGINT) AS cn,
+       |  CAST(du.deg * dv.deg AS BIGINT) AS pa,
+       |  CAST(c.cn AS DOUBLE) / (du.deg + dv.deg - c.cn) AS jaccard,
+       |  round(c.aa, 7) AS adamic_adar
+       |FROM cand c JOIN deg du ON c.u = du.id JOIN deg dv ON c.v = dv.id""".stripMargin
 
   /** k-core membership: `rounds` unrolled peel rounds at threshold k (>= fixpoint depth).
     * Mirrors KCore.kCore. */
@@ -334,6 +421,49 @@ object OracleSql {
        |  CASE WHEN sum(dist) > 0 THEN 1.0 / CAST(sum(dist) AS DOUBLE) ELSE 0.0 END AS closeness,
        |  CAST(sum(CASE WHEN dist > 0 THEN $L // dist ELSE 0 END) AS DOUBLE) / $L.0 AS harmonic
        |FROM st$levels GROUP BY s""".stripMargin
+  }
+
+  /** ANF per-node finish hops (mirrors Anf.finishHops): k FM registers as BIGINT
+    * columns, bit_or hop merges, integer lowest-unset-bit sums, integer threshold —
+    * bit-exact replay of the sketch recursion. */
+  def anfHops(hops: Int, ratio: Double = 0.9, seed: Long = 42L, k: Int = 8): String = {
+    import graft.synth.GraphSpec.lcg
+    val regs = 0 until k
+    val initCols = regs.map { j =>
+      val hv = lcg(s"id*$k + $j + $seed*1000003")
+      s"""CASE WHEN ${lcg(s"id*$k + $j + $seed*1000003")} = 0 THEN 0
+         |  ELSE CASE WHEN bit_count((($hv) & (-($hv))) - 1) < cap.cap
+         |    THEN (CAST(1 AS BIGINT) << CAST(bit_count((($hv) & (-($hv))) - 1) AS INT))
+         |    ELSE 0 END END AS m$j""".stripMargin
+    }.mkString(",\n  ")
+    def sumB(alias: String) = regs.map(j =>
+      s"bit_count(((~$alias.m$j) & ($alias.m$j + 1)) - 1)").mkString(" + ")
+    val hopSteps = (1 to hops).map { h =>
+      val ors = regs.map(j => s"bit_or(x.m$j) AS m$j").mkString(", ")
+      val merged = regs.map(j => s"coalesce(s.m$j, 0) | p.m$j AS m$j").mkString(", ")
+      s"""ms$h AS MATERIALIZED (SELECT bi.b AS id, $ors
+         |  FROM bi JOIN mk${h - 1} x ON bi.a = x.id GROUP BY bi.b),
+         |mk$h AS MATERIALIZED (SELECT p.id, $merged
+         |  FROM mk${h - 1} p LEFT JOIN ms$h s ON p.id = s.id)""".stripMargin
+    }.mkString(",\n")
+    val qualifies = (1 to hops).map { h =>
+      val same = regs.map(j => s"a.m$j = b.m$j").mkString(" AND ")
+      s"""SELECT a.id, $h AS hop FROM mk$h a JOIN mk${h - 1} b ON a.id = b.id
+         |  CROSS JOIN tb WHERE (${sumB("a")}) >= tb.t OR ($same)""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""$base,
+       |$biCte,
+       |cap AS MATERIALIZED (SELECT least(62, CAST(ceil(log2(CAST(n AS DOUBLE))) AS BIGINT) + 7) AS cap FROM nn),
+       |tb AS MATERIALIZED (SELECT CAST(ceil($k * log2(${0.77351 * ratio} * CAST(n AS DOUBLE)) - 0.000000000001) AS BIGINT) AS t FROM nn),
+       |mk0 AS MATERIALIZED (SELECT id,
+       |  $initCols
+       |  FROM verts CROSS JOIN cap),
+       |$hopSteps,
+       |fin AS MATERIALIZED (
+       |  $qualifies)
+       |SELECT v.id, CAST(coalesce(f.hop, $hops) AS BIGINT) AS hop
+       |FROM verts v LEFT JOIN (SELECT id, min(hop) AS hop FROM fin GROUP BY id) f
+       |ON v.id = f.id""".stripMargin
   }
 
   /** Fixed-point eigenvector (mirrors Centralities.eigenvectorFixedPoint): power

@@ -1,6 +1,6 @@
 package graft.synth
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.LinkGraph
@@ -57,5 +57,121 @@ object Generators {
       .distinct()
       .withColumn("weight", lit(1.0))
     LinkGraph.fromEdges(spark, edges, Some(spark.range(n).select(col("id"))))
+  }
+
+  /** Barabási–Albert preferential attachment
+    * (/root/reference/networkit/cpp/generators/BarabasiAlbertGenerator.cpp:1-158,
+    * Batagelj–Brandes formulation): the classic sequential "pick an endpoint of a
+    * uniform earlier edge slot" recurrence, re-expressed as POINTER-JUMPING joins —
+    * every edge i draws a uniform slot; even slots resolve to a closed-form node id,
+    * odd slots chase the referenced edge's own draw. Chains shrink geometrically
+    * (every hop lands on a strictly earlier edge), so a handful of join rounds
+    * resolves the whole batch — no sequential driver loop over nodes.
+    * Self-loops filtered, multi-edges deduped (documented deviation: the reference
+    * keeps the raw multigraph; degree distribution is unaffected asymptotically). */
+  def barabasiAlbert(spark: SparkSession, k: Int, n: Long, seed: Long = 42L): LinkGraph = {
+    require(k >= 1 && n > k)
+    val init = k.toLong // initial isolated nodes 0..k-1
+    val m = k * (n - init)
+    // Edge i: src = init + i/k; draw a uniform slot in [0, init + 2i):
+    //   slot < init             -> initial node `slot`
+    //   s = slot-init, s even   -> src node of edge s/2  (init + (s/2)/k)
+    //   s odd                   -> the endpoint edge (s-1)/2 drew  (chase)
+    val e0 = spark.range(m).select(
+        col("id").as("i"),
+        (lit(init) + expr(s"id div $k")).as("src"),
+        (expr(draw(s"id*31 + $seed*1299709")) % (lit(init) + col("id") * 2L)).as("ptr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e0.count()
+    var unresolved = e0
+    var resolved: DataFrame = e0.filter(lit(false))
+      .select(col("i"), col("src"), col("ptr").as("dst"))
+    var left = 1L
+    while (left > 0) {
+      val marked = unresolved.withColumn("dst",
+        when(col("ptr") < init, col("ptr"))
+          .when(pmod(col("ptr") - init, lit(2L)) === 0L,
+            lit(init) + expr(s"((ptr - $init) div 2) div $k")))
+      resolved = resolved.union(
+        marked.filter(col("dst").isNotNull).select("i", "src", "dst"))
+      unresolved = marked.filter(col("dst").isNull)
+        .select(col("i"), col("src"),
+          expr(s"(ptr - $init - 1) div 2").as("j"))
+        .join(e0.select(col("i").as("j"), col("ptr").as("nptr")), "j")
+        .select(col("i"), col("src"), col("nptr").as("ptr"))
+      left = unresolved.count()
+    }
+    val edges = resolved
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+      .withColumn("weight", lit(1.0))
+    val out = LinkGraph.fromEdges(spark, edges, Some(spark.range(n).select(col("id"))))
+    e0.unpersist()
+    out
+  }
+
+  /** Random hyperbolic graph (threshold model,
+    * /root/reference/networkit/cpp/generators/HyperbolicGenerator.cpp:1-267 — the
+    * reference's published-benchmark graph family): n points on the hyperbolic disk of
+    * radius R, angle uniform, radius with density ~ sinh(alpha r) (inverse-CDF of the
+    * shared LCG draws); edge iff hyperbolic distance <= R.
+    *
+    * Distributed shape (no O(n^2) pair scan):
+    *   - CORE points (r < 0.75R, ~sqrt(n) of them) connect far — broadcast against all;
+    *   - PERIPHERY pairs can only connect within angular reach
+    *     dTheta(0.75R, 0.75R) (maximal at the minimum radii — verified numerically),
+    *     so they meet via angle buckets of width >= that reach, joining each bucket
+    *     with its successor (the same probe pattern as the LSH multiprobe join).
+    * The exact distance predicate applies to every candidate pair, so bucketing only
+    * prunes, never changes results (brute-force-equality tested). */
+  /** The hyperbolic generator's deterministic point set (id, theta, r) — public so
+    * tests can brute-force the same points. */
+  def hyperbolicPoints(spark: SparkSession, n: Long, R: Double, alpha: Double = 1.0,
+                       seed: Long = 42L): DataFrame = {
+    val M = GraphSpec.M.toDouble
+    // theta uniform [0, 2pi); u uniform (0,1]; r = acosh(1 + u*(cosh(alpha R)-1))/alpha
+    val thetaSql = s"CAST(${draw(s"id*2 + $seed*15485863")} AS DOUBLE) / $M * ${2.0 * math.Pi}"
+    val uSql = s"(CAST(${draw(s"id*2 + 1 + $seed*15485863")} AS DOUBLE) + 1.0) / $M"
+    val rSql = s"acosh(1.0 + ($uSql) * ${math.cosh(alpha * R) - 1.0}) / $alpha"
+    spark.range(n).select(col("id"), expr(thetaSql).as("theta"), expr(rSql).as("r"))
+  }
+
+  /** The exact hyperbolic-distance threshold predicate (shared with tests). */
+  def hyperbolicConnects(R: Double)(ra: Column, rb: Column, ta: Column, tb: Column): Column =
+    cosh(ra) * cosh(rb) - sinh(ra) * sinh(rb) * cos(ta - tb) <= math.cosh(R)
+
+  def hyperbolic(spark: SparkSession, n: Long, R: Double, alpha: Double = 1.0,
+                 seed: Long = 42L): LinkGraph = {
+    val pts = hyperbolicPoints(spark, n, R, alpha, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pts.count()
+    val connects = hyperbolicConnects(R) _
+    val r0 = 0.75 * R
+    val core = pts.filter(col("r") < r0)
+      .select(col("id").as("cid"), col("theta").as("ct"), col("r").as("cr"))
+    val corePairs = pts.join(broadcast(core), col("id") =!= col("cid"))
+      .filter(connects(col("r"), col("cr"), col("theta"), col("ct")))
+      .select(least(col("id"), col("cid")).as("src"),
+        greatest(col("id"), col("cid")).as("dst"))
+    val reach = math.acos(math.max(-1.0, math.min(1.0,
+      (math.cosh(r0) * math.cosh(r0) - math.cosh(R)) / (math.sinh(r0) * math.sinh(r0)))))
+    val buckets = math.max(1L, math.floor(2.0 * math.Pi / math.max(reach, 1e-9)).toLong)
+    val periph = pts.filter(col("r") >= r0)
+      .withColumn("b", floor(col("theta") / (2.0 * math.Pi / buckets)).cast("long"))
+    val probes = periph.select(col("id"), col("theta"), col("r"), col("b"),
+      explode(array(col("b"), pmod(col("b") + 1L, lit(buckets)))).as("pb"))
+    // Same-bucket pairs meet via x's own-bucket probe (id-ordered so each appears
+    // once); cross-bucket pairs meet exactly once via the +1 probe — in the probe
+    // direction, whichever id order, so the pair (i, i-1) is not lost to id ordering.
+    val periphPairs = probes.as("x")
+      .join(periph.as("y"), col("x.pb") === col("y.b") &&
+        (col("x.b") =!= col("y.b") || col("x.id") < col("y.id")))
+      .filter(connects(col("x.r"), col("y.r"), col("x.theta"), col("y.theta")))
+      .select(least(col("x.id"), col("y.id")).as("src"),
+        greatest(col("x.id"), col("y.id")).as("dst"))
+    val edges = corePairs.union(periphPairs).distinct().withColumn("weight", lit(1.0))
+    val out = LinkGraph.fromEdges(spark, edges, Some(spark.range(n).select(col("id"))))
+    pts.unpersist()
+    out
   }
 }

@@ -31,6 +31,17 @@ class PlmSpec extends AnyFunSuite {
     assert(r.levels >= 2) // multilevel coarsening actually engaged
   }
 
+  test("PLM refine phase never lowers modularity (karate)") {
+    val g = LinkGraph.fromEdges(spark,
+      TestSpark.undirected(Fixtures.karateEdges.map(e => (e._1, e._2, 1.0))))
+    val base = PLM.run(spark, g)
+    val ref = PLM.run(spark, g, refine = true)
+    val qb = Measures.summary(spark, g, base.labels).head().getAs[Double]("modularity")
+    val qr = Measures.summary(spark, g, ref.labels).head().getAs[Double]("modularity")
+    assert(qr >= qb - 1e-12, s"refined $qr vs base $qb")
+    assert(ref.labels.count() == 34)
+  }
+
   test("PLM is deterministic across shuffle-partition settings") {
     val g = LinkGraph.fromEdges(spark,
       TestSpark.undirected(Fixtures.karateEdges.map(e => (e._1, e._2, 1.0))))
