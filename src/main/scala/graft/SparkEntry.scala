@@ -138,13 +138,40 @@ object SparkEntry {
       val g = graph(s, dir)
       Betweenness.closenessHarmonic(s, g, g.vertices.filter(col("id") % 1000 === 0))
     }),
+    // Sampled-source APSP from the same multi-source BFS harness (100 sources).
+    "q_apsp" -> ((s, dir) => {
+      val g = graph(s, dir)
+      Distances.apsp(s, g, g.vertices.filter(col("id") % 100 === 0))
+    }),
+    "q_sfigality" -> ((s, dir) => Centralities.sfigality(s, graph(s, dir))),
+    "q_algebraic_dist" -> ((s, dir) =>
+      graft.algo.AlgebraicDistance.edgeScores(s, graph(s, dir), iters = 5)),
+    "q_group_degree" -> ((s, dir) =>
+      graft.algo.GroupCentrality.groupDegree(s, graph(s, dir), k = 5)),
+    "q_permanence" -> ((s, dir) => {
+      val g = graph(s, dir)
+      graft.algo.Permanence.run(s, g, LabelPropagation.fixedRounds(s, g, 10))
+    }),
+    "q_clustering_props" -> ((s, dir) => {
+      val g = graph(s, dir)
+      Measures.clusteringProperties(s, g, LabelPropagation.fixedRounds(s, g, 10))
+    }),
+    "q_local_degree" -> ((s, dir) => EdgeScores.localDegreeScore(s, graph(s, dir))),
+    "q_neighborhood_fn" -> ((s, dir) =>
+      graft.algo.Anf.neighborhoodFunction(s, graph(s, dir), maxHops = 10)),
+    "q_eff_diameter" -> ((s, dir) => {
+      val hops = graft.algo.Anf.finishHops(s, graph(s, dir), maxHops = 15)
+      hops.agg(count(lit(1)).as("n"), sum("hop").as("sum_hops"))
+        .select(col("n"), col("sum_hops"),
+          (col("sum_hops").cast("double") / col("n")).as("eff_diameter"))
+    }),
     "q_sssp_weighted" -> ((s, dir) =>
       Distances.weightedSssp(s, graph(s, dir), 0L,
         lit(1L) + pmod(col("src") + col("dst"), lit(5L)))),
     "q_subgraph"      -> ((s, dir) => {
       val g = graph(s, dir)
-      g.edges.filter(col("src") % 7 === 0 && col("dst") % 7 === 0)
-        .select("src", "dst")
+      g.subgraphFromNodes(g.vertices.filter(col("id") % 7 === 0))
+        .edges.select("src", "dst")
     }),
     // Deterministic multilevel Louvain, fixed schedule (6 rounds x 2 levels) so the
     // DuckDB twin can unroll the identical recursion; integer-exact gain compares.
@@ -206,6 +233,15 @@ object SparkEntry {
     "q_eigen_fixed"      -> OracleSql.eigenvectorFixed(10),
     "q_betweenness_fixed" -> OracleSql.betweennessFixed(1000, 15),
     "q_closeness"        -> OracleSql.closenessHarmonic(1000, 15),
+    "q_apsp"             -> OracleSql.apsp(100, 15),
+    "q_sfigality"        -> OracleSql.sfigality,
+    "q_algebraic_dist"   -> OracleSql.algebraicDistance(5),
+    "q_group_degree"     -> OracleSql.groupDegree(5),
+    "q_permanence"       -> OracleSql.permanence(10),
+    "q_clustering_props" -> OracleSql.clusteringProperties(10),
+    "q_local_degree"     -> OracleSql.localDegree,
+    "q_neighborhood_fn"  -> OracleSql.neighborhoodFunction(10),
+    "q_eff_diameter"     -> OracleSql.effectiveDiameter(15),
     "q_sssp_weighted"    -> OracleSql.weightedSssp(0L, 40),
     "q_subgraph"         -> OracleSql.subgraph7,
     "q_plm"              -> OracleSql.plm(6, 2),

@@ -40,16 +40,27 @@ object Anf {
   def maskBitsFor(n: Long): Int =
     math.min(62, (math.ceil(math.log(n.toDouble) / math.log(2.0)) + 7).toInt)
 
-  /** Geometric bit position from a uniform 31-bit hash: number of trailing zeros
-    * (P(i) = 2^-(i+1)) via bit_count((h & -h) - 1); the all-zero hash caps at `cap`. */
-  private def fmBit(h: Column, cap: Int): Column =
-    when(h === 0L, lit(cap.toLong))
-      .otherwise(bit_count((h.bitwiseAND(-h)) - 1L).cast("long"))
-
-  private def lcgCol(x: Column): Column = {
-    import graft.synth.GraphSpec.{A, C, M}
-    (lit(A) * ((lit(A) * pmod(x, lit(M)) + C) % M) + C) % M
+  /** Nonlinear 31-bit register draw (SQL string, shared with the DuckDB twin via
+    * GraphSpec.idiv): the chained LCG alone is affine, so register inputs striding by
+    * K share low-bit structure (every node's register-j draw has the same parity —
+    * which collapses the trailing-zero geometric distribution the FM sketch needs).
+    * Multiplying two independent affine draws and taking the mid bits fixes it, same
+    * trick as Generators.draw. */
+  private def drawSql(x: String, duck: Boolean): String = {
+    import graft.synth.GraphSpec.{idiv, lcg, M}
+    s"(${idiv(s"${lcg(x)} * ${lcg(s"($x) + 1000003")}", "65536", duck)}) % $M"
   }
+
+  /** Register init masks m0..m{K-1} for node expression `id` (Spark dialect). */
+  private def initMasks(idCol: String, seed: Long, maskBits: Int): Seq[Column] =
+    (0 until K).map { j =>
+      val h = s"(${drawSql(s"$idCol*$K + $j + ${seed}*1000003", duck = false)})"
+      val p = s"bit_count((($h) & (-($h))) - 1)"
+      expr(s"""CASE WHEN $h = 0 THEN 0
+              |  ELSE CASE WHEN $p < $maskBits
+              |    THEN shiftleft(cast(1 as bigint), int($p))
+              |    ELSE 0 END END""".stripMargin).as(s"m$j")
+    }
 
   final case class Result(effectiveDiameter: Double, perHopFinished: Seq[(Long, Long)])
 
@@ -66,11 +77,7 @@ object Anf {
 
     val maskCols = (0 until K).map(j => s"m$j")
     var masks = g.vertices
-      .select(col("id") +: (0 until K).map(j =>
-        fmBit(lcgCol(col("id") * K + j + seed * 1000003L), maskBits).as(s"p$j")): _*)
-      .select(col("id") +: (0 until K).map(j =>
-        when(col(s"p$j") < maskBits, expr(s"shiftleft(cast(1 as bigint), int(p$j))"))
-          .otherwise(0L).as(s"m$j")): _*)
+      .select(col("id") +: initMasks("id", seed, maskBits): _*)
       .cutLineage
 
     // Exact-integer estimate: sum over registers of the lowest-unset-bit index.
@@ -121,6 +128,61 @@ object Anf {
     bi.unpersist()
     g.vertices.join(finished, Seq("id"), "left")
       .select(col("id"), coalesce(col("hop"), lit(maxHops.toLong)).as("hop"))
+  }
+
+  /** 2^20-scaled register-estimate multipliers: Est(sumB) = 2^(sumB/K)/0.77351 is
+    * computed as (1 << (sumB div K)) * EstC(sumB % K) with
+    * EstC(r) = floor(2^20 * 2^(r/K) / 0.77351) — pure int64, so the per-node estimates
+    * (and their sums) are bit-identical across engines. Shared with OracleSql. */
+  val EstC: IndexedSeq[Long] = (0 until K).map(r =>
+    math.floor(math.pow(2.0, 20.0 + r.toDouble / K) / 0.77351).toLong)
+
+  /** Neighborhood function (/root/reference/networkit/cpp/distance/
+    * NeighborhoodFunction.cpp + ApproxNeighborhoodFunction — same FM machinery as
+    * [[finishHops]]): for each hop h, the estimated total number of (node, reachable
+    * node) pairs within distance <= h, summed over all nodes. Per-node estimates use
+    * the integer-scaled table [[EstC]] (documented divergence from the reference's
+    * float 2^(b/k)/0.77351 — a <2^-20 relative quantization), so the whole output is
+    * exact int64 + one final double division. Output (hop, nf_scaled, nf). */
+  def neighborhoodFunction(spark: SparkSession, g: LinkGraph, maxHops: Int,
+                           seed: Long = 42L): DataFrame = {
+    val n = g.n
+    val maskBits = maskBitsFor(n)
+    val bi = g.bidirected.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    bi.count()
+    val maskCols = (0 until K).map(j => s"m$j")
+    var masks = g.vertices
+      .select(col("id") +: initMasks("id", seed, maskBits): _*)
+      .cutLineage
+    val sumB: Column = (0 until K).map(j =>
+      bit_count((bitwise_not(col(s"m$j")).bitwiseAND(col(s"m$j") + 1L)) - 1L)
+        .cast("long")).reduce(_ + _)
+    val estCase = EstC.zipWithIndex.map { case (c, r) =>
+      s"WHEN $r THEN shiftleft(cast(1 as bigint), int(b div $K)) * ${c}L"
+    }.mkString("CASE b % $K ".replace("$K", K.toString), " ", " END")
+    var rows = Seq.empty[(Long, Long)]
+    var h = 1
+    while (h <= maxHops) {
+      val msgs = bi.join(masks.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(expr(s"bit_or(${maskCols.head})").as(maskCols.head),
+          maskCols.tail.map(c => expr(s"bit_or($c)").as(c)): _*)
+      val curr = masks.as("x").join(msgs.as("y"), Seq("id"), "left")
+        .select(col("id") +: maskCols.map(c =>
+          coalesce(col(s"y.$c"), lit(0L)).bitwiseOR(col(s"x.$c")).as(c)): _*)
+        .cutLineage
+      val nf = curr.select(sumB.as("b")).select(expr(estCase).as("est"))
+        .agg(sum("est")).head().getLong(0)
+      rows :+= (h.toLong, nf)
+      masks.releaseState()
+      masks = curr
+      h += 1
+    }
+    bi.unpersist()
+    import spark.implicits._
+    rows.toDF("hop", "nf_scaled")
+      .select(col("hop"), col("nf_scaled"),
+        (col("nf_scaled").cast("double") / (1L << 20).toDouble).as("nf"))
   }
 
   /** Effective diameter at `ratio` (default .9, the reference default). */

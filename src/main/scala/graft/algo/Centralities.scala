@@ -161,6 +161,26 @@ object Centralities {
     x
   }
 
+  /** Sfigality (/root/reference/networkit/cpp/centrality/Sfigality.cpp:16-28): the
+    * fraction of a node's neighbors that have strictly higher degree. Two degree joins
+    * + one agg over the bidirected view — exact integer counts, one double division;
+    * degree-0 vertices get 0. */
+  def sfigality(spark: SparkSession, g: LinkGraph): DataFrame = {
+    val deg = g.bidirected.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val sf = g.bidirected
+      .join(deg.select(col("id").as("src"), col("deg").as("du")), "src")
+      .join(deg.select(col("id").as("dst"), col("deg").as("dv")), "dst")
+      .groupBy(col("src").as("id"))
+      .agg(sum(when(col("du") < col("dv"), 1L).otherwise(0L)).as("higher"),
+        count(lit(1)).as("deg"))
+    g.vertices.join(sf, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("higher"), lit(0L)).as("higher"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        when(coalesce(col("deg"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("higher").cast("double") / col("deg")).as("sfigality"))
+  }
+
   /** Degree assortativity over the undirected graph (benchmark kernel set,
     * /root/reference/benchmark/nk.py — DegreeAssortativity): Pearson correlation of
     * endpoint degrees over the bidirected edge list. One row of exact integer sums +

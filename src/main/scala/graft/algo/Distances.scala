@@ -100,4 +100,13 @@ object Distances {
     bi.unpersist()
     dist.select(col("id"), when(col("dist") >= inf, -1L).otherwise(col("dist")).as("dist"))
   }
+
+  /** APSP (/root/reference/networkit/cpp/distance/APSP.cpp — per-source BFS loop),
+    * re-architected as ONE batched multi-source BFS (the Betweenness forward harness):
+    * output (s, id, dist) for every (source, reached node) pair. With `sources` = all
+    * vertices this is exact APSP (Θ(n·reach) output — only for small n); the scale
+    * path is a sampled source set (distance-sketch style), which is the same call with
+    * a filtered source table. Unreached pairs are absent (the reference stores +inf). */
+  def apsp(spark: SparkSession, g: LinkGraph, sources: DataFrame): DataFrame =
+    Betweenness.msBfs(spark, g, sources)._1.select("s", "id", "dist")
 }

@@ -48,6 +48,31 @@ object EdgeScores {
         (col("tri").cast("double") / (col("ds") + col("dd") - col("tri"))).as("jaccard"))
   }
 
+  /** LocalDegreeScore (sparsification/LocalDegreeScore.cpp:32-91): per node u, rank
+    * its neighbors v by degree DESC with competition ranking (ties share the smallest
+    * rank — exactly `rank()`); the directed exponent is 1 − ln(rank)/ln(deg u)
+    * (1 when deg u <= 1); the edge score is the max over both directions. The window
+    * partitions by node (never global), ordering only on the neighbor's degree — the
+    * per-node partitions are the same skew surface as the degree aggregation itself.
+    * Scores are rounded to 7 decimals so the libm-vs-DuckDB ln ulp can't flip the
+    * cross-engine hash. Output (src, dst, score) per canonical undirected edge. */
+  def localDegreeScore(spark: SparkSession, g: LinkGraph): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val deg = g.bidirected.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val ranked = g.bidirected.select("src", "dst")
+      .join(deg.select(col("id").as("src"), col("deg").as("du")), "src")
+      .join(deg.select(col("id").as("dst"), col("deg").as("dv")), "dst")
+      .withColumn("rnk",
+        rank().over(Window.partitionBy(col("src")).orderBy(col("dv").desc)))
+      .select(col("src"), col("dst"),
+        when(col("du") <= 1L, lit(1.0))
+          .otherwise(lit(1.0) - log(col("rnk").cast("double")) / log(col("du").cast("double")))
+          .as("e"))
+    ranked.select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"), col("e"))
+      .groupBy("src", "dst").agg(round(max(col("e")), 7).as("score"))
+  }
+
   /** GlobalThresholdFilter (sparsification/GlobalThresholdFilter.cpp): edges whose
     * score meets the threshold. `above=true` keeps score >= t, else score <= t. */
   def globalThresholdFilter(scored: DataFrame, scoreCol: String, t: Double,

@@ -34,17 +34,23 @@ object Measures {
       .join(labels.select(col("id").as("src"), col("label").as("lsrc")), "src")
       .join(labels.select(col("id").as("dst"), col("label").as("ldst")), "dst")
 
-  /** Undirected degree per vertex (isolated vertices absent). */
+  /** Weighted undirected degree per vertex (isolated vertices absent). Weights are
+    * integer-valued (1 at ingest, sums after antiparallel merge/coarsening), so the
+    * long cast is exact. */
   private def undDegrees(g: LinkGraph): DataFrame =
-    g.bidirected.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    g.bidirected.groupBy(col("src").as("id"))
+      .agg(sum("weight").cast("long").as("deg"))
 
-  /** One-row summary: m_und, intra- and cut-edge counts, Σ vol_c², coverage, edge cut,
-    * modularity. Exact integers + two fixed double expressions. */
+  /** One-row summary: total weight ω (= edge count on an unweighted simple graph),
+    * intra- and cut-edge weight, Σ vol_c², coverage, edge cut, modularity
+    * (Modularity.cpp:49-81 — weighted throughout). Exact integers + two fixed double
+    * expressions. */
   def summary(spark: SparkSession, g: LinkGraph, labels: DataFrame): DataFrame = {
     val le = labeledEdges(g, labels)
     val base = le.agg(
-      count(lit(1)).as("m_und"),
-      sum(when(col("lsrc") === col("ldst"), 1L).otherwise(0L)).as("intra"))
+      sum("weight").cast("long").as("m_und"),
+      sum(when(col("lsrc") === col("ldst"), col("weight")).otherwise(lit(0.0)))
+        .cast("long").as("intra"))
     val vol = undDegrees(g).join(labels, "id")
       .groupBy("label").agg(sum("deg").as("vol"))
       .agg(sum(col("vol") * col("vol")).as("sum_vol2"))
@@ -56,14 +62,15 @@ object Measures {
         .as("modularity"))
   }
 
-  /** Per-community (label, vol, cut, conductance); vol-0 communities get conductance 0. */
+  /** Per-community (label, vol, cut, conductance), all weight sums; vol-0 communities
+    * get conductance 0. */
   def conductance(spark: SparkSession, g: LinkGraph, labels: DataFrame): DataFrame = {
-    val mu = g.canonicalUndirected.count()
+    val mu = g.canonicalUndirected.agg(sum("weight").cast("long")).head().getLong(0)
     val biLab = g.bidirected
       .join(labels.select(col("id").as("src"), col("label").as("lsrc")), "src")
       .join(labels.select(col("id").as("dst"), col("label").as("ldst")), "dst")
     val cut = biLab.filter(col("lsrc") =!= col("ldst"))
-      .groupBy(col("lsrc").as("label")).agg(count(lit(1)).as("cut"))
+      .groupBy(col("lsrc").as("label")).agg(sum("weight").cast("long").as("cut"))
     val vol = undDegrees(g).join(labels, "id").groupBy("label").agg(sum("deg").as("vol"))
     labels.select("label").distinct()
       .join(vol, Seq("label"), "left").join(cut, Seq("label"), "left")
@@ -77,13 +84,13 @@ object Measures {
   }
 
   /** Coarsen the undirected graph by a partition: one node per label, edge weight =
-    * number (sum of weights) of fine edges between the label pair; intra-cluster edges
-    * become self-loop rows (a == b). Output (a, b, w) with a <= b. */
+    * sum of fine edge weights between the label pair; intra-cluster edges become
+    * self-loop rows (a == b). Output (a, b, w) with a <= b. */
   def coarsen(spark: SparkSession, g: LinkGraph, labels: DataFrame): DataFrame =
     labeledEdges(g, labels)
       .select(least(col("lsrc"), col("ldst")).as("a"),
-        greatest(col("lsrc"), col("ldst")).as("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+        greatest(col("lsrc"), col("ldst")).as("b"), col("weight"))
+      .groupBy("a", "b").agg(sum("weight").cast("long").as("w"))
 
   /** Rand index between two partitions of the same vertex set: one row
     * (n, s_both, s_a, s_b, rand). Pair counts are exact integers via C(x,2). */
@@ -115,6 +122,25 @@ object Measures {
         ((col("s_a") + col("s_b")).cast("double") / 2.0 -
           (col("s_a") * col("s_b")).cast("double") / expr("n*(n-1) div 2").cast("double")))
         .as("ari"))
+
+  /** GraphClusteringTools invariants (community/GraphClusteringTools.cpp): one row
+    * (n_nodes, n_labeled, n_clusters, max_cluster, min_cluster, is_proper,
+    * is_singleton, is_one) — `is_proper` = every vertex labeled exactly once. */
+  def clusteringProperties(spark: SparkSession, g: LinkGraph, labels: DataFrame): DataFrame = {
+    val perNode = g.vertices
+      .join(labels.groupBy("id").agg(count(lit(1)).as("c")), Seq("id"), "left")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_labeled"))
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_clusters"), max("sz").as("max_cluster"),
+        min("sz").as("min_cluster"))
+    perNode.crossJoin(sizes).select(
+      col("n_nodes"), col("n_labeled"), col("n_clusters"),
+      col("max_cluster"), col("min_cluster"),
+      (col("n_labeled") === col("n_nodes")).as("is_proper"),
+      (col("n_clusters") === col("n_nodes")).as("is_singleton"),
+      (col("n_clusters") === 1L).as("is_one"))
+  }
 
   /** Normalized mutual information between two partitions
     * (community/NMIDistance.cpp:19-131): MI = Σ_cells (n_ij/n)·log2(n_ij·n/(a_i·b_j)),

@@ -29,8 +29,13 @@ object PageRank {
 
   final case class Result(ranks: DataFrame, iterations: Int, finalDelta: Double)
 
+  /** `warmStart`: optional (id, score) to seed the iteration — the DynPageRank path
+    * (the reference's dynamic centralities re-run from the previous solution after a
+    * graph delta): after an edge batch, restart from the old ranks and converge in a
+    * few iterations instead of from-scratch. */
   def run(spark: SparkSession, g: LinkGraph, damp: Double = 0.85, tol: Double = 1e-8,
-          maxIter: Int = 200, checkpointDir: Option[String] = None): Result = {
+          maxIter: Int = 200, checkpointDir: Option[String] = None,
+          warmStart: Option[DataFrame] = None): Result = {
     val n = g.n
     // Per-edge transfer coefficient: w(v,u) / weightedOutDegree(v). Persisted once.
     val transfer = g.edges
@@ -45,7 +50,13 @@ object PageRank {
     val resumeFrom = job.lastCompleteIteration
     var ranks =
       if (resumeFrom >= 0) job.load(resumeFrom).select("id", "score")
-      else job.init(g.vertices.select(col("id"), lit(1.0 / n).as("score")))
+      else job.init(warmStart match {
+        // New vertices absent from the warm state get the uniform prior.
+        case Some(w) => g.vertices
+          .join(w.select(col("id"), col("score").as("ws")), Seq("id"), "left")
+          .select(col("id"), coalesce(col("ws"), lit(1.0 / n)).as("score"))
+        case None => g.vertices.select(col("id"), lit(1.0 / n).as("score"))
+      })
     var iter = resumeFrom + 1
     var delta = Double.MaxValue
     val teleport = (1.0 - damp) / n

@@ -51,7 +51,11 @@ object GraphReaders {
             max(when(col("pos") % 2 === 1, col("tok"))).as("w"))
           .select(col("src"), (col("d").cast("long") - 1).as("dst"),
             col("w").cast("double").as("weight"))
-    LinkGraph.fromEdges(spark, edges,
+    // METIS lists every undirected edge in BOTH endpoints' adjacency lines; keep the
+    // canonical direction once so the undirected view doesn't double the weight
+    // (canonicalUndirected SUMS antiparallel directed pairs by design).
+    val canonical = edges.filter(col("src") <= col("dst"))
+    LinkGraph.fromEdges(spark, canonical,
       vertices = Some(spark.range(n).select(col("id"))))
   }
 
@@ -174,4 +178,30 @@ object GraphReaders {
   /** Write (id,label) partition table — PartitionWriter analog. */
   def writePartition(labels: DataFrame, path: String): Unit =
     labels.write.mode("overwrite").parquet(path)
+
+  /** SNAP writer (io/SNAPGraphWriter.cpp): `# Nodes: n Edges: m` header + tab-separated
+    * directed pairs; distributed text write (no single-partition funnel — SNAP has no
+    * ordering requirement), readable back by [[readSnap]]. */
+  def writeSnap(g: LinkGraph, path: String): Unit = {
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    val header = Seq(s"# Directed graph (each unordered pair of nodes is saved once)",
+      s"# Nodes: ${g.n} Edges: ${g.m}").toDF("line")
+    header.union(g.edges.select(concat_ws("\t", col("src"), col("dst")).as("line")))
+      .write.mode("overwrite").text(path)
+  }
+
+  /** GraphViz DOT writer (io/DotGraphWriter.cpp:14-29): `graph G { a -- b; ... }`.
+    * The braces ride in the same text file via sort keys; body rows stay distributed
+    * until the final single-file coalesce (DOT is a small-graph viz format). */
+  def writeDot(g: LinkGraph, path: String): Unit = {
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    val body = g.canonicalUndirected
+      .select(lit(1L).as("k"), concat(lit("  "), col("src"), lit(" -- "), col("dst"),
+        lit(";")).as("line"))
+    Seq((0L, "graph G {"), (2L, "}")).toDF("k", "line").union(body)
+      .orderBy("k").select("line").coalesce(1)
+      .write.mode("overwrite").text(path)
+  }
 }

@@ -28,13 +28,30 @@ final case class LinkGraph(vertices: DataFrame, edges: DataFrame, n: Long, m: Lo
     und.union(und.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
   }
 
-  /** One row per logical undirected edge, src < dst (self-loops excluded upstream). */
+  /** One row per logical undirected edge, src < dst (self-loops excluded upstream).
+    * Antiparallel directed pairs merge with SUMMED weight — the reference's
+    * directed→undirected conversion (graph/Graph.cpp:73-140 copy ctor) keeps both
+    * directions as parallel multi-edges, so its weighted degrees/volumes count both;
+    * summing on merge reproduces exactly those weighted measures on a simple graph. */
   def canonicalUndirected: DataFrame =
     edges.select(
       least(col("src"), col("dst")).as("src"),
       greatest(col("src"), col("dst")).as("dst"),
       col("weight"))
-      .groupBy("src", "dst").agg(max("weight").as("weight"))
+      .groupBy("src", "dst").agg(sum("weight").as("weight"))
+
+  /** Induced subgraph on a node set (GraphTools::subgraphFromNodes, graph/Graph.h:558):
+    * keep edges whose BOTH endpoints are in `nodes(id)` — two semi-joins, no shuffle
+    * beyond the (broadcastable when small) node-set joins. */
+  def subgraphFromNodes(nodes: DataFrame): LinkGraph = {
+    val ns = nodes.select(col("id"))
+    val e = edges
+      .join(ns.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(ns.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      .select("src", "dst", "weight")
+    LinkGraph.fromEdges(vertices.sparkSession, e,
+      Some(vertices.join(ns, Seq("id"), "left_semi")))
+  }
 
   /** Out-degree / weighted out-degree per vertex (Graph.cpp:536-545); vertices with no
     * out-edges (dangling) are absent — callers decide null semantics. */

@@ -68,18 +68,24 @@ object OracleSql {
        |SELECT id, label FROM l$rounds""".stripMargin
   }
 
-  /** PLP round CTEs p0..p{rounds} (shared by plp + the measure oracles). */
+  /** PLP round CTEs p0..p{rounds} (shared by plp + the measure oracles). Label
+    * frequencies are WEIGHTED by the merged antiparallel multiplicity (mirrors
+    * LabelPropagation's `sum(weight)` over LinkGraph.canonicalUndirected, where an
+    * a→b/b→a directed pair merges to one undirected edge of weight 2). */
   private def plpSteps(rounds: Int): String = {
     val steps = (1 to rounds).map { i =>
       s"""p$i AS MATERIALIZED (SELECT v.id, coalesce(b.cand, v.label) AS label
          |  FROM p${i - 1} v LEFT JOIN (
          |    SELECT id, cand FROM (
-         |      SELECT bi.b AS id, x.label AS cand,
-         |             row_number() OVER (PARTITION BY bi.b ORDER BY count(*) DESC, x.label ASC) AS rn
-         |      FROM bi JOIN p${i - 1} x ON bi.a = x.id GROUP BY bi.b, x.label) t
+         |      SELECT plpbi.b AS id, x.label AS cand,
+         |             row_number() OVER (PARTITION BY plpbi.b ORDER BY sum(plpbi.w) DESC, x.label ASC) AS rn
+         |      FROM plpbi JOIN p${i - 1} x ON plpbi.a = x.id GROUP BY plpbi.b, x.label) t
          |    WHERE rn = 1) b ON v.id = b.id)""".stripMargin
     }.mkString(",\n")
-    s"""p0 AS MATERIALIZED (SELECT id, id AS label FROM verts),
+    s"""plpund AS MATERIALIZED (SELECT least(src, dst) AS s, greatest(src, dst) AS t, count(*) AS w
+       |  FROM edges GROUP BY 1, 2),
+       |plpbi AS MATERIALIZED (SELECT s AS a, t AS b, w FROM plpund UNION ALL SELECT t, s, w FROM plpund),
+       |p0 AS MATERIALIZED (SELECT id, id AS label FROM verts),
        |$steps""".stripMargin
   }
 
@@ -91,21 +97,25 @@ object OracleSql {
        |${plpSteps(rounds)}
        |SELECT id, label FROM p$rounds""".stripMargin
 
-  /** Canonical undirected edge set + undirected degrees (shared fragments). */
+  /** Canonical undirected edge set with merged antiparallel weight (mirrors
+    * LinkGraph.canonicalUndirected: w = number of directed edges between the pair) +
+    * weighted undirected degrees. */
   private val undDegCte =
-    s"""und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS t FROM edges),
-       |deg AS MATERIALIZED (SELECT a AS id, count(*) AS deg FROM bi GROUP BY a)""".stripMargin
+    s"""und AS MATERIALIZED (SELECT least(src, dst) AS s, greatest(src, dst) AS t, count(*) AS w
+       |  FROM edges GROUP BY 1, 2),
+       |deg AS MATERIALIZED (SELECT id, sum(w) AS deg FROM
+       |  (SELECT s AS id, w FROM und UNION ALL SELECT t, w FROM und) GROUP BY id)""".stripMargin
 
-  /** Mirrors Measures.summary over PLP labels at `rounds`. */
+  /** Mirrors Measures.summary over PLP labels at `rounds` (weighted). */
   def modularity(rounds: Int): String =
     s"""$base,
        |$biCte,
        |${plpSteps(rounds)},
        |$undDegCte,
-       |le AS MATERIALIZED (SELECT ls.label AS lsrc, ld.label AS ldst FROM und
+       |le AS MATERIALIZED (SELECT ls.label AS lsrc, ld.label AS ldst, und.w FROM und
        |  JOIN p$rounds ls ON und.s = ls.id JOIN p$rounds ld ON und.t = ld.id),
-       |b0 AS MATERIALIZED (SELECT count(*) AS m_und,
-       |  sum(CASE WHEN lsrc = ldst THEN 1 ELSE 0 END) AS intra FROM le),
+       |b0 AS MATERIALIZED (SELECT sum(w) AS m_und,
+       |  sum(CASE WHEN lsrc = ldst THEN w ELSE 0 END) AS intra FROM le),
        |vol AS MATERIALIZED (SELECT p.label, sum(deg.deg) AS vol FROM deg JOIN p$rounds p ON deg.id = p.id GROUP BY p.label),
        |v2 AS MATERIALIZED (SELECT sum(vol*vol) AS sum_vol2 FROM vol)
        |SELECT CAST(m_und AS BIGINT) AS m_und, CAST(intra AS BIGINT) AS intra,
@@ -114,15 +124,16 @@ object OracleSql {
        |  intra::double / m_und - sum_vol2::double / (4.0 * m_und * m_und) AS modularity
        |FROM b0 CROSS JOIN v2""".stripMargin
 
-  /** Mirrors Measures.conductance over PLP labels at `rounds`. */
+  /** Mirrors Measures.conductance over PLP labels at `rounds` (weighted). */
   def conductance(rounds: Int): String =
     s"""$base,
        |$biCte,
        |${plpSteps(rounds)},
        |$undDegCte,
-       |mu AS MATERIALIZED (SELECT count(*) AS mu FROM und),
-       |cut AS MATERIALIZED (SELECT ls.label, count(*) AS cut FROM bi
-       |  JOIN p$rounds ls ON bi.a = ls.id JOIN p$rounds ld ON bi.b = ld.id
+       |biw AS MATERIALIZED (SELECT s AS a, t AS b, w FROM und UNION ALL SELECT t, s, w FROM und),
+       |mu AS MATERIALIZED (SELECT sum(w) AS mu FROM und),
+       |cut AS MATERIALIZED (SELECT ls.label, sum(biw.w) AS cut FROM biw
+       |  JOIN p$rounds ls ON biw.a = ls.id JOIN p$rounds ld ON biw.b = ld.id
        |  WHERE ls.label != ld.label GROUP BY ls.label),
        |vol AS MATERIALIZED (SELECT p.label, sum(deg.deg) AS vol FROM deg JOIN p$rounds p ON deg.id = p.id GROUP BY p.label),
        |lbls AS MATERIALIZED (SELECT DISTINCT label FROM p$rounds)
@@ -134,16 +145,36 @@ object OracleSql {
        |FROM lbls l CROSS JOIN mu
        |LEFT JOIN vol ON l.label = vol.label LEFT JOIN cut ON l.label = cut.label""".stripMargin
 
-  /** Mirrors Measures.coarsen over PLP labels at `rounds`. */
+  /** Mirrors Measures.coarsen over PLP labels at `rounds` (weighted). */
   def coarsen(rounds: Int): String =
     s"""$base,
        |$biCte,
        |${plpSteps(rounds)},
-       |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS t FROM edges)
+       |und AS MATERIALIZED (SELECT least(src, dst) AS s, greatest(src, dst) AS t, count(*) AS w
+       |  FROM edges GROUP BY 1, 2)
        |SELECT least(ls.label, ld.label) AS a, greatest(ls.label, ld.label) AS b,
-       |  CAST(count(*) AS BIGINT) AS w
+       |  CAST(sum(und.w) AS BIGINT) AS w
        |FROM und JOIN p$rounds ls ON und.s = ls.id JOIN p$rounds ld ON und.t = ld.id
        |GROUP BY 1, 2""".stripMargin
+
+  /** Mirrors Measures.clusteringProperties over PLP labels at `rounds`. */
+  def clusteringProperties(rounds: Int): String =
+    s"""$base,
+       |$biCte,
+       |${plpSteps(rounds)},
+       |cnts AS MATERIALIZED (SELECT id, count(*) AS c FROM p$rounds GROUP BY id),
+       |pn AS MATERIALIZED (SELECT count(*) AS n_nodes,
+       |  sum(CASE WHEN coalesce(c, 0) = 1 THEN 1 ELSE 0 END) AS n_labeled
+       |  FROM verts v LEFT JOIN cnts ON v.id = cnts.id),
+       |sz AS MATERIALIZED (SELECT count(*) AS n_clusters, max(s) AS max_cluster,
+       |  min(s) AS min_cluster FROM (SELECT label, count(*) AS s FROM p$rounds GROUP BY label))
+       |SELECT CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_labeled AS BIGINT) AS n_labeled,
+       |  CAST(n_clusters AS BIGINT) AS n_clusters, CAST(max_cluster AS BIGINT) AS max_cluster,
+       |  CAST(min_cluster AS BIGINT) AS min_cluster,
+       |  n_labeled = n_nodes AS is_proper,
+       |  n_clusters = n_nodes AS is_singleton,
+       |  n_clusters = 1 AS is_one
+       |FROM pn CROSS JOIN sz""".stripMargin
 
   /** Mirrors Measures.randIndex between PLP at `ra` and `rb` rounds (ra < rb). */
   def randIndex(ra: Int, rb: Int): String =
@@ -409,6 +440,83 @@ object OracleSql {
        |  SELECT id, sum(delta) AS bc FROM d0 WHERE id != s GROUP BY id) b ON v.id = b.id""".stripMargin
   }
 
+  /** Sampled-source APSP (mirrors Distances.apsp over sources id % mod == 0): the raw
+    * multi-source BFS state (s, id, dist). */
+  def apsp(mod: Long, levels: Int): String =
+    s"""$base,
+       |$biCte,
+       |${msBfsCtes(mod, levels)}
+       |SELECT s, id, CAST(dist AS BIGINT) AS dist FROM st$levels""".stripMargin
+
+  /** Greedy group-degree (mirrors GroupCentrality.groupDegree): k unrolled greedy
+    * steps, gain = not-yet-reachable neighbors (+1 self), tie-break (gain DESC,
+    * id ASC). */
+  def groupDegree(k: Int): String = {
+    val steps = (1 to k).map { i =>
+      s"""nr$i AS MATERIALIZED (SELECT v.id FROM verts v
+         |  LEFT JOIN r${i - 1} r ON v.id = r.id WHERE r.id IS NULL),
+         |gn$i AS MATERIALIZED (SELECT v.id,
+         |  coalesce(ng.ng, 0) + (CASE WHEN nr.id IS NULL THEN 0 ELSE 1 END) AS gain
+         |  FROM verts v
+         |  LEFT JOIN s${i - 1} s ON v.id = s.id
+         |  LEFT JOIN (SELECT bi.a AS id, count(*) AS ng FROM bi
+         |    JOIN nr$i x ON bi.b = x.id GROUP BY bi.a) ng ON v.id = ng.id
+         |  LEFT JOIN nr$i nr ON v.id = nr.id
+         |  WHERE s.id IS NULL),
+         |b$i AS MATERIALIZED (SELECT id, ${i - 1} AS ord, gain FROM gn$i
+         |  ORDER BY gain DESC, id ASC LIMIT 1),
+         |s$i AS MATERIALIZED (SELECT id, ord, gain FROM s${i - 1} UNION ALL SELECT * FROM b$i),
+         |r$i AS MATERIALIZED (SELECT id FROM r${i - 1}
+         |  UNION SELECT id FROM b$i
+         |  UNION SELECT bi.b FROM bi JOIN b$i ON bi.a = b$i.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$biCte,
+       |s0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS ord,
+       |  CAST(NULL AS BIGINT) AS gain WHERE 1 = 0),
+       |r0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS id WHERE 1 = 0),
+       |$steps
+       |SELECT CAST(ord AS BIGINT) AS ord, id, CAST(gain AS BIGINT) AS gain FROM s$k""".stripMargin
+  }
+
+  /** Sfigality (mirrors Centralities.sfigality): fraction of neighbors with strictly
+    * higher degree. */
+  val sfigality: String =
+    s"""$base,
+       |$biCte,
+       |deg AS MATERIALIZED (SELECT a AS id, count(*) AS deg FROM bi GROUP BY a),
+       |sf AS MATERIALIZED (SELECT bi.a AS id,
+       |  sum(CASE WHEN du.deg < dv.deg THEN 1 ELSE 0 END) AS higher, count(*) AS deg
+       |  FROM bi JOIN deg du ON bi.a = du.id JOIN deg dv ON bi.b = dv.id GROUP BY bi.a)
+       |SELECT v.id, CAST(coalesce(sf.higher, 0) AS BIGINT) AS higher,
+       |  CAST(coalesce(sf.deg, 0) AS BIGINT) AS deg,
+       |  CASE WHEN coalesce(sf.deg, 0) = 0 THEN 0.0
+       |       ELSE coalesce(sf.higher, 0)::double / sf.deg END AS sfigality
+       |FROM verts v LEFT JOIN sf ON v.id = sf.id""".stripMargin
+
+  /** LocalDegreeScore (mirrors EdgeScores.localDegreeScore): competition rank of each
+    * neighbor by degree DESC, e = 1 − ln(rank)/ln(deg), max over both directions,
+    * rounded to 7 decimals on both engines. */
+  val localDegree: String =
+    s"""$base,
+       |$biCte,
+       |deg AS MATERIALIZED (SELECT a AS id, count(*) AS deg FROM bi GROUP BY a),
+       |rkd AS MATERIALIZED (SELECT bi.a AS src, bi.b AS dst, du.deg AS du,
+       |  rank() OVER (PARTITION BY bi.a ORDER BY dv.deg DESC) AS rnk
+       |  FROM bi JOIN deg du ON bi.a = du.id JOIN deg dv ON bi.b = dv.id),
+       |es AS MATERIALIZED (SELECT src, dst,
+       |  CASE WHEN du <= 1 THEN 1.0 ELSE 1.0 - ln(rnk) / ln(du) END AS e FROM rkd)
+       |SELECT least(src, dst) AS src, greatest(src, dst) AS dst,
+       |  round(max(e), 7) AS score
+       |FROM es GROUP BY 1, 2""".stripMargin
+
+  /** Effective diameter from the ANF finish hops (mirrors the q_eff_diameter
+    * aggregation): one row (n, sum_hops, eff_diameter). */
+  def effectiveDiameter(hops: Int): String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(hop) AS BIGINT) AS sum_hops,
+       |  sum(hop)::double / count(*) AS eff_diameter
+       |FROM (${anfHops(hops)})""".stripMargin
+
   /** Exact closeness + harmonic of the sampled sources (mirrors
     * Betweenness.closenessHarmonic; LCM(1..16)=720720 keeps 1/d exact). */
   def closenessHarmonic(mod: Long, levels: Int): String = {
@@ -426,18 +534,21 @@ object OracleSql {
   /** ANF per-node finish hops (mirrors Anf.finishHops): k FM registers as BIGINT
     * columns, bit_or hop merges, integer lowest-unset-bit sums, integer threshold —
     * bit-exact replay of the sketch recursion. */
-  def anfHops(hops: Int, ratio: Double = 0.9, seed: Long = 42L, k: Int = 8): String = {
-    import graft.synth.GraphSpec.lcg
+  /** Shared ANF mask-chain CTEs mk0..mk{hops} (cap + LCG register init + per-hop
+    * bit_or merges) — used by anfHops and neighborhoodFunction. */
+  private def anfMaskCtes(hops: Int, seed: Long, k: Int): String = {
+    import graft.synth.GraphSpec.{idiv, lcg, M}
     val regs = 0 until k
+    // Same nonlinear product draw as Anf.drawSql (plain chained LCG has degenerate
+    // low bits for inputs striding by k — see Anf scaladoc).
+    def draw(x: String) = s"(${idiv(s"${lcg(x)} * ${lcg(s"($x) + 1000003")}", "65536", duck = true)}) % $M"
     val initCols = regs.map { j =>
-      val hv = lcg(s"id*$k + $j + $seed*1000003")
-      s"""CASE WHEN ${lcg(s"id*$k + $j + $seed*1000003")} = 0 THEN 0
+      val hv = draw(s"id*$k + $j + $seed*1000003")
+      s"""CASE WHEN ($hv) = 0 THEN 0
          |  ELSE CASE WHEN bit_count((($hv) & (-($hv))) - 1) < cap.cap
          |    THEN (CAST(1 AS BIGINT) << CAST(bit_count((($hv) & (-($hv))) - 1) AS INT))
          |    ELSE 0 END END AS m$j""".stripMargin
     }.mkString(",\n  ")
-    def sumB(alias: String) = regs.map(j =>
-      s"bit_count(((~$alias.m$j) & ($alias.m$j + 1)) - 1)").mkString(" + ")
     val hopSteps = (1 to hops).map { h =>
       val ors = regs.map(j => s"bit_or(x.m$j) AS m$j").mkString(", ")
       val merged = regs.map(j => s"coalesce(s.m$j, 0) | p.m$j AS m$j").mkString(", ")
@@ -446,6 +557,38 @@ object OracleSql {
          |mk$h AS MATERIALIZED (SELECT p.id, $merged
          |  FROM mk${h - 1} p LEFT JOIN ms$h s ON p.id = s.id)""".stripMargin
     }.mkString(",\n")
+    s"""cap AS MATERIALIZED (SELECT least(62, CAST(ceil(log2(CAST(n AS DOUBLE))) AS BIGINT) + 7) AS cap FROM nn),
+       |mk0 AS MATERIALIZED (SELECT id,
+       |  $initCols
+       |  FROM verts CROSS JOIN cap),
+       |$hopSteps""".stripMargin
+  }
+
+  private def anfSumB(alias: String, k: Int): String =
+    (0 until k).map(j =>
+      s"bit_count(((~$alias.m$j) & ($alias.m$j + 1)) - 1)").mkString(" + ")
+
+  /** Neighborhood function (mirrors Anf.neighborhoodFunction): per hop, the summed
+    * integer-scaled FM estimates (1 << (b div k)) * EstC(b % k). */
+  def neighborhoodFunction(hops: Int, seed: Long = 42L, k: Int = 8): String = {
+    val estCase = graft.algo.Anf.EstC.zipWithIndex.map { case (c, r) =>
+      s"WHEN $r THEN (CAST(1 AS BIGINT) << CAST(b // $k AS INT)) * $c"
+    }.mkString(s"CASE b % $k ", " ", " END")
+    val perHop = (1 to hops).map { h =>
+      s"""SELECT $h AS hop, sum($estCase) AS nf_scaled FROM
+         |  (SELECT (${anfSumB("mk" + h, k)}) AS b FROM mk$h)""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""$base,
+       |$biCte,
+       |${anfMaskCtes(hops, seed, k)}
+       |SELECT CAST(hop AS BIGINT) AS hop, CAST(nf_scaled AS BIGINT) AS nf_scaled,
+       |  nf_scaled::double / ${(1L << 20).toDouble} AS nf
+       |FROM ($perHop)""".stripMargin
+  }
+
+  def anfHops(hops: Int, ratio: Double = 0.9, seed: Long = 42L, k: Int = 8): String = {
+    val regs = 0 until k
+    def sumB(alias: String) = anfSumB(alias, k)
     val qualifies = (1 to hops).map { h =>
       val same = regs.map(j => s"a.m$j = b.m$j").mkString(" AND ")
       s"""SELECT a.id, $h AS hop FROM mk$h a JOIN mk${h - 1} b ON a.id = b.id
@@ -453,17 +596,47 @@ object OracleSql {
     }.mkString("\n  UNION ALL ")
     s"""$base,
        |$biCte,
-       |cap AS MATERIALIZED (SELECT least(62, CAST(ceil(log2(CAST(n AS DOUBLE))) AS BIGINT) + 7) AS cap FROM nn),
        |tb AS MATERIALIZED (SELECT CAST(ceil($k * log2(${0.77351 * ratio} * CAST(n AS DOUBLE)) - 0.000000000001) AS BIGINT) AS t FROM nn),
-       |mk0 AS MATERIALIZED (SELECT id,
-       |  $initCols
-       |  FROM verts CROSS JOIN cap),
-       |$hopSteps,
+       |${anfMaskCtes(hops, seed, k)},
        |fin AS MATERIALIZED (
        |  $qualifies)
        |SELECT v.id, CAST(coalesce(f.hop, $hops) AS BIGINT) AS hop
        |FROM verts v LEFT JOIN (SELECT id, min(hop) AS hop FROM fin GROUP BY id) f
        |ON v.id = f.id""".stripMargin
+  }
+
+  /** Algebraic distance (mirrors AlgebraicDistance.edgeScores): K LCG-seeded integer
+    * load systems, `iters` unrolled ω=1/2 floor-division smoothing rounds, per-edge L1
+    * gap — exact int64 throughout. */
+  def algebraicDistance(iters: Int, seed: Long = 42L): String = {
+    import graft.synth.GraphSpec.lcg
+    val K = graft.algo.AlgebraicDistance.K
+    val scale = graft.algo.AlgebraicDistance.InitScale
+    val regs = 0 until K
+    val initCols = regs.map(j =>
+      s"(${lcg(s"id*$K + $j + $seed*1000003")}) % $scale AS x$j").mkString(",\n  ")
+    val steps = (1 to iters).map { i =>
+      val sums = regs.map(j => s"sum(x.x$j) AS x$j").mkString(", ")
+      val mix = regs.map(j =>
+        s"CASE WHEN d.deg IS NULL THEN p.x$j ELSE (p.x$j + (s.x$j // d.deg)) // 2 END AS x$j")
+        .mkString(",\n  ")
+      s"""s$i AS MATERIALIZED (SELECT bi.b AS id, $sums
+         |  FROM bi JOIN xs${i - 1} x ON bi.a = x.id GROUP BY bi.b),
+         |xs$i AS MATERIALIZED (SELECT p.id,
+         |  $mix
+         |  FROM xs${i - 1} p LEFT JOIN s$i s ON p.id = s.id LEFT JOIN deg d ON p.id = d.id)""".stripMargin
+    }.mkString(",\n")
+    val l1 = regs.map(j => s"abs(a.x$j - b.x$j)").mkString(" + ")
+    s"""$base,
+       |$biCte,
+       |deg AS MATERIALIZED (SELECT a AS id, count(*) AS deg FROM bi GROUP BY a),
+       |xs0 AS MATERIALIZED (SELECT id,
+       |  $initCols
+       |  FROM verts),
+       |$steps,
+       |undp AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS t FROM edges)
+       |SELECT undp.s AS src, undp.t AS dst, CAST($l1 AS BIGINT) AS ad
+       |FROM undp JOIN xs$iters a ON undp.s = a.id JOIN xs$iters b ON undp.t = b.id""".stripMargin
   }
 
   /** Fixed-point eigenvector (mirrors Centralities.eigenvectorFixedPoint): power
@@ -490,7 +663,7 @@ object OracleSql {
     * Coarsening + prolongation unrolled as chained CTEs. */
   def plm(rounds: Int, levels: Int, batches: Int = 4): String = {
     val ctes = new scala.collection.mutable.ArrayBuffer[String]
-    ctes += s"""e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst, 1 AS w FROM edges)"""
+    ctes += s"""e0 AS MATERIALIZED (SELECT least(src, dst) AS src, greatest(src, dst) AS dst, count(*) AS w FROM edges GROUP BY 1, 2)"""
     ctes += s"""verts0 AS MATERIALIZED (SELECT id FROM verts)"""
     for (l <- 0 until levels) {
       ctes += s"""b$l AS MATERIALIZED (SELECT src, dst, w FROM e$l WHERE src != dst
@@ -547,6 +720,40 @@ object OracleSql {
        |FROM lab0r$rounds f
        |$joins""".stripMargin
   }
+
+  /** Permanence centrality over PLP labels at `rounds` (mirrors Permanence.run):
+    * strength aggregation + intra-community wedge-closure triangle count. */
+  def permanence(rounds: Int): String =
+    s"""$base,
+       |$biCte,
+       |${plpSteps(rounds)},
+       |stg AS MATERIALIZED (SELECT bi.a AS id, pb.label AS nl, pa.label AS ls, count(*) AS cnt
+       |  FROM bi JOIN p$rounds pa ON bi.a = pa.id JOIN p$rounds pb ON bi.b = pb.id
+       |  GROUP BY 1, 2, 3),
+       |intr AS MATERIALIZED (SELECT id, cnt AS intra FROM stg WHERE nl = ls),
+       |emx AS MATERIALIZED (SELECT id, max(cnt) AS emax FROM stg WHERE nl != ls GROUP BY id),
+       |dg AS MATERIALIZED (SELECT a AS id, count(*) AS deg FROM bi GROUP BY a),
+       |undi AS MATERIALIZED (SELECT least(e.src, e.dst) AS s, greatest(e.src, e.dst) AS t
+       |  FROM (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst FROM edges) e
+       |  JOIN p$rounds a ON e.src = a.id JOIN p$rounds b ON e.dst = b.id
+       |  WHERE a.label = b.label),
+       |bii AS MATERIALIZED (SELECT s AS a, t AS b FROM undi UNION ALL SELECT t, s FROM undi),
+       |trin AS MATERIALIZED (SELECT w1.a AS id, count(*) AS tri FROM bii w1
+       |  JOIN bii w2 ON w1.a = w2.a AND w1.b < w2.b
+       |  JOIN undi e ON e.s = w1.b AND e.t = w2.b
+       |  GROUP BY w1.a)
+       |SELECT v.id,
+       |  CAST(coalesce(i.intra, 0) AS BIGINT) AS intra,
+       |  CAST(coalesce(m.emax, 1) AS BIGINT) AS emax,
+       |  CAST(coalesce(d.deg, 0) AS BIGINT) AS deg,
+       |  CAST(coalesce(t.tri, 0) AS BIGINT) AS tri_in,
+       |  (CASE WHEN coalesce(d.deg, 0) = 0 THEN 0.0
+       |        ELSE coalesce(i.intra, 0)::double / (coalesce(m.emax, 1) * d.deg) END)
+       |  - (1.0 - CASE WHEN coalesce(i.intra, 0) < 2 THEN 0.0
+       |           ELSE coalesce(t.tri, 0) * 2.0 / (i.intra * (i.intra - 1)) END)
+       |  AS permanence
+       |FROM verts v LEFT JOIN intr i ON v.id = i.id LEFT JOIN emx m ON v.id = m.id
+       |LEFT JOIN dg d ON v.id = d.id LEFT JOIN trin t ON v.id = t.id""".stripMargin
 
   /** Degree-ordered oriented triangle enumeration (mirrors Triangles.oriented). */
   private val triCte =

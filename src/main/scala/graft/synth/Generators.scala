@@ -48,6 +48,35 @@ object Generators {
     LinkGraph.fromEdges(spark, edges, Some(spark.range(n).select(col("id"))))
   }
 
+  /** Watts–Strogatz small-world graph
+    * (/root/reference/networkit/cpp/generators/WattsStrogatzGenerator.cpp:15-90 +
+    * RegularRingLatticeGenerator.cpp): ring lattice where node i links its k/2
+    * successors, then each lattice edge is rewired with probability beta to a uniform
+    * random target. Fully index-parallel: one `spark.range(n·k/2)` with per-edge LCG
+    * draws — no sequential rewire loop. Divergence from the reference (documented):
+    * rewires that land on a self-loop or a duplicate are DROPPED rather than redrawn
+    * (the reference retries; a deterministic distributed retry would need a driver
+    * loop), so m can be slightly below n·k/2. */
+  def wattsStrogatz(spark: SparkSession, n: Long, k: Int, beta: Double,
+                    seed: Long = 42L): LinkGraph = {
+    require(k >= 2 && k % 2 == 0, "k must be even and >= 2")
+    val half = k / 2
+    val betaM = math.round(beta * GraphSpec.M.toDouble)
+    // Edge index e = i*half + (j-1): lattice edge (i, (i+j) mod n), j = 1..half.
+    val iExpr = s"(id div $half)"
+    val jExpr = s"(id % $half + 1)"
+    val rewireDraw = s"${draw(s"id*2 + $seed*60013")}"
+    val targetDraw = s"((${draw(s"id*2 + 1 + $seed*60013")} div 128) % $n)"
+    val edges = spark.range(n.toLong * half)
+      .select(expr(iExpr).as("src"),
+        expr(s"CASE WHEN $rewireDraw < $betaM THEN $targetDraw" +
+          s" ELSE ($iExpr + $jExpr) % $n END").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .withColumn("weight", lit(1.0))
+    LinkGraph.fromEdges(spark, edges, Some(spark.range(n).select(col("id"))))
+  }
+
   /** G(n, m): m distinct uniform edges (self-loops and duplicates dropped). */
   def erdosRenyi(spark: SparkSession, n: Long, m: Long, seed: Long = 42L): LinkGraph = {
     val edges = spark.range(m)
