@@ -118,6 +118,12 @@ object SparkEntry {
 
     // --- k-core / distances / edge scores / assortativity / Katz ---
     "q_kcore3"        -> ((s, dir) => KCore.kCore(s, graph(s, dir), 3)),
+    "q_coreness"      -> ((s, dir) => KCore.coreness(s, graph(s, dir))),
+    "q_scan_score"    -> ((s, dir) => EdgeScores.scanScore(s, graph(s, dir))),
+    "q_chance_tri"    -> ((s, dir) => EdgeScores.chanceCorrectedTriangleScore(s, graph(s, dir))),
+    "q_local_sim"     -> ((s, dir) => EdgeScores.localSimilarityScore(s, graph(s, dir))),
+    "q_sparsify_size" -> ((s, dir) =>
+      EdgeScores.sparsifiedGraphOfSize(EdgeScores.scanScore(s, graph(s, dir)), "score", 0.2)),
     "q_bfs_hops"      -> ((s, dir) => Distances.bfsHops(s, graph(s, dir), 0L)),
     "q_eccentricity"  -> ((s, dir) => Distances.eccentricity(s, graph(s, dir), 0L)),
     "q_edge_jaccard"  -> ((s, dir) => EdgeScores.jaccardEdgeScore(s, graph(s, dir))),
@@ -224,6 +230,11 @@ object SparkEntry {
     "q_edgelist_roundtrip" -> OracleSql.edges,
     "q_metis_roundtrip"  -> OracleSql.undirectedEdges,
     "q_kcore3"           -> OracleSql.kcore(3, 20),
+    "q_coreness"         -> OracleSql.coreness(16, 35),
+    "q_scan_score"       -> OracleSql.scanScore,
+    "q_chance_tri"       -> OracleSql.chanceCorrectedTri,
+    "q_local_sim"        -> OracleSql.localSimilarity,
+    "q_sparsify_size"    -> OracleSql.sparsifySizeScan(0.2),
     "q_bfs_hops"         -> OracleSql.bfsHops(0L, 15),
     "q_eccentricity"     -> OracleSql.eccentricity(0L, 15),
     "q_edge_jaccard"     -> OracleSql.edgeJaccard,

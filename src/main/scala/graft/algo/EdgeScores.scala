@@ -78,4 +78,79 @@ object EdgeScores {
   def globalThresholdFilter(scored: DataFrame, scoreCol: String, t: Double,
                             above: Boolean = true): DataFrame =
     if (above) scored.filter(col(scoreCol) >= t) else scored.filter(col(scoreCol) <= t)
+
+  /** SCAN structural similarity
+    * (sparsification/SCANStructuralSimilarityScore.cpp:10-16):
+    * score(u,v) = (tri(e) + 1) / sqrt((deg u + 1)·(deg v + 1)) per edge. Exact-integer
+    * inputs, one sqrt + division (IEEE-identical across engines), rounded to 7
+    * decimals like [[localDegreeScore]]. Output (src, dst, tri, score). */
+  def scanScore(spark: SparkSession, g: LinkGraph): DataFrame = {
+    val deg = g.bidirected.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    triangleEdgeScore(spark, g)
+      .join(deg.select(col("id").as("src"), col("deg").as("ds")), "src")
+      .join(deg.select(col("id").as("dst"), col("deg").as("dd")), "dst")
+      .select(col("src"), col("dst"), col("tri"),
+        round((col("tri") + 1L).cast("double") /
+          sqrt(((col("ds") + 1L) * (col("dd") + 1L)).cast("double")), 7).as("score"))
+  }
+
+  /** ChanceCorrectedTriangleScore
+    * (sparsification/ChanceCorrectedTriangleScore.cpp:22-28): triangles relative to
+    * the chance expectation — tri·(n−2)/((deg u −1)·(deg v −1)) when tri > 0;
+    * 1 when either endpoint is degree-1; else 0. (tri > 0 implies both degrees >= 2,
+    * so the division is safe.) Output (src, dst, tri, score). */
+  def chanceCorrectedTriangleScore(spark: SparkSession, g: LinkGraph): DataFrame = {
+    val n = g.n
+    val deg = g.bidirected.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    triangleEdgeScore(spark, g)
+      .join(deg.select(col("id").as("src"), col("deg").as("ds")), "src")
+      .join(deg.select(col("id").as("dst"), col("deg").as("dd")), "dst")
+      .select(col("src"), col("dst"), col("tri"),
+        when(col("tri") > 0L,
+          round((col("tri") * (n - 2L)).cast("double") /
+            ((col("ds") - 1L) * (col("dd") - 1L)).cast("double"), 7))
+          .when(col("ds") === 1L || col("dd") === 1L, lit(1.0))
+          .otherwise(lit(0.0)).as("score"))
+  }
+
+  /** LocalSimilarityScore (sparsification/LocalSimilarityScore.cpp:29-67): per node,
+    * neighbors are ranked by neighborhood-Jaccard similarity DESC with neighbor-id ASC
+    * tie-break — the reference's exact AttributizedEdge total order
+    * (LocalSimilarityScore.h:26-30), so `row_number` reproduces it bit-for-bit (the
+    * sim doubles are the same exact-integer divisions in both engines). The directed
+    * exponent is 1 − ln(rank)/ln(deg) (1 when deg <= 1); the edge score is the max
+    * over both directions, rounded to 7 decimals. The window partitions by node —
+    * never global. Output (src, dst, score) per canonical undirected edge. */
+  def localSimilarityScore(spark: SparkSession, g: LinkGraph): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val deg = g.bidirected.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val sims = jaccardEdgeScore(spark, g).select(col("src"), col("dst"), col("jaccard"))
+    val directed = sims.select(col("src").as("ego"), col("dst").as("alter"), col("jaccard"))
+      .union(sims.select(col("dst").as("ego"), col("src").as("alter"), col("jaccard")))
+    directed
+      .join(deg.select(col("id").as("ego"), col("deg").as("d")), "ego")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("ego")).orderBy(col("jaccard").desc, col("alter").asc)))
+      .select(col("ego"), col("alter"),
+        when(col("d") <= 1L, lit(1.0))
+          .otherwise(lit(1.0) - log(col("rnk").cast("double")) / log(col("d").cast("double")))
+          .as("e"))
+      .select(least(col("ego"), col("alter")).as("src"),
+        greatest(col("ego"), col("alter")).as("dst"), col("e"))
+      .groupBy("src", "dst").agg(round(max(col("e")), 7).as("score"))
+  }
+
+  /** Sparsifiers::getSparsifiedGraphOfSize (sparsification/Sparsifiers.cpp:48-70 +
+    * networkit/sparsification.py:107-213): keep exactly ceil(ratio·m) edges with the
+    * highest score. The python reference binary-searches a threshold; this engine
+    * ranks directly on the deterministic total order (score DESC, src ASC, dst ASC)
+    * via [[graft.layout.Layout.zipWithRankBy]] — distributed range-partition rank, no
+    * global single-partition window, no driver-side search loop. */
+  def sparsifiedGraphOfSize(scored: DataFrame, scoreCol: String, ratio: Double): DataFrame = {
+    val m = scored.count()
+    val target = math.ceil(ratio * m).toLong
+    graft.layout.Layout.zipWithRankBy(scored,
+        Seq(col(scoreCol).desc, col("src").asc, col("dst").asc), "__rank")
+      .filter(col("__rank") < target).drop("__rank")
+  }
 }

@@ -61,6 +61,40 @@ object Layout {
     materialized
   }
 
+  /** EXCLUSIVE prefix sum of `valueCol` in `orderCols` order (sum of all values
+    * strictly before the row; the order must be total/tie-free): same two-job shape
+    * as [[zipWithRankBy]] — range-repartition + local sort, per-partition totals
+    * collected (one row per partition), broadcast offsets, per-partition running sums
+    * under a partition-local window. No single-partition stage. */
+  def prefixSum(df: DataFrame, orderCols: Seq[Column], valueCol: String, outCol: String,
+                partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts = if (partitions > 0) partitions
+                else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df
+      .repartitionByRange(parts, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK) // pin partition bounds across the 2 jobs
+    val totals = sorted.groupBy("__pid").agg(sum(valueCol).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
+    val offByPid = totals.map(_._1).zip(offsets.map(_._2)).toMap
+    import spark.implicits._
+    val offDf = offByPid.toSeq.toDF("__pid", "__off")
+    val out = sorted
+      .withColumn("__local",
+        sum(valueCol).over(Window.partitionBy("__pid").orderBy(orderCols: _*)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .join(broadcast(offDf), "__pid")
+      .withColumn(outCol, col("__off") + coalesce(col("__local"), lit(0L)))
+      .drop("__pid", "__local", "__off")
+    val materialized = out.persist(StorageLevel.MEMORY_AND_DISK)
+    materialized.count()
+    sorted.unpersist()
+    materialized
+  }
+
   /** Two-level (salted) sum aggregation: `groupBy(key).sum(valueCol)` where a single
     * key may carry 10^6+ rows (a web hub). Level 1 groups by (key, salt) — the hub's
     * rows spread over `salts` reducers — level 2 combines the partial sums. Exact for

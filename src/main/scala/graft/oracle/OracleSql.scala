@@ -343,6 +343,108 @@ object OracleSql {
        |SELECT least(ra.id, rb.id) AS src, greatest(ra.id, rb.id) AS dst
        |FROM pe JOIN rk ra ON pe.x = ra.r JOIN rk rb ON pe.y = rb.r""".stripMargin
 
+  /** Shared per-edge triangle CTE stack: ej(src,dst,tri) per canonical undirected
+    * edge + dg(id,d) degrees (from [[triCte]]). Lazy: triCte is declared further down
+    * the file and object vals initialize in declaration order. */
+  private lazy val ejCte =
+    s"""$triCte,
+       |pe AS MATERIALIZED (SELECT x, y, count(*) AS tri FROM (
+       |    SELECT a AS x, b AS y FROM tri
+       |    UNION ALL SELECT b, c FROM tri
+       |    UNION ALL SELECT a, c FROM tri) GROUP BY x, y),
+       |ej AS MATERIALIZED (
+       |  SELECT least(ra.id, rb.id) AS src, greatest(ra.id, rb.id) AS dst,
+       |    CAST(coalesce(pe.tri, 0) AS BIGINT) AS tri
+       |  FROM o LEFT JOIN pe ON o.a = pe.x AND o.b = pe.y
+       |  JOIN rk ra ON o.a = ra.r JOIN rk rb ON o.b = rb.r)""".stripMargin
+
+  /** Mirrors EdgeScores.scanScore. */
+  def scanScore: String =
+    s"""$base,
+       |$ejCte
+       |SELECT ej.src, ej.dst, ej.tri,
+       |  round((ej.tri + 1)::double / sqrt(((ds.d + 1) * (dd.d + 1))::double), 7) AS score
+       |FROM ej JOIN dg ds ON ej.src = ds.id JOIN dg dd ON ej.dst = dd.id""".stripMargin
+
+  /** Mirrors EdgeScores.chanceCorrectedTriangleScore. */
+  def chanceCorrectedTri: String =
+    s"""$base,
+       |$ejCte
+       |SELECT ej.src, ej.dst, ej.tri,
+       |  CASE WHEN ej.tri > 0
+       |       THEN round((ej.tri * ((SELECT n FROM nn) - 2))::double /
+       |                  ((ds.d - 1) * (dd.d - 1))::double, 7)
+       |       WHEN ds.d = 1 OR dd.d = 1 THEN 1.0
+       |       ELSE 0.0 END AS score
+       |FROM ej JOIN dg ds ON ej.src = ds.id JOIN dg dd ON ej.dst = dd.id""".stripMargin
+
+  /** Mirrors EdgeScores.localSimilarityScore (AttributizedEdge total order:
+    * sim DESC, neighbor ASC — LocalSimilarityScore.h:26-30). */
+  def localSimilarity: String =
+    s"""$base,
+       |$ejCte,
+       |sims AS MATERIALIZED (
+       |  SELECT ej.src, ej.dst, ej.tri::double / (ds.d + dd.d - ej.tri) AS sim
+       |  FROM ej JOIN dg ds ON ej.src = ds.id JOIN dg dd ON ej.dst = dd.id),
+       |direct AS MATERIALIZED (
+       |  SELECT src AS ego, dst AS alter, sim FROM sims
+       |  UNION ALL SELECT dst, src, sim FROM sims),
+       |rked AS MATERIALIZED (
+       |  SELECT ego, alter,
+       |    row_number() OVER (PARTITION BY ego ORDER BY sim DESC, alter ASC) AS rnk
+       |  FROM direct),
+       |es AS MATERIALIZED (
+       |  SELECT r.ego, r.alter,
+       |    CASE WHEN g.d <= 1 THEN 1.0 ELSE 1.0 - ln(r.rnk) / ln(g.d) END AS e
+       |  FROM rked r JOIN dg g ON r.ego = g.id)
+       |SELECT least(ego, alter) AS src, greatest(ego, alter) AS dst,
+       |  round(max(e), 7) AS score
+       |FROM es GROUP BY 1, 2""".stripMargin
+
+  /** Mirrors EdgeScores.sparsifiedGraphOfSize over SCAN scores: top ceil(ratio*m)
+    * edges by (score DESC, src, dst). */
+  def sparsifySizeScan(ratio: Double): String =
+    s"""$base,
+       |$ejCte,
+       |scored AS MATERIALIZED (
+       |  SELECT ej.src, ej.dst, ej.tri,
+       |    round((ej.tri + 1)::double / sqrt(((ds.d + 1) * (dd.d + 1))::double), 7) AS score
+       |  FROM ej JOIN dg ds ON ej.src = ds.id JOIN dg dd ON ej.dst = dd.id),
+       |cnt AS MATERIALIZED (SELECT count(*) AS c FROM scored),
+       |rked AS MATERIALIZED (
+       |  SELECT *, row_number() OVER (ORDER BY score DESC, src ASC, dst ASC) AS rn FROM scored)
+       |SELECT src, dst, tri, score FROM rked
+       |WHERE rn <= (SELECT CAST(ceil($ratio * c) AS BIGINT) FROM cnt)""".stripMargin
+
+  /** Coreness via a chained ascending-k peel (mirrors KCore.coreness — the one-pass
+    * ParK semantics, CoreDecomposition.cpp:45-150): the k-core is peeled FROM the
+    * (k−1)-core with `rounds` unrolled removal sweeps per k (measured worst case at
+    * sf0.01 is 25 sweeps at k=13; `rounds` must exceed it), and coreness(v) = the
+    * largest k whose k-core contains v (0 for isolated vertices). `maxK` must be
+    * >= the graph's degeneracy (measured 14 at sf0.01) — an undersized maxK fails the
+    * cross-check loudly rather than silently truncating. */
+  def coreness(maxK: Int, rounds: Int): String = {
+    val chains = (1 to maxK).map { k =>
+      val steps = (1 to rounds).map { r =>
+        val from = if (r == 1) s"s${k - 1}" else s"c${k}_${r - 1}"
+        s"""c${k}_$r AS MATERIALIZED (SELECT bi.a AS id FROM bi
+           |  JOIN $from x ON bi.a = x.id JOIN $from y ON bi.b = y.id
+           |  GROUP BY bi.a HAVING count(*) >= $k)""".stripMargin
+      }.mkString(",\n")
+      s"""$steps,
+         |s$k AS MATERIALIZED (SELECT id FROM c${k}_$rounds)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to maxK).map(k => s"SELECT id, $k AS k FROM s$k").mkString(" UNION ALL ")
+    s"""$base,
+       |$biCte,
+       |s0 AS MATERIALIZED (SELECT id FROM verts),
+       |$chains,
+       |allk AS MATERIALIZED ($unions)
+       |SELECT v.id, CAST(coalesce(mx.c, 0) AS BIGINT) AS coreness
+       |FROM verts v LEFT JOIN (SELECT id, max(k) AS c FROM allk GROUP BY id) mx
+       |ON v.id = mx.id""".stripMargin
+  }
+
   /** Degree assortativity sums + Pearson r. Mirrors Centralities.assortativity. */
   def assortativity: String =
     s"""$base,

@@ -203,4 +203,66 @@ object Generators {
     pts.unpersist()
     out
   }
+
+  /** Power-law weight sequence (generators/PowerlawDegreeSequence.cpp:7-100, the
+    * input the reference feeds ChungLu): w_i = maxDeg·(i+1)^(−1/(γ−1)) clamped to
+    * [minDeg, maxDeg] — node 0 is the biggest expected hub. Pure column expression,
+    * one `spark.range(n)`. */
+  def powerlawDegreeSequence(spark: SparkSession, n: Long, minDeg: Long, maxDeg: Long,
+                             gamma: Double): DataFrame =
+    spark.range(n).select(col("id"),
+      greatest(lit(minDeg), least(lit(maxDeg),
+        round(lit(maxDeg.toDouble) *
+          pow((col("id") + 1L).cast("double"), lit(-1.0 / (gamma - 1.0)))).cast("long")))
+        .as("w"))
+
+  /** Chung–Lu expected-degree random graph
+    * (generators/ChungLuGenerator.cpp:24-58). The reference walks each node's
+    * candidate neighbors with geometric skips — an inherently sequential per-node
+    * loop. This engine uses the published "fast Chung–Lu" formulation instead: draw
+    * W/2 edges whose BOTH endpoints are sampled with probability w_i / W — same
+    * expected degrees, fully index-parallel. Endpoint sampling is inverse-CDF over
+    * the weight prefix sums ([[graft.layout.Layout.prefixSum]] — no global window,
+    * no driver-side CDF), realized as a BUCKETED interval join: node i's interval
+    * [cum_i, cum_i + w_i) is exploded onto ~w_i/S bucket keys and each 62-bit draw
+    * equi-joins its bucket — expected O(1) intervals per bucket, so a hub's interval
+    * costs w_hub/S rows instead of a skewed range-join fan-in. Self-loops and
+    * duplicate pairs are dropped (documented thinning vs the reference's
+    * per-pair-Bernoulli model; expected-degree semantics are preserved). */
+  def chungLu(spark: SparkSession, degSeq: DataFrame, seed: Long = 42L): LinkGraph = {
+    import graft.layout.Layout
+    val cum = Layout.prefixSum(degSeq.select(col("id"), col("w")),
+      Seq(col("id")), "w", "cum")
+    val agg = cum.agg(sum("w").as("tw"), count(lit(1)).as("n")).head()
+    val totalW = agg.getLong(0)
+    val n = agg.getLong(1)
+    require(totalW > 0, "degree sequence sums to 0")
+    val mTarget = math.max(1L, totalW / 2L)
+    val buckets = math.max(32L, math.min(n, totalW))
+    val bucketSize = math.max(1L, totalW / buckets)
+    val intervals = cum.filter(col("w") > 0L)
+      .select(col("id"), col("cum"), col("w"),
+        explode(expr(s"sequence(cum div $bucketSize, (cum + w - 1) div $bucketSize)"))
+          .as("b"))
+    // 62-bit uniform draw in [0, W): two independent 31-bit product draws combined.
+    val u = expr(s"(${draw(s"id*2 + $seed*60013")} * ${GraphSpec.M} + " +
+      s"${draw(s"id*2 + 1 + $seed*60013")}) % $totalW")
+    val endpoints = spark.range(2L * mTarget)
+      .select(expr("id div 2").as("pair"), (col("id") % 2).as("side"), u.as("u"))
+      .withColumn("b", expr(s"u div $bucketSize"))
+      .join(intervals, "b")
+      .filter(col("u") >= col("cum") && col("u") < col("cum") + col("w"))
+      .select(col("pair"), col("side"), col("id"))
+    val edges = endpoints.filter(col("side") === 0).select(col("pair"), col("id").as("src"))
+      .join(endpoints.filter(col("side") === 1).select(col("pair"), col("id").as("dst")), "pair")
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .distinct()
+      .withColumn("weight", lit(1.0))
+    val nIds = degSeq.select(col("id"))
+    val out = LinkGraph.fromEdges(spark, edges, Some(nIds))
+    cum.unpersist()
+    out
+  }
 }
