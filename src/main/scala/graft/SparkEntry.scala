@@ -107,6 +107,14 @@ object SparkEntry {
       graft.io.GraphReaders.readEdgeList(s, p, sep = "\t")
         .edges.select(col("src"), col("dst"))
     }),
+    "q_thrill_roundtrip" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val p = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/root/repo/target"), "vrt").resolve("thrill").toString
+      graft.io.GraphReaders.writeThrillBinary(g, p)
+      graft.io.GraphReaders.readThrillBinary(s, p)
+        .canonicalUndirected.select(col("src"), col("dst"))
+    }),
     "q_metis_roundtrip" -> ((s, dir) => {
       val g = graph(s, dir)
       val p = java.nio.file.Files.createTempDirectory(
@@ -229,6 +237,7 @@ object SparkEntry {
     "q_anf"              -> OracleSql.anfHops(15),
     "q_edgelist_roundtrip" -> OracleSql.edges,
     "q_metis_roundtrip"  -> OracleSql.undirectedEdges,
+    "q_thrill_roundtrip" -> OracleSql.undirectedEdges,
     "q_kcore3"           -> OracleSql.kcore(3, 20),
     "q_coreness"         -> OracleSql.coreness(16, 35),
     "q_scan_score"       -> OracleSql.scanScore,

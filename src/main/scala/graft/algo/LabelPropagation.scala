@@ -60,9 +60,14 @@ object LabelPropagation {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst"), col("label"))
         .agg(sum("weight").as("w"))
-      val best = freq
-        .groupBy(col("dst"))
-        .agg(max(struct(col("w"), (-col("label")).as("nl"))).as("top"))
+      // Hub-salted argmax (north rule; Layout.saltedArgMax): a 10^6-degree hub's
+      // (dst, label) rows would otherwise all land on ONE reducer keyed by dst at the
+      // argmax stage (early rounds have ~degree distinct labels, so map-side partial
+      // agg cannot compress them). Two-level max(struct) is order-independent, hence
+      // bit-identical to the direct aggregation — verified against the unsalted plan
+      // on a planted 100k-degree hub in LayoutSpec.
+      val best = graft.layout.Layout.saltedArgMax(freq, Seq("dst"),
+          struct(col("w"), (-col("label")).as("nl")), col("label"), salts = 32)
         .select(col("dst").as("id"), (-col("top.nl")).as("cand"))
       val next = labels.join(best, Seq("id"), "left")
         .select(col("id"), coalesce(col("cand"), col("label")).as("label"),

@@ -19,7 +19,7 @@ import graft.model.LinkGraph
   * Everything is `spark.read.text` + split/posexplode + joins: the file parallelizes by
   * line ranges, so a 1 TB edge list scans on all executors.
   */
-object GraphReaders {
+object GraphReaders extends Serializable {
 
   /** Read a METIS .graph file. `%` comment lines are dropped BEFORE data-line numbering
     * (the format allows comments anywhere and the reference's reader skips them without
@@ -203,5 +203,113 @@ object GraphReaders {
     Seq((0L, "graph G {"), (2L, "}")).toDF("k", "line").union(body)
       .orderBy("k").select("line").coalesce(1)
       .write.mode("overwrite").text(path)
+  }
+
+  // --- Thrill binary exchange format (io/ThrillGraphBinaryWriter.cpp:3-47,
+  // ThrillGraphBinaryReader.cpp:41-92): for each node u = 0..n-1 in order, a varint
+  // degree followed by little-endian uint32 canonical neighbors (v >= u). Node ids are
+  // implicit in order across the file sequence, so the format shards naturally: each
+  // range partition of the vertex space becomes one part file; the reader recovers
+  // each file's starting node id from the per-file node counts (one cheap count pass,
+  // state bounded by the file count). Binary encode/decode is genuine per-partition
+  // imperative logic — the one place mapPartitions beats a Catalyst expression. ---
+
+  /** Write the Thrill binary adjacency sharded over `parts` range partitions of the
+    * vertex space (default: current shuffle parallelism); every node 0..n-1 appears
+    * (degree-0 nodes as a single 0x00 byte). Each task streams its own
+    * `part-NNNNN.thrillbin` through the Hadoop FileSystem — no driver funnel. */
+  def writeThrillBinary(g: LinkGraph, path: String, partitions: Int = 0): Unit = {
+    val spark = g.edges.sparkSession
+    require(g.n <= (1L << 32) - 1, "Thrill binary supports at most 2^32-1 nodes")
+    val parts = if (partitions > 0) partitions
+                else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val adj = g.vertices
+      .join(g.canonicalUndirected.groupBy(col("src").as("id"))
+          .agg(sort_array(collect_list(col("dst"))).as("nbrs")),
+        Seq("id"), "left")
+      .repartitionByRange(parts, col("id"))
+      .sortWithinPartitions("id")
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs0 = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs0.delete(dir, true); fs0.mkdirs(dir)
+    val pathStr = path
+    adj.select(col("id"), col("nbrs")).queryExecution.toRdd
+      .mapPartitionsWithIndex { (pid, rows) =>
+        // Fresh task-side Configuration (the driver's Configuration is not
+        // serializable): resolves local and default-classpath filesystems.
+        val buf = new java.io.ByteArrayOutputStream(1 << 20)
+        rows.foreach { r =>
+          val nbrs = if (r.isNullAt(1)) Array.empty[Long]
+                     else r.getArray(1).toLongArray()
+          var d = nbrs.length.toLong
+          if (d == 0) buf.write(0)
+          while (d != 0) {
+            val b = (d & 0x7FL).toInt
+            d >>>= 7
+            buf.write(if (d != 0) b | 0x80 else b)
+          }
+          nbrs.foreach { v =>
+            var x = v
+            var i = 0
+            while (i < 4) { buf.write((x & 0xFFL).toInt); x >>>= 8; i += 1 }
+          }
+        }
+        if (buf.size() > 0) {
+          val f = new org.apache.hadoop.fs.Path(pathStr, f"part-$pid%05d.thrillbin")
+          val os = f.getFileSystem(new org.apache.hadoop.conf.Configuration()).create(f, true)
+          os.write(buf.toByteArray); os.close()
+        }
+        Iterator.empty
+      }.count(): Unit
+  }
+
+  /** Decode one Thrill part file: Seq of per-node neighbor arrays, in file order. */
+  private def decodeThrill(bytes: Array[Byte]): Iterator[Array[Long]] = new Iterator[Array[Long]] {
+    private var pos = 0
+    def hasNext: Boolean = pos < bytes.length
+    def next(): Array[Long] = {
+      var deg = 0L; var shift = 0
+      var more = true
+      while (more) {
+        val b = bytes(pos) & 0xFF; pos += 1
+        deg |= (b & 0x7FL) << shift; shift += 7
+        more = (b & 0x80) != 0
+      }
+      val nbrs = new Array[Long](deg.toInt)
+      var i = 0
+      while (i < deg) {
+        nbrs(i) = (bytes(pos) & 0xFFL) | ((bytes(pos + 1) & 0xFFL) << 8) |
+          ((bytes(pos + 2) & 0xFFL) << 16) | ((bytes(pos + 3) & 0xFFL) << 24)
+        pos += 4; i += 1
+      }
+      nbrs
+    }
+  }
+
+  /** Read a Thrill binary graph directory (or single file). Two passes over the
+    * `binaryFile` source: per-file node counts (driver state = one long per file)
+    * fix each file's starting node id; the decode pass emits canonical edges. */
+  def readThrillBinary(spark: SparkSession, path: String): LinkGraph = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile")
+      .load(if (new java.io.File(path).isDirectory) s"$path/part-*.thrillbin" else path)
+      .select(col("path"), col("content"))
+    val counts = files.as[(String, Array[Byte])]
+      .map { case (p, bytes) => (p, decodeThrill(bytes).size.toLong) }
+      .collect().sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2).dropRight(1)).toMap
+    val n = counts.map(_._2).sum
+    val bc = spark.sparkContext.broadcast(offsets)
+    val edges = files.as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val base = bc.value(p)
+        decodeThrill(bytes).zipWithIndex.flatMap { case (nbrs, i) =>
+          nbrs.iterator.map(v => (base + i, v))
+        }
+      }
+      .toDF("src", "dst")
+      .withColumn("weight", lit(1.0))
+    LinkGraph.fromEdges(spark, edges, Some(spark.range(n).select(col("id"))))
   }
 }

@@ -82,6 +82,24 @@ class Round4Spec extends AnyFunSuite {
     got.foreach(_ => ())
   }
 
+  test("thrill binary roundtrip: karate and a multi-partition generated graph") {
+    import graft.io.GraphReaders
+    def roundtrip(g: LinkGraph, parts: Int): Unit = {
+      val p = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/root/repo/target"), "thrill").toString
+      GraphReaders.writeThrillBinary(g, p, partitions = parts)
+      val back = GraphReaders.readThrillBinary(spark, p)
+      assert(back.n == g.n, s"n: ${back.n} != ${g.n}")
+      val orig = g.canonicalUndirected.select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = back.canonicalUndirected.select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == orig, s"edge set mismatch: ${got.size} vs ${orig.size}")
+    }
+    roundtrip(karate, parts = 3) // degree-0 tail nodes + multiple shards
+    roundtrip(Generators.erdosRenyi(spark, n = 2000, m = 6000, seed = 3), parts = 7)
+  }
+
   test("chung-lu: deterministic, self-loop-free, hub degrees track the weight sequence") {
     val seq = Generators.powerlawDegreeSequence(spark, n = 500, minDeg = 2,
       maxDeg = 50, gamma = 2.5)
