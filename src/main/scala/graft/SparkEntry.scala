@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.algo.{Betweenness, Centralities, ConnectedComponents, Distances, EdgeScores,
-  KCore, LabelPropagation, Measures, PLM, PageRank, Triangles}
+  KCore, LabelPropagation, Measures, PLM, PageRank, TopCloseness, Triangles}
 import graft.model.LinkGraph
 import graft.emb.Embeddings
 import graft.oracle.{DedupOracleSql, DocOracleSql, EmbOracleSql, MediaOracleSql, OracleSql}
@@ -187,6 +187,14 @@ object SparkEntry {
       g.subgraphFromNodes(g.vertices.filter(col("id") % 7 === 0))
         .edges.select("src", "dst")
     }),
+    // Exact top-k closeness with UB pruning, on the %7 subgraph (the oracle's
+    // all-source BFS stays tractable there; the operator itself scales to the full
+    // graph — the UB phase is one join pipeline and each batch is one msBFS).
+    "q_top_closeness" -> ((s, dir) => {
+      val g = graph(s, dir)
+      TopCloseness.run(s,
+        g.subgraphFromNodes(g.vertices.filter(col("id") % 7 === 0)), k = 25)
+    }),
     // Deterministic multilevel Louvain, fixed schedule (6 rounds x 2 levels) so the
     // DuckDB twin can unroll the identical recursion; integer-exact gain compares.
     // The adaptive PLM.run is the production path (PlmSpec covers it).
@@ -264,6 +272,7 @@ object SparkEntry {
     "q_eff_diameter"     -> OracleSql.effectiveDiameter(15),
     "q_sssp_weighted"    -> OracleSql.weightedSssp(0L, 40),
     "q_subgraph"         -> OracleSql.subgraph7,
+    "q_top_closeness"    -> OracleSql.topCloseness(7, 25, 28),
     "q_plm"              -> OracleSql.plm(6, 2),
     "q_text_stats"       -> DocOracleSql.stats,
     "q_langid"           -> DocOracleSql.langId,

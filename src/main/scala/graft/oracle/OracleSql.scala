@@ -893,4 +893,30 @@ object OracleSql {
        |       ELSE CAST(2.0 * coalesce(nt.triangles, 0) / (dg.d * (dg.d - 1)) AS DOUBLE)
        |  END AS lcc
        |FROM verts v LEFT JOIN dg ON v.id = dg.id LEFT JOIN nt ON v.id = nt.id""".stripMargin
+
+  /** Exact top-k closeness on the id % mod induced subgraph (mirrors TopCloseness.run
+    * over subgraphFromNodes): all-source BFS unrolled `levels` deep, ranked
+    * closeness desc with id tie-break; unreachable nodes (closeness 0) trail by id. */
+  def topCloseness(mod: Long, k: Int, levels: Int): String = {
+    val steps = (1 to levels).map { i =>
+      s"""tg$i AS MATERIALIZED (SELECT DISTINCT f.s, sbi.b AS id
+         |  FROM tf${i - 1} f JOIN sbi ON f.id = sbi.a),
+         |tf$i AS MATERIALIZED (SELECT m.s, m.id, $i AS dist FROM tg$i m
+         |  LEFT JOIN ts${i - 1} x ON m.s = x.s AND m.id = x.id WHERE x.s IS NULL),
+         |ts$i AS MATERIALIZED (SELECT * FROM ts${i - 1} UNION ALL SELECT * FROM tf$i)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |sv AS MATERIALIZED (SELECT id FROM verts WHERE id % $mod = 0),
+       |se AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges WHERE src % $mod = 0 AND dst % $mod = 0),
+       |sbi AS MATERIALIZED (SELECT a, b FROM se UNION SELECT b, a FROM se),
+       |tf0 AS MATERIALIZED (SELECT id AS s, id, 0 AS dist FROM sv),
+       |ts0 AS MATERIALIZED (SELECT * FROM tf0),
+       |$steps
+       |SELECT id, reached, sumdist,
+       |  CASE WHEN sumdist > 0 THEN 1.0 / CAST(sumdist AS DOUBLE) ELSE 0.0 END AS closeness
+       |FROM (SELECT s AS id, CAST(count(*) - 1 AS BIGINT) AS reached,
+       |        CAST(sum(dist) AS BIGINT) AS sumdist FROM ts$levels GROUP BY s)
+       |ORDER BY (sumdist > 0) DESC, sumdist ASC, id ASC LIMIT $k""".stripMargin
+  }
 }
