@@ -132,6 +132,7 @@ object SparkEntry {
     "q_local_sim"     -> ((s, dir) => EdgeScores.localSimilarityScore(s, graph(s, dir))),
     "q_sparsify_size" -> ((s, dir) =>
       EdgeScores.sparsifiedGraphOfSize(EdgeScores.scanScore(s, graph(s, dir)), "score", 0.2)),
+    "q_random_edge"   -> ((s, dir) => EdgeScores.randomEdgeScore(s, graph(s, dir))),
     "q_bfs_hops"      -> ((s, dir) => Distances.bfsHops(s, graph(s, dir), 0L)),
     "q_eccentricity"  -> ((s, dir) => Distances.eccentricity(s, graph(s, dir), 0L)),
     "q_edge_jaccard"  -> ((s, dir) => EdgeScores.jaccardEdgeScore(s, graph(s, dir))),
@@ -252,6 +253,7 @@ object SparkEntry {
     "q_chance_tri"       -> OracleSql.chanceCorrectedTri,
     "q_local_sim"        -> OracleSql.localSimilarity,
     "q_sparsify_size"    -> OracleSql.sparsifySizeScan(0.2),
+    "q_random_edge"      -> OracleSql.randomEdge(42L),
     "q_bfs_hops"         -> OracleSql.bfsHops(0L, 15),
     "q_eccentricity"     -> OracleSql.eccentricity(0L, 15),
     "q_edge_jaccard"     -> OracleSql.edgeJaccard,

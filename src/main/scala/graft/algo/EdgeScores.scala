@@ -153,4 +153,19 @@ object EdgeScores {
         Seq(col(scoreCol).desc, col("src").asc, col("dst").asc), "__rank")
       .filter(col("__rank") < target).drop("__rank")
   }
+
+  /** RandomEdgeScore (/root/reference/networkit/cpp/sparsification/RandomEdgeScore
+    * .cpp:14-30): a uniform pseudo-random score per undirected edge — the null-model
+    * baseline the sparsification family is compared against. The reference draws from
+    * a per-run RNG; for engine/partitioning independence we draw from the shared
+    * deterministic nonlinear LCG on (src, dst, seed) (synth/Generators semantics):
+    * exact int64 arithmetic + ONE double division, so the DuckDB twin is bit-identical.
+    * Pure per-edge expression — no shuffle beyond the canonical-undirected view. */
+  def randomEdgeScore(spark: SparkSession, g: LinkGraph, seed: Long = 42L): DataFrame = {
+    import graft.synth.GraphSpec.{lcg, M}
+    val x = s"(src * 1000003 + dst + $seed)"
+    val draw = s"(((${lcg(x)} * ${lcg(s"($x) + 1000003")}) div 65536) % $M)"
+    g.canonicalUndirected.select(col("src"), col("dst"),
+      (expr(draw).cast("double") / lit(M.toDouble)).as("score"))
+  }
 }

@@ -894,6 +894,18 @@ object OracleSql {
        |  END AS lcc
        |FROM verts v LEFT JOIN dg ON v.id = dg.id LEFT JOIN nt ON v.id = nt.id""".stripMargin
 
+  /** Mirrors EdgeScores.randomEdgeScore: nonlinear LCG draw per undirected edge,
+    * exact int64 then one double division. */
+  def randomEdge(seed: Long): String = {
+    import GraphSpec.{lcg, M}
+    val x = s"(src * 1000003 + dst + $seed)"
+    val draw = s"(((${lcg(x)} * ${lcg(s"($x) + 1000003")}) // 65536) % $M)"
+    s"""$base,
+       |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS src,
+       |  greatest(src, dst) AS dst FROM edges)
+       |SELECT src, dst, CAST($draw AS DOUBLE) / $M.0 AS score FROM und""".stripMargin
+  }
+
   /** Exact top-k closeness on the id % mod induced subgraph (mirrors TopCloseness.run
     * over subgraphFromNodes): all-source BFS unrolled `levels` deep, ranked
     * closeness desc with id tie-break; unreachable nodes (closeness 0) trail by id. */

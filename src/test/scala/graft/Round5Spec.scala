@@ -37,6 +37,20 @@ class Round5Spec extends AnyFunSuite {
     assert(got.toSeq == Seq((0L, 1.0), (1L, 1.0), (2L, 0.0)))
   }
 
+  test("random edge score: deterministic, in [0,1), one row per undirected edge") {
+    val g = karate
+    val a = graft.algo.EdgeScores.randomEdgeScore(spark, g).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("score"))).toMap
+    val b = graft.algo.EdgeScores.randomEdgeScore(spark, g).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("score"))).toMap
+    assert(a == b && a.size == 78)
+    assert(a.values.forall(s => s >= 0.0 && s < 1.0))
+    // Different seed → different draw (spot check).
+    val c = graft.algo.EdgeScores.randomEdgeScore(spark, g, seed = 7L).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("score"))).toMap
+    assert(c != a)
+  }
+
   test("sf0.01 %7 subgraph BFS depth stays within the oracle's unroll (28)") {
     val g = LinkGraph.forSf(spark, "/root/testdata/sf0.01")
     val sub = g.subgraphFromNodes(g.vertices.filter(col("id") % 7 === 0))
