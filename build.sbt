@@ -26,6 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Logging config lives OUTSIDE the library jar (conf/ + test resources) so
+  // embedding applications don't inherit this build's log suppression; the forked
+  // run/bench JVMs pick it up explicitly here.
+  s"-Dlog4j2.configurationFile=file:${baseDirectory.value / "conf" / "log4j2.properties"}",
   // -Xmx defaults high for the bench harness (this image has 128 GiB); no -Xms pin so
   // the JVM still starts on small machines. Override with SPARK_DRIVER_MEM.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",

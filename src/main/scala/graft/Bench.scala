@@ -7,6 +7,7 @@ import graft.algo.{ConnectedComponents, LabelPropagation, PageRank, Triangles}
 import graft.model.LinkGraph
 import graft.text.{Dedup, TextOps}
 import graft.emb.Embeddings
+import graft.tools.ProcBench
 
 /** Round benchmark (driver contract): ONE JSON line on stdout.
   *
@@ -16,10 +17,26 @@ import graft.emb.Embeddings
   * stands in for the N- vs 4N-executor cluster — same input, shuffle partitions scaled
   * proportionally; see BENCH.md).
   *
-  * Protocol (mirrors /root/reference/benchmark/Benchmark.py:166-283): warm-up run of the
-  * iterate loop via graph materialization, then timed kernels; per-kernel edges/s rows.
+  * Scaling protocol (round 3 — makes the RECORDED number itself trustworthy; round 2's
+  * driver run was contended and recorded a 0.05 efficiency that the clean-run sweep in
+  * BENCH.md couldn't rescue):
+  *   1. Legs are INTERLEAVED, `Runs`x: (low, n, 4n), (low, n, 4n), ... — a transient
+  *      contending job degrades one whole round roughly uniformly instead of wrecking
+  *      a single leg.
+  *   2. Efficiency is the MEDIAN of per-round ratios (same-round legs share box
+  *      conditions), and per-leg throughputs are medians too.
+  *   3. Before every leg a foreign-CPU probe (/proc/stat minus /proc/self/stat over a
+  *      short window) detects concurrent work; the bench WAITS (bounded budget) for
+  *      the box to go quiet and records what it saw per leg in the JSON.
+  *   4. The Spark-free process-ceiling microbenchmark ([[graft.tools.ProcBench]] — k
+  *      independent JVMs, no Spark, no shared heap) runs IN the same bench and lands
+  *      in the same JSON, so "the engine scales at the box's own ceiling" is checkable
+  *      from BENCH_r{N}.json alone.
   */
 object Bench {
+
+  private val Runs = 3
+  private val ScaleIters = 5
 
   private def session(cores: Int, partitions: Int = 0): SparkSession = {
     // AQE off for the benchmark sessions: the iterative loops rely on stable
@@ -45,7 +62,48 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** PageRank edge-iteration throughput at `cores` parallelism: fixed 10 damped float
+  // --- foreign-CPU contention probe ---------------------------------------------
+
+  private def totalBusyJiffies(): Long = {
+    val cpu = scala.io.Source.fromFile("/proc/stat").getLines().next()
+    // cpu user nice system idle iowait irq softirq steal ...
+    val f = cpu.trim.split("\\s+").drop(1).map(_.toLong)
+    f(0) + f(1) + f(2) + f(5) + f(6) // user+nice+system+irq+softirq (not idle/iowait)
+  }
+
+  private def selfJiffies(): Long = {
+    val f = scala.io.Source.fromFile("/proc/self/stat").mkString.split("\\s+")
+    f(13).toLong + f(14).toLong // utime + stime
+  }
+
+  /** CPU cores' worth of work done by processes OTHER than this JVM over a short
+    * window. The sbt parent and OS noise contribute a fraction of a core; a concurrent
+    * bench/test JVM contributes many cores. */
+  private def foreignCpuCores(windowMs: Long = 1500L): Double = {
+    try {
+      val hz = 100.0 // USER_HZ on linux
+      val (b0, s0) = (totalBusyJiffies(), selfJiffies())
+      Thread.sleep(windowMs)
+      val (b1, s1) = (totalBusyJiffies(), selfJiffies())
+      math.max(0.0, ((b1 - b0) - (s1 - s0)) / (hz * windowMs / 1000.0))
+    } catch { case _: Throwable => -1.0 } // /proc unavailable: record as unknown
+  }
+
+  /** Wait (within a shared budget) for the box to go quiet; returns the last reading. */
+  private def awaitQuietBox(budget: java.util.concurrent.atomic.AtomicLong): Double = {
+    var load = foreignCpuCores()
+    while (load > 1.0 && budget.get() > 0) {
+      System.err.println(f"[bench] foreign load $load%.1f cores - waiting for quiet box")
+      Thread.sleep(20000)
+      budget.addAndGet(-20000)
+      load = foreignCpuCores()
+    }
+    load
+  }
+
+  // --- scaling legs ---------------------------------------------------------------
+
+  /** PageRank edge-iteration throughput at `cores` parallelism: fixed damped float
     * iterations (tol=0 disables early exit) over the pre-built scale graph loaded from
     * `edgesDir` (built ONCE at full parallelism — the low-core legs must not pay a
     * low-core ingest). The scaling measurement replicates the page table until
@@ -53,7 +111,7 @@ object Bench {
     * efficiency ratio measures scheduler latency, not the engine) — same input at every
     * parallelism level, so the comparison is apples-to-apples. */
   private def pagerankThroughput(edgesDir: String, cores: Int,
-                                 iters: Int = 10): (Double, Long) = {
+                                 iters: Int = ScaleIters): (Double, Long) = {
     // 4 partitions per core: measured sweet spot (BENCH.md partMult sweep) — per-task
     // aggregation maps shrink to ~n/P keys and stay cache-resident.
     val spark = session(cores, cores * 4)
@@ -86,6 +144,71 @@ object Bench {
     (dir, m)
   }
 
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  private def jarr(xs: Seq[Double]): String = xs.mkString("[", ",", "]")
+
+  /** The full scaling-evidence block: interleaved median-of-`Runs` engine legs + the
+    * Spark-free process ceiling, one JSON object. */
+  private def scalingEvidence(sfDir: String, cpus: Int, m: Long): String = {
+    val nCores = math.max(1, cpus / 4)
+    val lowCores = math.max(1, cpus / 16)
+    // Target ~30M edges for the scaling runs: iterations must cost seconds of real
+    // compute or the ratio measures the per-iteration driver floor (BENCH.md).
+    val replicate = sys.env.get("SPARK_GRAFT_REPLICATE").map(_.toLong)
+      .getOrElse(math.max(1L, 30000000L / math.max(1L, m)))
+    val (dir, scaleM) = buildScaleGraph(sfDir, cpus, replicate)
+
+    val waitBudget = new java.util.concurrent.atomic.AtomicLong(240000L)
+    val legs = Seq(lowCores, nCores, cpus)
+    val eps = legs.map(_ => Vector.newBuilder[Double]).toArray
+    val loads = Vector.newBuilder[Double]
+    for (_ <- 1 to Runs; (cores, i) <- legs.zipWithIndex) {
+      loads += awaitQuietBox(waitBudget)
+      eps(i) += pagerankThroughput(dir, cores)._1
+    }
+    val Seq(epsLowRuns, epsNRuns, eps4NRuns) = eps.toSeq.map(_.result())
+    // Per-round ratios: legs of the same round ran under the same box conditions, so
+    // a uniformly slow round still yields an honest ratio.
+    val effLowRuns = epsLowRuns.zip(epsNRuns).map { case (l, n) => n / (4.0 * l) }
+    val effRuns = epsNRuns.zip(eps4NRuns).map { case (n, h) => h / (4.0 * n) }
+
+    // Spark-free process ceiling: aggregate throughput of k independent JVMs at the
+    // same three parallelism levels, per workload mode; 2s per measurement.
+    def ceiling(mode: String): (Double, Double, Double) = {
+      val Seq(tl, tn, t4) = legs.map(k =>
+        median((1 to 3).map(_ => ProcBench.aggregateThroughput(mode, k))))
+      (tl, tn, t4)
+    }
+    val (aluL, aluN, alu4) = ceiling("alu")
+    val (strL, strN, str4) = ceiling("stream")
+    val ceilJson =
+      s"""{"alu_low":$aluL,"alu_n":$aluN,"alu_4n":$alu4,""" +
+        s""""alu_eff_low":${aluN / (4.0 * aluL)},"alu_eff":${alu4 / (4.0 * aluN)},""" +
+        s""""stream_low":$strL,"stream_n":$strN,"stream_4n":$str4,""" +
+        s""""stream_eff_low":${strN / (4.0 * strL)},"stream_eff":${str4 / (4.0 * strN)}}"""
+
+    val effLow = median(effLowRuns)
+    val eff = median(effRuns)
+    val streamEffLow = strN / (4.0 * strL)
+    val streamEff = str4 / (4.0 * strN)
+    s"""{"cores_low":$lowCores,"cores_n":$nCores,"cores_4n":$cpus,"scale_m":$scaleM,""" +
+      s""""protocol":"interleaved median-of-$Runs, $ScaleIters fixed iterations/leg, foreign-CPU guard","""  +
+      s""""eps_low_runs":${jarr(epsLowRuns)},"eps_n_runs":${jarr(epsNRuns)},"eps_4n_runs":${jarr(eps4NRuns)},""" +
+      s""""eps_low":${median(epsLowRuns)},"eps_n":${median(epsNRuns)},"eps_4n":${median(eps4NRuns)},""" +
+      s""""efficiency_low_runs":${jarr(effLowRuns)},"efficiency_runs":${jarr(effRuns)},""" +
+      s""""efficiency_low":$effLow,"efficiency":$eff,""" +
+      s""""foreign_cpu_cores":${jarr(loads.result())},""" +
+      s""""process_ceiling":$ceilJson,""" +
+      s""""efficiency_low_vs_stream_ceiling":${effLow / streamEffLow},""" +
+      s""""efficiency_vs_stream_ceiling":${eff / streamEff}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -114,29 +237,9 @@ object Bench {
     val (_, annSecs) = timed(Embeddings.bruteTopK(emb).count())
     spark.stop()
 
-    // Scaling evidence: identical fixed-iteration PageRank job over the SAME pre-built
-    // graph at three parallelism levels — two 4x pairs (2->8 and 8->32). The low pair
-    // runs in the regime below the box's memory-subsystem saturation; BENCH.md carries
-    // the microbenchmark that pins the machine's own 4x-process ceiling (~0.75).
     val scaleJson =
       if (sys.env.get("SPARK_GRAFT_NO_SCALING").contains("1")) "null"
-      else {
-        val nCores = math.max(1, cpus / 4)
-        val lowCores = math.max(1, cpus / 16)
-        // Target ~30M edges for the scaling runs: iterations must cost seconds of real
-        // compute or the ratio measures the per-iteration driver floor (BENCH.md).
-        val replicate = sys.env.get("SPARK_GRAFT_REPLICATE").map(_.toLong)
-          .getOrElse(math.max(1L, 30000000L / math.max(1L, m)))
-        val (dir, scaleM) = buildScaleGraph(sfDir, cpus, replicate)
-        val (epsLow, _) = pagerankThroughput(dir, lowCores)
-        val (epsN, _) = pagerankThroughput(dir, nCores)
-        val (eps4N, _) = pagerankThroughput(dir, cpus)
-        val eff = eps4N / (4.0 * epsN)
-        val effLow = epsN / (4.0 * epsLow)
-        s"""{"cores_low":$lowCores,"cores_n":$nCores,"cores_4n":$cpus,"scale_m":$scaleM,""" +
-          s""""eps_low":$epsLow,"eps_n":$epsN,"eps_4n":$eps4N,""" +
-          s""""efficiency_low":$effLow,"efficiency":$eff}"""
-      }
+      else scalingEvidence(sfDir, cpus, m)
 
     val queries = Seq(
       "build_graph" -> buildSecs, "pagerank_conv" -> prSecs, "components" -> ccSecs,

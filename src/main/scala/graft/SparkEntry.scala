@@ -133,6 +133,38 @@ object SparkEntry {
     "q_sparsify_size" -> ((s, dir) =>
       EdgeScores.sparsifiedGraphOfSize(EdgeScores.scanScore(s, graph(s, dir)), "score", 0.2)),
     "q_random_edge"   -> ((s, dir) => EdgeScores.randomEdgeScore(s, graph(s, dir))),
+    // --- sparsification tail: Simmelian overlap / multiscale / geometric mean /
+    //     linearizer / prefix-Jaccard / node-edge baseline / forest fire ---
+    "q_simmelian" -> ((s, dir) =>
+      EdgeScores.simmelianOverlapScore(s, graph(s, dir), maxRank = 10)),
+    "q_multiscale" -> ((s, dir) => {
+      val g = graph(s, dir)
+      EdgeScores.multiscaleScore(s, g,
+        EdgeScores.triangleEdgeScore(s, g)
+          .select(col("src"), col("dst"), (col("tri") + 1L).as("att")))
+    }),
+    "q_geometric_mean" -> ((s, dir) => {
+      val g = graph(s, dir)
+      EdgeScores.geometricMeanScore(s, g,
+        EdgeScores.triangleEdgeScore(s, g)
+          .select(col("src"), col("dst"), (col("tri") + 1L).as("att")))
+    }),
+    "q_linearize" -> ((s, dir) =>
+      EdgeScores.linearizeScore(
+        EdgeScores.scanScore(s, graph(s, dir)).select("src", "dst", "score"), "score")),
+    "q_prefix_jaccard" -> ((s, dir) => {
+      val g = graph(s, dir)
+      EdgeScores.prefixJaccardScore(s, g,
+        EdgeScores.triangleEdgeScore(s, g)
+          .select(col("src"), col("dst"), col("tri").as("att")))
+    }),
+    "q_random_node_edge" -> ((s, dir) =>
+      EdgeScores.randomNodeEdgeScore(s, graph(s, dir), rneRatio = 0.8, seed = 42L)),
+    // Stochastic spreading process — no SQL twin; driver records the rows-only check.
+    "q_forest_fire" -> ((s, dir) =>
+      graft.algo.ForestFire.score(s, graph(s, dir), pf = 0.6,
+        targetBurntRatio = 0.3, firesPerWave = 256)
+        .select(col("src"), col("dst"), col("burnt"))),
     "q_bfs_hops"      -> ((s, dir) => Distances.bfsHops(s, graph(s, dir), 0L)),
     "q_eccentricity"  -> ((s, dir) => Distances.eccentricity(s, graph(s, dir), 0L)),
     "q_edge_jaccard"  -> ((s, dir) => EdgeScores.jaccardEdgeScore(s, graph(s, dir))),
@@ -167,6 +199,43 @@ object SparkEntry {
       val g = graph(s, dir)
       graft.algo.Permanence.run(s, g, LabelPropagation.fixedRounds(s, g, 10))
     }),
+    // Selective community detection: PageRankNibble sweep table (fixed 12 batched
+    // push rounds so the DuckDB twin can unroll them; all columns exact integers).
+    "q_pr_nibble" -> ((s, dir) => {
+      val g = graph(s, dir)
+      graft.algo.Scd.sweep(s, g,
+        graft.algo.Scd.approximatePageRank(s, g, seed = 0L,
+          maxRounds = 12, fixedRounds = true))
+    }),
+    // --- link-prediction evaluation (LinkPredEval) ---
+    "q_katz" -> ((s, dir) =>
+      graft.algo.LinkPredEval.katzScores(s, graph(s, dir), uMod = 50L,
+        maxPathLength = 3, betaDen = 200L)),
+    "q_linkpred_eval" -> ((s, dir) =>
+      graft.algo.LinkPredEval.run(s, graph(s, dir), trainRatio = 0.9,
+        uMod = 50L, numThresholds = 20, seed = 42L)),
+    // --- partition-evaluation family (PartitionEval; per-community quality rows) ---
+    "q_hub_dominance" -> ((s, dir) => {
+      val g = graph(s, dir)
+      graft.algo.PartitionEval.hubDominance(s, g, LabelPropagation.fixedRounds(s, g, 10))
+    }),
+    "q_intra_density" -> ((s, dir) => {
+      val g = graph(s, dir)
+      graft.algo.PartitionEval.intrapartitionDensity(s, g, LabelPropagation.fixedRounds(s, g, 10))
+    }),
+    "q_isolated_cut" -> ((s, dir) => {
+      val g = graph(s, dir)
+      graft.algo.PartitionEval.isolatedInterpartition(s, g, LabelPropagation.fixedRounds(s, g, 10))
+    }),
+    "q_fragmentation" -> ((s, dir) => {
+      val g = graph(s, dir)
+      graft.algo.PartitionEval.fragmentation(s, g, LabelPropagation.fixedRounds(s, g, 10),
+        ConnectedComponents.run(s, g).labels)
+    }),
+    "q_stable_nodes" -> ((s, dir) => {
+      val g = graph(s, dir)
+      graft.algo.PartitionEval.stablePartitionNodes(s, g, LabelPropagation.fixedRounds(s, g, 10))
+    }),
     "q_clustering_props" -> ((s, dir) => {
       val g = graph(s, dir)
       Measures.clusteringProperties(s, g, LabelPropagation.fixedRounds(s, g, 10))
@@ -195,6 +264,22 @@ object SparkEntry {
       val g = graph(s, dir)
       TopCloseness.run(s,
         g.subgraphFromNodes(g.vertices.filter(col("id") % 7 === 0)), k = 25)
+    }),
+    // Strongly connected components of the DIRECTED graph (distributed trim +
+    // forward-backward coloring; min-node-id labels). Oracle = recursive reachability
+    // closure, tractable on the %5 induced subgraph; the operator itself runs on the
+    // full graph (SccSpec + the bench kernel).
+    "q_scc" -> ((s, dir) => {
+      val g = graph(s, dir)
+      graft.algo.Scc.run(s,
+        g.subgraphFromNodes(g.vertices.filter(col("id") % 5 === 0))).labels
+    }),
+    // Exact diameter via iFub on the %7 subgraph (oracle = all-source unrolled BFS,
+    // diameter of the component containing node 0); replaces estimate-only coverage.
+    "q_diameter_exact" -> ((s, dir) => {
+      val g = graph(s, dir)
+      Distances.diameterExact(s,
+        g.subgraphFromNodes(g.vertices.filter(col("id") % 7 === 0)), 0L)
     }),
     // Deterministic multilevel Louvain, fixed schedule (6 rounds x 2 levels) so the
     // DuckDB twin can unroll the identical recursion; integer-exact gain compares.
@@ -268,6 +353,14 @@ object SparkEntry {
     "q_algebraic_dist"   -> OracleSql.algebraicDistance(5),
     "q_group_degree"     -> OracleSql.groupDegree(5),
     "q_permanence"       -> OracleSql.permanence(10),
+    "q_pr_nibble"        -> OracleSql.prNibbleSweep(0L, 12),
+    "q_katz"             -> OracleSql.katz(50L, 200L),
+    "q_linkpred_eval"    -> OracleSql.linkpredEval(0.9, 50L, 20, 42L),
+    "q_hub_dominance"    -> OracleSql.hubDominance(10),
+    "q_intra_density"    -> OracleSql.intrapartitionDensity(10),
+    "q_isolated_cut"     -> OracleSql.isolatedInterpartition(10),
+    "q_fragmentation"    -> OracleSql.fragmentation(10, 12),
+    "q_stable_nodes"     -> OracleSql.stablePartitionNodes(10),
     "q_clustering_props" -> OracleSql.clusteringProperties(10),
     "q_local_degree"     -> OracleSql.localDegree,
     "q_neighborhood_fn"  -> OracleSql.neighborhoodFunction(10),
@@ -276,6 +369,14 @@ object SparkEntry {
     "q_subgraph"         -> OracleSql.subgraph7,
     "q_top_closeness"    -> OracleSql.topCloseness(7, 25, 28),
     "q_plm"              -> OracleSql.plm(6, 2),
+    "q_scc"              -> OracleSql.scc(5),
+    "q_diameter_exact"   -> OracleSql.diameterExact(7, 0L, 35),
+    "q_simmelian"        -> OracleSql.simmelianOverlap(10),
+    "q_multiscale"       -> OracleSql.multiscale,
+    "q_geometric_mean"   -> OracleSql.geometricMean,
+    "q_linearize"        -> OracleSql.linearizeScan,
+    "q_prefix_jaccard"   -> OracleSql.prefixJaccard,
+    "q_random_node_edge" -> OracleSql.randomNodeEdge(0.8, 42L),
     "q_text_stats"       -> DocOracleSql.stats,
     "q_langid"           -> DocOracleSql.langId,
     "q_fingerprint"      -> DocOracleSql.fingerprint,

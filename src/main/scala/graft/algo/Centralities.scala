@@ -102,13 +102,20 @@ object Centralities {
     while (i < rounds) {
       val contrib = e.join(x.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(sum("ev").as("s"))
-      val mx = contrib.agg(max("s")).head().getLong(0)
-      val prev = x
-      x = g.vertices.join(contrib, Seq("id"), "left")
-        .select(col("id"), expr(s"coalesce(s, 0L) * $scale div $mx").as("ev"))
-        .cutLineage
-      prev.releaseState()
-      i += 1
+      // max over an empty contrib (edgeless graph) is NULL — the power iteration is
+      // then the identity, so return the initial all-`scale` vector instead of a
+      // division by null/zero.
+      val mxRow = contrib.agg(max("s")).head()
+      val mx = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
+      if (mx == 0L) i = rounds
+      else {
+        val prev = x
+        x = g.vertices.join(contrib, Seq("id"), "left")
+          .select(col("id"), expr(s"coalesce(s, 0L) * $scale div $mx").as("ev"))
+          .cutLineage
+        prev.releaseState()
+        i += 1
+      }
     }
     e.unpersist()
     x

@@ -101,6 +101,40 @@ object Distances {
     dist.select(col("id"), when(col("dist") >= inf, -1L).otherwise(col("dist")).as("dist"))
   }
 
+  /** EXACT diameter by iFub (/root/reference/networkit/cpp/distance/Diameter.cpp:1-324,
+    * the iFUB algorithm): two-sweep from `start` picks the far node u (ties: smallest
+    * id); BFS levels from u order the candidates; then walk fringes top-down — the
+    * eccentricities of all level-i nodes (ONE batched msBFS per level) raise the lower
+    * bound, and lb > 2*(i-1) certifies no deeper pair can beat it. Terminates after
+    * the top few levels on small-world graphs; each fringe batch is the same
+    * one-shuffle-per-level harness as everything else (no per-node BFS loop).
+    *
+    * Connected-component semantics: the diameter OF THE COMPONENT CONTAINING `start`
+    * (the reference's exact path requires connectedness; on the web graph run it on
+    * the giant component). One row (diameter). */
+  def diameterExact(spark: SparkSession, g: LinkGraph, start: Long = 0L): DataFrame = {
+    import spark.implicits._
+    val d1 = bfsHops(spark, g, start)
+    val u = d1.filter(col("dist") >= 0L)
+      .orderBy(desc("dist"), asc("id")).select("id").head().getLong(0)
+    val d2 = bfsHops(spark, g, u).persist(StorageLevel.MEMORY_AND_DISK)
+    var lb = d2.agg(max("dist")).head().getLong(0)
+    var i = lb
+    var done = lb <= 0L
+    while (!done && i > 0L) {
+      val fringe = d2.filter(col("dist") === i).select("id")
+      if (fringe.limit(1).count() > 0) {
+        val (state, _) = Betweenness.msBfs(spark, g, fringe)
+        val fringeMax = state.agg(max("dist")).head().getLong(0)
+        lb = math.max(lb, fringeMax)
+      }
+      if (lb > 2L * (i - 1L)) done = true // certified: deeper fringes can't exceed lb
+      else i -= 1L
+    }
+    d2.unpersist()
+    Seq(lb).toDF("diameter")
+  }
+
   /** APSP (/root/reference/networkit/cpp/distance/APSP.cpp — per-source BFS loop),
     * re-architected as ONE batched multi-source BFS (the Betweenness forward harness):
     * output (s, id, dist) for every (source, reached node) pair. With `sources` = all

@@ -168,4 +168,173 @@ object EdgeScores {
     g.canonicalUndirected.select(col("src"), col("dst"),
       (expr(draw).cast("double") / lit(M.toDouble)).as("score"))
   }
+
+  /** RandomNodeEdgeScore (sparsification/RandomNodeEdgeScore.cpp:16-66): the
+    * reference removes edges one at a time — with probability rneRatio via node-edge
+    * sampling (uniform node, then uniform incident edge, so P(e) ∝ 1/d_u + 1/d_v),
+    * else uniformly at random — and scores each edge by removalPosition / m. The
+    * trajectory is a sequential RNG walk; the distributed twin draws ONE deterministic
+    * priority per edge whose bias follows the same selection mixture and linearizes
+    * the priority order (position / m), preserving the operator's null-baseline role
+    * while being reproducible and partitioning-independent. All-integer arithmetic
+    * (degrees clamped at 2^15 in the weight so the mixture stays exact in int64 —
+    * the bias saturates for mega-hubs), so the DuckDB twin matches bit-for-bit.
+    * Output (src, dst, score). */
+  def randomNodeEdgeScore(spark: SparkSession, g: LinkGraph,
+                          rneRatio: Double = 0.8, seed: Long = 42L): DataFrame = {
+    import graft.synth.GraphSpec.{lcg, M}
+    val num = math.round(rneRatio * 100).toInt // rational mixture num/100
+    val m = g.canonicalUndirected.count()
+    val x = s"(src * 1000003 + dst + $seed)"
+    val draw = s"(((${lcg(x)} * ${lcg(s"($x) + 1000003")}) div 65536) % $M)"
+    val deg = g.bidirected.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val keyed = g.canonicalUndirected
+      .join(deg.select(col("id").as("src"), col("deg").as("du")), "src")
+      .join(deg.select(col("id").as("dst"), col("deg").as("dv")), "dst")
+      .select(col("src"), col("dst"),
+        least(col("du"), lit(32768L)).as("cu"), least(col("dv"), lit(32768L)).as("cv"))
+      // weight ∝ (1-r)·du·dv + r·(du+dv)·2^14  (node-edge term (1/du+1/dv) multiplied
+      // through by du·dv; 2^14 keeps the two terms comparable at typical degrees)
+      .select(col("src"), col("dst"),
+        (lit(100L - num) * col("cu") * col("cv") +
+          lit(num.toLong) * (col("cu") + col("cv")) * lit(16384L)).as("w"))
+      .select(col("src"), col("dst"),
+        expr(s"($draw * 1048576) div w").as("key")) // smaller key = removed earlier
+    graft.layout.Layout.zipWithRankBy(keyed,
+        Seq(col("key").asc, col("src").asc, col("dst").asc), "__pos")
+      .select(col("src"), col("dst"),
+        (col("__pos").cast("double") / lit(m.toDouble)).as("score"))
+  }
+
+  /** Directed (ego, alter, att) view of a canonical per-edge attribute table. */
+  private def directedAttr(attr: DataFrame): DataFrame =
+    attr.select(col("src").as("ego"), col("dst").as("alter"), col("att"))
+      .union(attr.select(col("dst").as("ego"), col("src").as("alter"), col("att")))
+
+  /** SimmelianOverlapScore (sparsification/SimmelianOverlapScore.cpp:16-31 +
+    * SimmelianScore.cpp:16-75): rank each node's neighbors by per-edge triangle count
+    * DESC with competition ranking (reference: rank 0 best, ties share, gaps after —
+    * exactly SQL `rank()` minus 1); the score of edge (u,v) is the OVERLAP = number of
+    * common neighbors w (w != u,v) ranked <= maxRank by BOTH endpoints. The reference's
+    * incremental matched-set sweep reduces to exactly this count (w is matched iff both
+    * sides emit it within the rank budget). Join shape: edges x top-(maxRank) lists —
+    * fan-out per edge bounded by the rank budget (+ties), never by degree.
+    * Output (src, dst, overlap). */
+  def simmelianOverlapScore(spark: SparkSession, g: LinkGraph, maxRank: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tri = triangleEdgeScore(spark, g).withColumnRenamed("tri", "att")
+    val top = directedAttr(tri)
+      .withColumn("rnk", rank().over(Window.partitionBy(col("ego")).orderBy(col("att").desc)))
+      .filter(col("rnk") <= maxRank + 1) // reference ranks 0..maxRank inclusive
+      .select(col("ego"), col("alter"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val und = tri.select("src", "dst")
+    val overlaps = und
+      .join(top.select(col("ego").as("src"), col("alter").as("w")), "src")
+      .filter(col("w") =!= col("dst"))
+      .join(top.select(col("ego").as("dst"), col("alter").as("w")), Seq("dst", "w"), "left_semi")
+      .groupBy("src", "dst").agg(count(lit(1)).as("overlap"))
+    und.join(overlaps, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"), coalesce(col("overlap"), lit(0L)).as("overlap"))
+  }
+
+  /** MultiscaleScore (sparsification/MultiscaleScore.cpp:14-63, the Serrano et al.
+    * multiscale backbone): per endpoint u with degree k, the edge's attribute is
+    * locally normalized (p = att / sum of u's attributes) and scored against the
+    * uniform null model as 1 - (1-p)^(k-1); the edge keeps the max over both
+    * endpoints. `attr` = (src, dst, att) per canonical undirected edge, att > 0.
+    * Pure column math over one bidirected aggregation; pow is libm so the score is
+    * rounded to 7 decimals (the repo-wide cross-engine ulp guard). */
+  def multiscaleScore(spark: SparkSession, g: LinkGraph, attr: DataFrame): DataFrame = {
+    val d = directedAttr(attr)
+    val sums = d.groupBy("ego").agg(sum("att").as("s"), count(lit(1)).as("k"))
+    d.join(sums, "ego")
+      .select(col("ego"), col("alter"),
+        when(col("k") <= 1L, lit(0.0))
+          .otherwise(lit(1.0) - pow(lit(1.0) - col("att").cast("double") / col("s"),
+            (col("k") - 1L).cast("double"))).as("e"))
+      .select(least(col("ego"), col("alter")).as("src"),
+        greatest(col("ego"), col("alter")).as("dst"), col("e"))
+      .groupBy("src", "dst").agg(round(max(col("e")), 7).as("score"))
+  }
+
+  /** GeometricMeanScore (edgescores/GeometricMeanScore.cpp:17-40): att(e) /
+    * sqrt(S_u * S_v) where S_u = sum of u's incident attributes; 0 where att <= 0.
+    * Output (src, dst, score), rounded to 7 decimals. */
+  def geometricMeanScore(spark: SparkSession, g: LinkGraph, attr: DataFrame): DataFrame = {
+    val sums = directedAttr(attr).groupBy(col("ego").as("id")).agg(sum("att").as("s"))
+    attr
+      .join(sums.select(col("id").as("src"), col("s").as("su")), "src")
+      .join(sums.select(col("id").as("dst"), col("s").as("sv")), "dst")
+      .select(col("src"), col("dst"),
+        when(col("att") > 0,
+          round(col("att").cast("double") /
+            sqrt(col("su").cast("double") * col("sv").cast("double")), 7))
+          .otherwise(lit(0.0)).as("score"))
+  }
+
+  /** EdgeScoreLinearizer (edgescores/EdgeScoreLinearizer.cpp:139-173): replace scores
+    * by their normalized sort position pos/(m-1) (0.5 if m == 1). The reference
+    * tie-breaks at random; this engine uses the deterministic (src, dst) order so the
+    * result is reproducible and oracle-exact. Distributed rank via
+    * [[graft.layout.Layout.zipWithRankBy]] — no global window. */
+  def linearizeScore(scored: DataFrame, scoreCol: String, inverse: Boolean = false): DataFrame = {
+    val m = scored.count()
+    if (m == 1) scored.select(col("src"), col("dst"), lit(0.5).as("score"))
+    else {
+      val order =
+        if (inverse) Seq(col(scoreCol).desc, col("src").desc, col("dst").desc)
+        else Seq(col(scoreCol).asc, col("src").asc, col("dst").asc)
+      graft.layout.Layout.zipWithRankBy(scored, order, "__pos")
+        .select(col("src"), col("dst"),
+          (col("__pos").cast("double") / lit((m - 1).toDouble)).as("score"))
+    }
+  }
+
+  /** PrefixJaccardScore (edgescores/PrefixJaccardScore.cpp:19-155): neighbors ranked
+    * per node by attribute DESC (competition ranks, 0-based); the score of edge (u,v)
+    * is the MAX over rank prefixes r of the Jaccard between the two rank-<=r neighbor
+    * sets (endpoints excluded): J_r = C_r / (Eu_r + Ev_r - C_r). The max can only
+    * increase when a common neighbor completes (at r = max of its two ranks), and the
+    * reference sweeps every integer rank, so evaluating at event ranks reproduces its
+    * maximum exactly. Realized as: per-(edge, neighbor) delta events -> one cumulative
+    * window PER EDGE (partitions are edge-local, size deg(u)+deg(v) — the same work the
+    * reference does per edge, sharded by Spark instead of looped). Exact integer
+    * counts, one double division. Output (src, dst, score). */
+  def prefixJaccardScore(spark: SparkSession, g: LinkGraph, attr: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = directedAttr(attr)
+      .withColumn("rnk",
+        rank().over(Window.partitionBy(col("ego")).orderBy(col("att").desc)) - 1L)
+      .select(col("ego"), col("alter"), col("rnk"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val und = attr.select("src", "dst")
+    // (edge, x, ru, rv): x a neighbor of u and/or v (endpoints excluded).
+    val uSide = und.join(ranked.select(col("ego").as("src"), col("alter").as("x"),
+        col("rnk").as("ru")), "src").filter(col("x") =!= col("dst"))
+    val vSide = und.join(ranked.select(col("ego").as("dst"), col("alter").as("x"),
+        col("rnk").as("rv")), "dst").filter(col("x") =!= col("src"))
+    val matched = uSide.join(vSide, Seq("src", "dst", "x"), "full")
+    // Delta events at each rank: side emissions at ru/rv, common completion at max.
+    val events = matched.select(col("src"), col("dst"),
+        explode(filter(array(
+          struct(col("ru").as("r"), lit(1L).as("du"), lit(0L).as("dv"), lit(0L).as("dc")),
+          struct(col("rv").as("r"), lit(0L).as("du"), lit(1L).as("dv"), lit(0L).as("dc")),
+          struct(when(col("ru").isNotNull && col("rv").isNotNull,
+              greatest(col("ru"), col("rv"))).as("r"),
+            lit(0L).as("du"), lit(0L).as("dv"), lit(1L).as("dc"))),
+          e => e.getField("r").isNotNull)).as("e"))
+      .groupBy(col("src"), col("dst"), col("e.r").as("r"))
+      .agg(sum("e.du").as("du"), sum("e.dv").as("dv"), sum("e.dc").as("dc"))
+    val w = Window.partitionBy("src", "dst").orderBy("r")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val best = events
+      .select(col("src"), col("dst"),
+        sum("du").over(w).as("eu"), sum("dv").over(w).as("ev"), sum("dc").over(w).as("c"))
+      .select(col("src"), col("dst"),
+        (col("c").cast("double") / (col("eu") + col("ev") - col("c"))).as("j"))
+      .groupBy("src", "dst").agg(max("j").as("score"))
+    und.join(best, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"), coalesce(col("score"), lit(0.0)).as("score"))
+  }
 }

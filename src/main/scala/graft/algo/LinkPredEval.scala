@@ -1,0 +1,172 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.LinkGraph
+
+/** Link-prediction EVALUATION workflow — the other half of the reference's
+  * linkprediction module (indices alone don't tell you whether a predictor works):
+  *
+  *   - [[holdoutSplit]]: RandomLinkSampler (linkprediction/RandomLinkSampler.cpp:14-33)
+  *     — keep `trainRatio` of the edges as the training graph, hold the rest out as
+  *     test positives. The reference removes uniformly random edges off a global RNG;
+  *     the distributed twin gives every edge a deterministic LCG priority and holds
+  *     out the m − floor(trainRatio·m) smallest — same marginal (uniform edge subset),
+  *     reproducible at any parallelism, replayable in SQL.
+  *   - [[resourceAllocation]]: ResourceAllocationIndex.cpp:14-21, Σ_z 1/deg(z) over
+  *     common neighbors z — the same one-wedge-join shape as LinkPrediction.scores.
+  *   - [[katzScores]]: KatzIndex.cpp:35-61 — Σ_l β^l · walks_l(u,v) truncated at
+  *     `maxPathLength` (the reference counts WALKS via repeated neighbor expansion;
+  *     walk counts are symmetric on an undirected graph so the start-side choice
+  *     doesn't matter). Here: batched walk-count propagation from the sampled u-side
+  *     (c_{l+1}(s,y) = Σ_{x~y} c_l(s,x) — one join+agg per level, exact int64), then
+  *     one fixed β-polynomial per pair. Shard by `uMod` at scale like every other
+  *     all-pairs family.
+  *   - [[evaluate]]: EvaluationMetric.cpp:27-115 + ROCMetric.cpp / PrecisionRecallMetric
+  *     .cpp — rank predictions by (score DESC, u, v), take the reference's percentile
+  *     rank thresholds ceil(n_pred·i/(T−1)), and emit the cumulative confusion counts
+  *     (tp, fp, fn, tn) + tpr/fpr/precision/recall per threshold. Counts are exact
+  *     integers (the curve points are single divisions of them), computed in ONE pass:
+  *     a broadcast threshold table joined on rank < thr — predictions shuffle once,
+  *     keyed by the ≤T threshold ids.
+  */
+object LinkPredEval {
+
+  /** (training, holdout) canonical undirected edge sets — holdout size =
+    * m − floor(trainRatio·m), lowest deterministic LCG priority first (seeded). */
+  def holdoutSplit(spark: SparkSession, g: LinkGraph, trainRatio: Double,
+                   seed: Long = 42L): (DataFrame, DataFrame) = {
+    import graft.synth.GraphSpec.{lcg, M}
+    val und = g.canonicalUndirected.select("src", "dst")
+    val m = und.count()
+    val k = m - math.floor(trainRatio * m).toLong
+    val x = s"(src * 1000003 + dst + $seed)"
+    val draw = s"(((${lcg(x)} * ${lcg(s"($x) + 1000003")}) div 65536) % $M)"
+    val ranked = graft.layout.Layout.zipWithRankBy(
+      und.withColumn("key", expr(draw)),
+      Seq(col("key").asc, col("src").asc, col("dst").asc), "__pos")
+    (ranked.filter(col("__pos") >= k).select("src", "dst"),
+      ranked.filter(col("__pos") < k).select("src", "dst"))
+  }
+
+  /** ResourceAllocationIndex over the distance-2 candidate pairs of `g` (same
+    * candidate semantics as LinkPrediction.scores). Output (u, v, ra), ra rounded to
+    * 7 decimals for cross-engine parity. */
+  def resourceAllocation(spark: SparkSession, g: LinkGraph, uMod: Long = 1L): DataFrame = {
+    val bi = g.bidirected.select("src", "dst")
+    val deg = bi.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val wu = bi.select(col("src").as("z"), col("dst").as("u"))
+      .filter(pmod(col("u"), lit(uMod)) === 0L)
+    val wv = bi.select(col("src").as("z"), col("dst").as("v"))
+    val pairs = wu.join(wv, "z")
+      .filter(col("u") < col("v"))
+      .join(deg.select(col("id").as("z"), col("deg").as("dz")), "z")
+      .groupBy("u", "v")
+      .agg(round(sum(lit(1.0) / col("dz")), 7).as("ra"))
+    val und = g.canonicalUndirected.select(col("src").as("u"), col("dst").as("v"))
+    pairs.join(und, Seq("u", "v"), "left_anti")
+  }
+
+  /** Katz index Σ_{l=1..maxPathLength} β^l · walks_l(u,v) for the distance-2
+    * non-adjacent candidate pairs with u % uMod == 0, with β = 1/betaDen (the
+    * reference default dampingValue 0.005 = 1/200). Walk counts per level are exact
+    * int64 and the score is reported as the EXACT INTEGER NUMERATOR
+    * katz_num = Σ_l betaDen^(L−l) · walks_l — i.e. the Katz value in β^L units —
+    * preserving exact value and ordering with zero floating point (a double
+    * β-polynomial rounds differently across engines at half-decimal boundaries).
+    * Output (u, v, katz_num). */
+  def katzScores(spark: SparkSession, g: LinkGraph, uMod: Long = 1L,
+                 maxPathLength: Int = 3, betaDen: Long = 200L): DataFrame = {
+    require(maxPathLength >= 2 && maxPathLength <= 5, "walk counts blow up past 5")
+    val bi = g.bidirected.select("src", "dst")
+    // c_l(s, id): number of walks of length l from source s to id.
+    var c = bi.filter(pmod(col("src"), lit(uMod)) === 0L)
+      .select(col("src").as("s"), col("dst").as("id"), lit(1L).as("c"))
+    val levels = Seq.newBuilder[DataFrame]
+    levels += c
+    for (_ <- 2 to maxPathLength) {
+      c = c.join(bi.withColumnRenamed("src", "id"), "id")
+        .groupBy(col("s"), col("dst").as("nid"))
+        .agg(sum("c").as("c"))
+        .withColumnRenamed("nid", "id")
+      levels += c
+    }
+    val named = levels.result().zipWithIndex.map { case (df, i) =>
+      df.select(col("s").as("u"), col("id").as("v"), col("c").as(s"c${i + 1}"))
+    }
+    // Candidate pairs: distance-2 (c2 > 0), non-adjacent (no c1 row), u < v.
+    val joined = named.tail.foldLeft(named.head) { (acc, lvl) =>
+      acc.join(lvl, Seq("u", "v"), "full")
+    }
+    val score = (1 to maxPathLength)
+      .map(l => coalesce(col(s"c$l"), lit(0L)) *
+        lit(math.pow(betaDen.toDouble, (maxPathLength - l).toDouble).toLong))
+      .reduce(_ + _)
+    joined
+      .filter(col("u") < col("v") && col("c1").isNull &&
+        coalesce(col("c2"), lit(0L)) > 0L)
+      .select(col("u"), col("v"), score.as("katz_num"))
+  }
+
+  /** Confusion counts + ROC/PR points at the reference's percentile rank thresholds.
+    * `predictions(u, v, <scoreCol>)`, `positives(src, dst)` canonical (src < dst).
+    * Output one row per distinct threshold: (thr, tp, fp, fn, tn, tpr, fpr,
+    * precision, recall) — reference semantics: precision/recall default to 1 where
+    * undefined (PrecisionRecallMetric.cpp:18-27); tpr/fpr are 0 where undefined
+    * (instead of the reference's thrown error, so empty classes stay queryable). */
+  def evaluate(spark: SparkSession, predictions: DataFrame, positives: DataFrame,
+               scoreCol: String, numThresholds: Int = 20): DataFrame = {
+    import spark.implicits._
+    val flagged = graft.layout.Layout.zipWithRankBy(
+      predictions
+        .join(positives.select(col("src").as("u"), col("dst").as("v"))
+          .withColumn("__pos", lit(true)), Seq("u", "v"), "left")
+        .select(col("u"), col("v"), col(scoreCol).as("score"),
+          coalesce(col("__pos"), lit(false)).as("pos")),
+      Seq(col("score").desc, col("u").asc, col("v").asc), "rnk")
+    val nPred = flagged.count()
+    val totals = flagged.agg(sum(when(col("pos"), 1L).otherwise(0L))).head()
+    val nPos = if (totals.isNullAt(0)) 0L else totals.getLong(0)
+    val nNeg = nPred - nPos
+    // Percentile thresholds by nearest rank (EvaluationMetric.cpp:40-47).
+    val thrs = (0 until numThresholds)
+      .map(i => math.ceil((nPred * i).toDouble / (numThresholds - 1)).toLong)
+      .distinct.sorted
+    val thrDf = broadcast(thrs.toDF("thr"))
+    flagged.join(thrDf, col("rnk") < col("thr"))
+      .groupBy("thr")
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("fp"))
+      .join(thrDf, Seq("thr"), "right") // thr=0 has no rows: tp=fp=0
+      .select(col("thr"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("fp"), lit(0L)).as("fp"))
+      .select(col("thr"), col("tp"), col("fp"),
+        (lit(nPos) - col("tp")).as("fn"), (lit(nNeg) - col("fp")).as("tn"))
+      .withColumn("tpr",
+        when(lit(nPos) === 0L, lit(0.0)).otherwise(col("tp").cast("double") / nPos))
+      .withColumn("fpr",
+        when(lit(nNeg) === 0L, lit(0.0)).otherwise(col("fp").cast("double") / nNeg))
+      .withColumn("precision",
+        when(col("tp") + col("fp") === 0L, lit(1.0))
+          .otherwise(col("tp").cast("double") / (col("tp") + col("fp"))))
+      .withColumn("recall",
+        when(col("tp") + col("fn") === 0L, lit(1.0))
+          .otherwise(col("tp").cast("double") / (col("tp") + col("fn"))))
+  }
+
+  /** End-to-end workflow (the q_linkpred_eval query): hold out 1−trainRatio of the
+    * edges, score the training graph's distance-2 candidates with
+    * ResourceAllocation, evaluate against the held-out positives. */
+  def run(spark: SparkSession, g: LinkGraph, trainRatio: Double = 0.9,
+          uMod: Long = 1L, numThresholds: Int = 20, seed: Long = 42L): DataFrame = {
+    val (train, holdout) = holdoutSplit(spark, g, trainRatio, seed)
+    val gt = LinkGraph.fromEdges(spark, train.withColumn("weight", lit(1.0)),
+      Some(g.vertices))
+    val preds = resourceAllocation(spark, gt, uMod)
+    // evaluate() flags predictions BY the positive set, so passing the full holdout
+    // is exact — positives outside the candidate set are simply never predictions.
+    evaluate(spark, preds, holdout, "ra", numThresholds)
+  }
+}

@@ -22,6 +22,11 @@ object Embeddings {
   val Scale = 1000000L
   val Dim = 64
   val NumTables = 6 // LSH tables (OR-amplification)
+  /** Build-side buckets larger than this are dropped from the candidate join —
+    * [[planesFor]] keeps EXPECTED occupancy ~16, but an adversarial corpus (mass
+    * duplicate vectors, zero vectors) can still concentrate one bucket; the cap bounds
+    * per-probe fan-out regardless of the data. Mirrored exactly in the oracle. */
+  val MaxBucketFreq = 256L
   /** Planes per table at the correctness-gate scale (n=500 -> planesFor = 5). */
   val NumPlanes = 5
   private val MaxPlanes = 64 // coef stride, so coefficients don't shift with planes
@@ -101,8 +106,15 @@ object Embeddings {
     * O(n^2) brute force. Multiprobe is what keeps recall up when `planes` grows with
     * the corpus (each extra plane halves single-bucket collision probability). */
   def lshNearDups(emb: DataFrame, tau: Double, planes: Int = NumPlanes,
-                  multiprobe: Boolean = true): DataFrame = {
+                  multiprobe: Boolean = true,
+                  maxBucket: Long = MaxBucketFreq): DataFrame = {
     val b = lshBuckets(emb, planes).persist(StorageLevel.MEMORY_AND_DISK)
+    // Hot-bucket guard on the BUILD side: every probe's fan-out is then <= maxBucket.
+    // A pair (a,b) survives iff b's home bucket is kept in some table where their codes
+    // differ by <= 1 bit — deterministic, mirrored in the oracle.
+    val hot = b.groupBy("t", "bucket").agg(count(lit(1)).as("c"))
+      .filter(col("c") > maxBucket).select("t", "bucket")
+    val bKept = b.join(hot, Seq("t", "bucket"), "left_anti")
     // Probe rows: own bucket + (if multiprobe) each single-bit flip of it. If codes of
     // x and y differ in exactly bit p, x's p-flip probe lands on y's home bucket (and
     // vice versa), so restricting probes to the smaller id still finds every pair.
@@ -111,7 +123,7 @@ object Embeddings {
       else Seq(col("bucket"))
     val probes = b.select(col("vec_id"), col("v"), col("nrm"), col("t"),
       explode(array(probeBuckets: _*)).as("probe"))
-    val pairs = probes.as("x").join(b.as("y"),
+    val pairs = probes.as("x").join(bKept.as("y"),
         col("x.t") === col("y.t") && col("x.probe") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),

@@ -31,7 +31,8 @@ object GraphReaders extends Serializable {
     val lines = spark.read.text(path)
       .withColumn("mid", monotonically_increasing_id())
       .filter(!col("value").startsWith("%"))
-    val numbered = Layout.zipWithRank(lines, "mid", "lineno").drop("mid")
+    val ranked = Layout.zipWithRank(lines, "mid", "lineno")
+    val numbered = ranked.drop("mid")
     val header = numbered.filter(col("lineno") === 0).head()
     val parts = header.getString(0).trim.split("\\s+")
     val n = parts(0).toLong
@@ -55,8 +56,10 @@ object GraphReaders extends Serializable {
     // canonical direction once so the undirected view doesn't double the weight
     // (canonicalUndirected SUMS antiparallel directed pairs by design).
     val canonical = edges.filter(col("src") <= col("dst"))
-    LinkGraph.fromEdges(spark, canonical,
+    val g = LinkGraph.fromEdges(spark, canonical,
       vertices = Some(spark.range(n).select(col("id"))))
+    ranked.unpersist() // one-shot layout frame; g's tables are materialized
+    g
   }
 
   /** Read a separator-delimited edge list. `firstNode` is subtracted from numeric ids
@@ -82,7 +85,9 @@ object GraphReaders extends Serializable {
         .join(dict.select(col("name").as("su"), col("id").as("src")), "su")
         .join(dict.select(col("name").as("sv"), col("id").as("dst")), "sv")
         .select("src", "dst", "weight")
-      LinkGraph.fromEdges(spark, e, Some(dict.select("id")))
+      val g = LinkGraph.fromEdges(spark, e, Some(dict.select("id")))
+      dict.unpersist() // one-shot layout frame; g's tables are materialized
+      g
     }
   }
 
@@ -109,7 +114,8 @@ object GraphReaders extends Serializable {
     val lines = spark.read.text(path)
       .withColumn("mid", monotonically_increasing_id())
       .filter(!col("value").startsWith("%"))
-    val numbered = Layout.zipWithRank(lines, "mid", "lineno").drop("mid")
+    val ranked = Layout.zipWithRank(lines, "mid", "lineno")
+    val numbered = ranked.drop("mid")
     val dims = numbered.filter(col("lineno") === 0).head().getString(0).trim.split("\\s+")
     val n = math.max(dims(0).toLong, dims(1).toLong)
     val entries = numbered.filter(col("lineno") >= 1)
@@ -117,8 +123,10 @@ object GraphReaders extends Serializable {
       .select((col("f").getItem(0).cast("long") - 1).as("src"),
         (col("f").getItem(1).cast("long") - 1).as("dst"),
         coalesce(expr("try_element_at(f, 3)").cast("double"), lit(1.0)).as("weight"))
-    LinkGraph.fromEdges(spark, entries,
+    val g = LinkGraph.fromEdges(spark, entries,
       Some(spark.range(n).select(col("id"))))
+    ranked.unpersist() // one-shot layout frame; g's tables are materialized
+    g
   }
 
   /** Cover reader (io/CoverReader.cpp:5-30): data line i (after '#' comments) lists the
@@ -165,8 +173,12 @@ object GraphReaders extends Serializable {
       .select(col("id"),
         concat_ws(" ", transform(coalesce(col("nb"), array()),
           x => x.cast("string"))).as("line"))
+    // Single partition + in-partition sort: METIS node numbering is implicit in line
+    // order, and `orderBy(...).coalesce(1)` does NOT guarantee the global order
+    // survives the coalesce — sort WITHIN the one output partition instead. METIS is
+    // a fixture-scale exchange format; at scale Parquet is the graph store.
     Seq((-1L, s"$n $m 0")).toDF("id", "line").union(adj)
-      .orderBy("id").select("line").coalesce(1)
+      .repartition(1).sortWithinPartitions("id").select("line")
       .write.mode("overwrite").text(path)
   }
 
@@ -201,7 +213,80 @@ object GraphReaders extends Serializable {
       .select(lit(1L).as("k"), concat(lit("  "), col("src"), lit(" -- "), col("dst"),
         lit(";")).as("line"))
     Seq((0L, "graph G {"), (2L, "}")).toDF("k", "line").union(body)
-      .orderBy("k").select("line").coalesce(1)
+      .repartition(1).sortWithinPartitions(col("k"), col("line")).select("line")
+      .write.mode("overwrite").text(path)
+  }
+
+  /** GML reader (io/GMLGraphReader.cpp:17-160): `node [ id X ]` blocks register nodes
+    * in FILE ORDER (0-based consecutive internal ids keyed by the GML id string —
+    * :57-74), `edge [ source A target B ]` blocks reference them, `directed 1` in the
+    * graph header selects directedness (:118-132; undirected input is canonicalized
+    * here, the undirected view doubles it back). GML is a fixture-scale exchange
+    * format (one bracketed text file, line-structured key-values): the line parse runs
+    * on the driver — the same justification as the single-file writers (ADVICE r2) —
+    * and the graph build stays distributed. */
+  def readGml(spark: SparkSession, path: String): LinkGraph = {
+    import spark.implicits._
+    val lines = spark.read.text(path).as[String].collect()
+    val nodeMap = scala.collection.mutable.HashMap.empty[String, Long]
+    val edges = Vector.newBuilder[(Long, Long)]
+    var directed = false
+    var mode = 0 // 0 top-level, 1 inside node [...], 2 inside edge [...]
+    var src = ""
+    var dst = ""
+    // Token-stream state machine: blocks may be single-line (`node [ id 7 ]`) or
+    // span lines (the reference's parser, GMLGraphReader.cpp:56-115, is line-based
+    // multi-line; both appear in the wild). Nested sub-blocks (graphics [...]) are
+    // not supported — like the reference, only id/source/target matter.
+    lines.foreach { raw =>
+      var toks = raw.trim.split("\\s+").toList.filter(_.nonEmpty)
+      while (toks.nonEmpty) {
+        val t = toks.head
+        if (mode == 0) t match {
+          case "node" => mode = 1; toks = toks.tail
+          case "edge" => mode = 2; toks = toks.tail
+          case "directed" =>
+            directed = toks.drop(1).headOption.contains("1"); toks = toks.drop(2)
+          case _ => toks = toks.tail
+        } else t match {
+          case "]" =>
+            if (mode == 2) edges += ((nodeMap(src), nodeMap(dst)))
+            mode = 0; toks = toks.tail
+          case "id" if mode == 1 && toks.length >= 2 =>
+            nodeMap.getOrElseUpdate(toks(1), nodeMap.size.toLong); toks = toks.drop(2)
+          case "source" if mode == 2 && toks.length >= 2 =>
+            src = toks(1); toks = toks.drop(2)
+          case "target" if mode == 2 && toks.length >= 2 =>
+            dst = toks(1); toks = toks.drop(2)
+          case _ => toks = toks.tail
+        }
+      }
+    }
+    val raw = edges.result()
+    val canon = if (directed) raw
+      else raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    LinkGraph.fromEdges(spark,
+      canon.toDF("src", "dst").withColumn("weight", lit(1.0)),
+      Some(spark.range(nodeMap.size).select(col("id"))))
+  }
+
+  /** GML writer (io/GMLGraphWriter.cpp): plain id-keyed node and edge blocks,
+    * readable back by [[readGml]]. Single-partition in-partition sort like the other
+    * fixture-scale text writers. */
+  def writeGml(g: LinkGraph, path: String, directed: Boolean = true): Unit = {
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    val nodes = g.vertices.select(lit(1L).as("k"), col("id").as("o"),
+      concat(lit("  node [ id "), col("id"), lit(" ]")).as("line"))
+    val e = if (directed) g.edges else g.canonicalUndirected
+    val edgeRows = e.select(lit(2L).as("k"),
+      (col("src") * lit(1L << 32) + col("dst")).as("o"),
+      concat(lit("  edge [ source "), col("src"), lit(" target "), col("dst"),
+        lit(" ]")).as("line"))
+    Seq((0L, 0L, "graph ["), (0L, 1L, s"  directed ${if (directed) 1 else 0}"),
+      (3L, 0L, "]")).toDF("k", "o", "line")
+      .union(nodes).union(edgeRows)
+      .repartition(1).sortWithinPartitions(col("k"), col("o")).select("line")
       .write.mode("overwrite").text(path)
   }
 
@@ -286,6 +371,26 @@ object GraphReaders extends Serializable {
     }
   }
 
+  /** Count the nodes in one Thrill part file WITHOUT materializing neighbor arrays:
+    * walk the varint degrees and skip 4*deg payload bytes — the counting pass costs
+    * one sequential scan instead of a full decode. */
+  private def countThrill(bytes: Array[Byte]): Long = {
+    var pos = 0
+    var nodes = 0L
+    while (pos < bytes.length) {
+      var deg = 0L; var shift = 0
+      var more = true
+      while (more) {
+        val b = bytes(pos) & 0xFF; pos += 1
+        deg |= (b & 0x7FL) << shift; shift += 7
+        more = (b & 0x80) != 0
+      }
+      pos += 4 * deg.toInt
+      nodes += 1
+    }
+    nodes
+  }
+
   /** Read a Thrill binary graph directory (or single file). Two passes over the
     * `binaryFile` source: per-file node counts (driver state = one long per file)
     * fix each file's starting node id; the decode pass emits canonical edges. */
@@ -295,7 +400,7 @@ object GraphReaders extends Serializable {
       .load(if (new java.io.File(path).isDirectory) s"$path/part-*.thrillbin" else path)
       .select(col("path"), col("content"))
     val counts = files.as[(String, Array[Byte])]
-      .map { case (p, bytes) => (p, decodeThrill(bytes).size.toLong) }
+      .map { case (p, bytes) => (p, countThrill(bytes)) }
       .collect().sortBy(_._1)
     val offsets = counts.map(_._1)
       .zip(counts.scanLeft(0L)(_ + _._2).dropRight(1)).toMap

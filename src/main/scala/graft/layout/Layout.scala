@@ -32,7 +32,13 @@ object Layout {
     zipWithRankBy(df, Seq(col(orderCol)), rankCol, partitions)
 
   /** Multi-column variant; `orderCols` may carry asc/desc and MUST be a total order
-    * (tie-free) for the rank to be deterministic. */
+    * (tie-free) for the rank to be deterministic.
+    *
+    * OWNERSHIP: the returned frame is persisted (MEMORY_AND_DISK) and already
+    * materialized — the CALLER owns the blocks. Long-lived consumers (the vertex
+    * dictionary) keep it; one-shot consumers should `unpersist()` it once their own
+    * downstream state is materialized (recompute stays correct — the ranks are a pure
+    * function of the data — but wastes the two-job layout pass). */
   def zipWithRankBy(df: DataFrame, orderCols: Seq[Column], rankCol: String,
                     partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
@@ -65,7 +71,8 @@ object Layout {
     * strictly before the row; the order must be total/tie-free): same two-job shape
     * as [[zipWithRankBy]] — range-repartition + local sort, per-partition totals
     * collected (one row per partition), broadcast offsets, per-partition running sums
-    * under a partition-local window. No single-partition stage. */
+    * under a partition-local window. No single-partition stage. Same persisted-result
+    * ownership contract as [[zipWithRankBy]]. */
   def prefixSum(df: DataFrame, orderCols: Seq[Column], valueCol: String, outCol: String,
                 partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession

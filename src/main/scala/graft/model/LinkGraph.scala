@@ -22,7 +22,8 @@ import graft.synth.PageTableGen
 final case class LinkGraph(vertices: DataFrame, edges: DataFrame, n: Long, m: Long) {
 
   /** Neighbor-expansion view of the underlying undirected graph: each logical edge
-    * appears in both directions exactly once. */
+    * appears in both directions exactly once. Built from the persisted
+    * [[canonicalUndirected]], so the union is shuffle-free. */
   def bidirected: DataFrame = {
     val und = canonicalUndirected
     und.union(und.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
@@ -32,13 +33,35 @@ final case class LinkGraph(vertices: DataFrame, edges: DataFrame, n: Long, m: Lo
     * Antiparallel directed pairs merge with SUMMED weight — the reference's
     * directed→undirected conversion (graph/Graph.cpp:73-140 copy ctor) keeps both
     * directions as parallel multi-edges, so its weighted degrees/volumes count both;
-    * summing on merge reproduces exactly those weighted measures on a simple graph. */
-  def canonicalUndirected: DataFrame =
-    edges.select(
+    * summing on merge reproduces exactly those weighted measures on a simple graph.
+    *
+    * Persisted ONCE per graph instance (lazily, on first access): every undirected
+    * algorithm funnels through this view, and queries composing several operators
+    * (PLP + triangles + measures) would otherwise re-shuffle the m-row groupBy per
+    * operator. The blocks live as long as the graph value — one graph per job at
+    * production scale, bounded by fixture size in tests. */
+  lazy val canonicalUndirected: DataFrame = {
+    val und = edges.select(
       least(col("src"), col("dst")).as("src"),
       greatest(col("src"), col("dst")).as("dst"),
       col("weight"))
       .groupBy("src", "dst").agg(sum("weight").as("weight"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    und.count()
+    und
+  }
+
+  /** Unweighted degree per vertex over the undirected view (absent if isolated) —
+    * shared by the triangle family / LCC / edge scores, persisted with the view it
+    * derives from. */
+  lazy val undirectedDegrees: DataFrame = {
+    val d = canonicalUndirected
+      .select(col("src").as("id")).union(canonicalUndirected.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    d.count()
+    d
+  }
 
   /** Induced subgraph on a node set (GraphTools::subgraphFromNodes, graph/Graph.h:558):
     * keep edges whose BOTH endpoints are in `nodes(id)` — two semi-joins, no shuffle

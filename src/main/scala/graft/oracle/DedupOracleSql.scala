@@ -7,7 +7,8 @@ import graft.text.Dedup
   * functions), same banding. Exact integer arithmetic throughout.
   */
 object DedupOracleSql {
-  import Dedup.{BandRows, NumBands, NumPerms, P, ShingleSize, maxShingleFreq}
+  import Dedup.{BandRows, NumBands, NumPerms, P, ShingleSize, maxShingleFreq,
+    maxBandFreq, maxChunkFreq}
 
   private val n = ShingleSize
   /** Shared prologue: distinct (doc_id, h) shingle hashes w/ stop-shingle filter + sizes. */
@@ -52,8 +53,11 @@ object DedupOracleSql {
       s"SELECT doc_id, $b AS band, ${bandKeyExpr(b)} AS key FROM sig").mkString("\n  UNION ALL ")
     s"""WITH $shCtes,
        |$sigCte,
-       |bands AS MATERIALIZED (
+       |bands0 AS MATERIALIZED (
        |  $bandSelects),
+       |bkeep AS MATERIALIZED (SELECT band, key FROM bands0
+       |  GROUP BY band, key HAVING count(*) <= $maxBandFreq),
+       |bands AS MATERIALIZED (SELECT bands0.* FROM bands0 JOIN bkeep USING (band, key)),
        |cand AS MATERIALIZED (
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM bands x JOIN bands y
@@ -80,8 +84,11 @@ object DedupOracleSql {
       .mkString("\n  UNION ALL ")
     s"""WITH $shCtes,
        |$simCte,
-       |chunks AS MATERIALIZED (
-       |  $chunkSelects)
+       |chunks0 AS MATERIALIZED (
+       |  $chunkSelects),
+       |ckeep AS MATERIALIZED (SELECT chunk, v FROM chunks0
+       |  GROUP BY chunk, v HAVING count(*) <= $maxChunkFreq),
+       |chunks AS MATERIALIZED (SELECT chunks0.* FROM chunks0 JOIN ckeep USING (chunk, v))
        |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
        |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
        |FROM chunks x JOIN chunks y

@@ -8,7 +8,7 @@ import graft.emb.Embeddings
   * double expression on both engines.
   */
 object EmbOracleSql {
-  import Embeddings.{Dim, NumPlanes, NumTables, Scale, coef}
+  import Embeddings.{Dim, MaxBucketFreq, NumPlanes, NumTables, Scale, coef}
 
   /** (vec_id, v int-list-as-double, nrm) — exact values in doubles. */
   private val vecCte =
@@ -48,10 +48,14 @@ object EmbOracleSql {
     val cond = if (multiprobe) "bit_count(xor(x.bucket, y.bucket)) <= 1"
                else "x.bucket = y.bucket"
     s"""WITH $vecCte,
-       |${bucketCte(planes)}
+       |${bucketCte(planes)},
+       |hot AS MATERIALIZED (SELECT t, bucket FROM b
+       |  GROUP BY t, bucket HAVING count(*) > $MaxBucketFreq),
+       |bk AS MATERIALIZED (SELECT b.* FROM b LEFT JOIN hot
+       |  ON b.t = hot.t AND b.bucket = hot.bucket WHERE hot.t IS NULL)
        |SELECT DISTINCT x.vec_id AS a, y.vec_id AS b,
        |  list_dot_product(x.v, y.v)/sqrt(x.nrm)/sqrt(y.nrm) AS cos
-       |FROM b x JOIN b y ON x.t = y.t AND $cond AND x.vec_id < y.vec_id
+       |FROM b x JOIN bk y ON x.t = y.t AND $cond AND x.vec_id < y.vec_id
        |WHERE list_dot_product(x.v, y.v)/sqrt(x.nrm)/sqrt(y.nrm) >= $tau""".stripMargin
   }
 }

@@ -52,21 +52,25 @@ object OracleSql {
   private val biCte =
     "bi AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges)"
 
-  /** Min-label propagation to fixpoint — `rounds` must exceed the graph's label-diameter
-    * (measured 5 at sf0.01; 12 gives margin). Mirrors ConnectedComponents.run. */
-  def components(rounds: Int = 12): String = {
+  /** Min-label CC rounds l0..l{rounds} (shared by components + fragmentation). */
+  private def ccSteps(rounds: Int): String = {
     val steps = (1 to rounds).map { i =>
       s"""l$i AS MATERIALIZED (SELECT l.id, least(l.label, coalesce(m.ml, l.label)) AS label
          |  FROM l${i - 1} l LEFT JOIN (
          |    SELECT bi.b AS id, min(x.label) AS ml FROM bi JOIN l${i - 1} x ON bi.a = x.id
          |    GROUP BY bi.b) m ON l.id = m.id)""".stripMargin
     }.mkString(",\n")
+    s"""l0 AS MATERIALIZED (SELECT id, id AS label FROM verts),
+       |$steps""".stripMargin
+  }
+
+  /** Min-label propagation to fixpoint — `rounds` must exceed the graph's label-diameter
+    * (measured 5 at sf0.01; 12 gives margin). Mirrors ConnectedComponents.run. */
+  def components(rounds: Int = 12): String =
     s"""$base,
        |$biCte,
-       |l0 AS MATERIALIZED (SELECT id, id AS label FROM verts),
-       |$steps
+       |${ccSteps(rounds)}
        |SELECT id, label FROM l$rounds""".stripMargin
-  }
 
   /** PLP round CTEs p0..p{rounds} (shared by plp + the measure oracles). Label
     * frequencies are WEIGHTED by the merged antiparallel multiplicity (mirrors
@@ -931,4 +935,401 @@ object OracleSql {
        |        CAST(sum(dist) AS BIGINT) AS sumdist FROM ts$levels GROUP BY s)
        |ORDER BY (sumdist > 0) DESC, sumdist ASC, id ASC LIMIT $k""".stripMargin
   }
+
+  /** Shared attribute CTEs for the tri-based score family: at(src,dst,att=tri+1) and
+    * its directed view datt(ego,alter,att) + sums(ego,s,k). */
+  private lazy val attCtes =
+    s"""at AS MATERIALIZED (SELECT src, dst, tri + 1 AS att FROM ej),
+       |datt AS MATERIALIZED (SELECT src AS ego, dst AS alter, att FROM at
+       |  UNION ALL SELECT dst, src, att FROM at),
+       |asum AS MATERIALIZED (SELECT ego, sum(att) AS s, count(*) AS k
+       |  FROM datt GROUP BY ego)""".stripMargin
+
+  /** Mirrors EdgeScores.simmelianOverlapScore (rank by per-edge triangles DESC,
+    * competition ranks 0-based, overlap = common neighbors within rank <= maxRank on
+    * BOTH sides). */
+  def simmelianOverlap(maxRank: Int): String =
+    s"""$base,
+       |$ejCte,
+       |dtri AS MATERIALIZED (SELECT src AS ego, dst AS alter, tri FROM ej
+       |  UNION ALL SELECT dst, src, tri FROM ej),
+       |rked AS MATERIALIZED (SELECT ego, alter,
+       |    rank() OVER (PARTITION BY ego ORDER BY tri DESC) AS rnk FROM dtri),
+       |top AS MATERIALIZED (SELECT ego, alter FROM rked WHERE rnk <= ${maxRank + 1}),
+       |ov AS MATERIALIZED (
+       |  SELECT e.src, e.dst, count(*) AS overlap
+       |  FROM ej e
+       |  JOIN top tu ON tu.ego = e.src AND tu.alter != e.dst
+       |  JOIN top tv ON tv.ego = e.dst AND tv.alter = tu.alter
+       |  GROUP BY 1, 2)
+       |SELECT ej.src, ej.dst, CAST(coalesce(ov.overlap, 0) AS BIGINT) AS overlap
+       |FROM ej LEFT JOIN ov ON ej.src = ov.src AND ej.dst = ov.dst""".stripMargin
+
+  /** Mirrors EdgeScores.multiscaleScore over att = tri+1. */
+  def multiscale: String =
+    s"""$base,
+       |$ejCte,
+       |$attCtes,
+       |es AS MATERIALIZED (
+       |  SELECT d.ego, d.alter,
+       |    CASE WHEN m.k <= 1 THEN 0.0
+       |         ELSE 1.0 - pow(1.0 - d.att::double / m.s, (m.k - 1)::double) END AS e
+       |  FROM datt d JOIN asum m ON d.ego = m.ego)
+       |SELECT least(ego, alter) AS src, greatest(ego, alter) AS dst,
+       |  round(max(e), 7) AS score
+       |FROM es GROUP BY 1, 2""".stripMargin
+
+  /** Mirrors EdgeScores.geometricMeanScore over att = tri+1. */
+  def geometricMean: String =
+    s"""$base,
+       |$ejCte,
+       |$attCtes
+       |SELECT a.src, a.dst,
+       |  CASE WHEN a.att > 0
+       |       THEN round(a.att::double / sqrt(su.s::double * sv.s::double), 7)
+       |       ELSE 0.0 END AS score
+       |FROM at a JOIN asum su ON a.src = su.ego JOIN asum sv ON a.dst = sv.ego""".stripMargin
+
+  /** Mirrors EdgeScores.linearizeScore over the SCAN score (position/(m-1), order
+    * score ASC, src ASC, dst ASC). */
+  def linearizeScan: String =
+    s"""$base,
+       |$ejCte,
+       |scored AS MATERIALIZED (
+       |  SELECT ej.src, ej.dst,
+       |    round((ej.tri + 1)::double / sqrt(((ds.d + 1) * (dd.d + 1))::double), 7) AS score
+       |  FROM ej JOIN dg ds ON ej.src = ds.id JOIN dg dd ON ej.dst = dd.id),
+       |cnt AS MATERIALIZED (SELECT count(*) AS c FROM scored),
+       |rked AS MATERIALIZED (SELECT src, dst,
+       |    row_number() OVER (ORDER BY score ASC, src ASC, dst ASC) - 1 AS pos FROM scored)
+       |SELECT src, dst, pos::double / (SELECT c - 1 FROM cnt) AS score FROM rked""".stripMargin
+
+  /** Mirrors EdgeScores.prefixJaccardScore over att = tri (counts): per-edge best
+    * prefix Jaccard via rank-delta events + one cumulative window per edge. */
+  def prefixJaccard: String =
+    s"""$base,
+       |$ejCte,
+       |dtri AS MATERIALIZED (SELECT src AS ego, dst AS alter, tri FROM ej
+       |  UNION ALL SELECT dst, src, tri FROM ej),
+       |rked AS MATERIALIZED (SELECT ego, alter,
+       |    rank() OVER (PARTITION BY ego ORDER BY tri DESC) - 1 AS rnk FROM dtri),
+       |us AS MATERIALIZED (SELECT e.src, e.dst, r.alter AS x, r.rnk AS ru
+       |  FROM ej e JOIN rked r ON r.ego = e.src AND r.alter != e.dst),
+       |vs AS MATERIALIZED (SELECT e.src, e.dst, r.alter AS x, r.rnk AS rv
+       |  FROM ej e JOIN rked r ON r.ego = e.dst AND r.alter != e.src),
+       |mt AS MATERIALIZED (SELECT src, dst, x, us.ru, vs.rv
+       |  FROM us FULL JOIN vs USING (src, dst, x)),
+       |ev AS MATERIALIZED (
+       |  SELECT src, dst, r, sum(du) AS du, sum(dv) AS dv, sum(dc) AS dc FROM (
+       |    SELECT src, dst, ru AS r, 1 AS du, 0 AS dv, 0 AS dc FROM mt WHERE ru IS NOT NULL
+       |    UNION ALL SELECT src, dst, rv, 0, 1, 0 FROM mt WHERE rv IS NOT NULL
+       |    UNION ALL SELECT src, dst, greatest(ru, rv), 0, 0, 1 FROM mt
+       |      WHERE ru IS NOT NULL AND rv IS NOT NULL)
+       |  GROUP BY 1, 2, 3),
+       |cum AS MATERIALIZED (SELECT src, dst,
+       |    sum(du) OVER w AS eu, sum(dv) OVER w AS ev2, sum(dc) OVER w AS c
+       |  FROM ev WINDOW w AS (PARTITION BY src, dst ORDER BY r
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |bj AS MATERIALIZED (SELECT src, dst,
+       |    max(c::double / (eu + ev2 - c)) AS score FROM cum GROUP BY 1, 2)
+       |SELECT e.src, e.dst, coalesce(bj.score, 0.0) AS score
+       |FROM ej e LEFT JOIN bj ON e.src = bj.src AND e.dst = bj.dst""".stripMargin
+
+  /** Mirrors EdgeScores.randomNodeEdgeScore (integer mixture weight, linearized). */
+  def randomNodeEdge(rneRatio: Double, seed: Long): String = {
+    import GraphSpec.{lcg, M}
+    val num = math.round(rneRatio * 100).toInt
+    val x = s"(u.src * 1000003 + u.dst + $seed)"
+    val draw = s"((${lcg(x)} * ${lcg(s"($x) + 1000003")}) // 65536) % $M"
+    s"""$base,
+       |$biCte,
+       |dg AS MATERIALIZED (SELECT a AS id, count(*) AS d FROM bi GROUP BY a),
+       |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS src,
+       |  greatest(src, dst) AS dst FROM edges),
+       |cnt AS MATERIALIZED (SELECT count(*) AS m FROM und),
+       |keyed AS MATERIALIZED (
+       |  SELECT u.src, u.dst,
+       |    (($draw) * 1048576) // ((${100 - num}) * least(du.d, 32768) * least(dv.d, 32768)
+       |      + $num * (least(du.d, 32768) + least(dv.d, 32768)) * 16384) AS key
+       |  FROM und u JOIN dg du ON u.src = du.id JOIN dg dv ON u.dst = dv.id),
+       |rked AS MATERIALIZED (SELECT src, dst,
+       |    row_number() OVER (ORDER BY key ASC, src ASC, dst ASC) - 1 AS pos FROM keyed)
+       |SELECT src, dst, pos::double / (SELECT m FROM cnt) AS score FROM rked""".stripMargin
+  }
+
+  /** Exact diameter of the component containing `start`, on the id % mod induced
+    * undirected subgraph (mirrors Distances.diameterExact / iFub semantics): all-source
+    * BFS unrolled `levels` deep, then max dist among pairs whose source is connected to
+    * `start`. One row (diameter). */
+  def diameterExact(mod: Long, start: Long, levels: Int): String = {
+    val steps = (1 to levels).map { i =>
+      s"""tg$i AS MATERIALIZED (SELECT DISTINCT f.s, sbi.b AS id
+         |  FROM tf${i - 1} f JOIN sbi ON f.id = sbi.a),
+         |tf$i AS MATERIALIZED (SELECT m.s, m.id, $i AS dist FROM tg$i m
+         |  LEFT JOIN ts${i - 1} x ON m.s = x.s AND m.id = x.id WHERE x.s IS NULL),
+         |ts$i AS MATERIALIZED (SELECT * FROM ts${i - 1} UNION ALL SELECT * FROM tf$i)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |sv AS MATERIALIZED (SELECT id FROM verts WHERE id % $mod = 0),
+       |se AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges WHERE src % $mod = 0 AND dst % $mod = 0),
+       |sbi AS MATERIALIZED (SELECT a, b FROM se UNION SELECT b, a FROM se),
+       |tf0 AS MATERIALIZED (SELECT id AS s, id, 0 AS dist FROM sv),
+       |ts0 AS MATERIALIZED (SELECT * FROM tf0),
+       |$steps
+       |SELECT CAST(max(t.dist) AS BIGINT) AS diameter
+       |FROM ts$levels t JOIN ts$levels c ON c.s = $start AND c.id = t.s""".stripMargin
+  }
+
+  /** Strongly connected components with min-node-id labels on the id % mod induced
+    * DIRECTED subgraph (mirrors Scc.run): scc(v) = least(v, min u mutually reachable
+    * with v), via a recursive reachability closure (pure DISTINCT union — no
+    * aggregation inside the recursion, which DuckDB allows). */
+  def scc(mod: Long): String =
+    s"""WITH RECURSIVE ${GraphSpec.duckEdgeCte()},
+       |sv AS MATERIALIZED (SELECT id FROM verts WHERE id % $mod = 0),
+       |se AS MATERIALIZED (SELECT src, dst FROM edges
+       |  WHERE src % $mod = 0 AND dst % $mod = 0),
+       |reach(s, d) AS (
+       |  SELECT src AS s, dst AS d FROM se
+       |  UNION
+       |  SELECT r.s, e.dst AS d FROM reach r JOIN se e ON r.d = e.src),
+       |mutual AS (SELECT r1.s AS u, r1.d AS v FROM reach r1
+       |  JOIN reach r2 ON r1.s = r2.d AND r1.d = r2.s)
+       |SELECT v.id, CAST(least(v.id, coalesce(m.mn, v.id)) AS BIGINT) AS scc
+       |FROM sv v LEFT JOIN (SELECT v AS id, min(u) AS mn FROM mutual GROUP BY v) m
+       |  ON v.id = m.id""".stripMargin
+
+  /** Katz index on distance-2 non-adjacent candidates, u % uMod == 0 (mirrors
+    * LinkPredEval.katzScores at maxPathLength = 3, beta = 1/betaDen): exact int64
+    * walk counts per level, exact integer numerator in beta^3 units. */
+  def katz(uMod: Long, betaDen: Long): String = {
+    val (b1, b2, b3) = (betaDen * betaDen, betaDen, 1L)
+    s"""$base,
+       |$biCte,
+       |c1 AS MATERIALIZED (SELECT a AS s, b AS id, CAST(1 AS BIGINT) AS c FROM bi WHERE a % $uMod = 0),
+       |c2 AS MATERIALIZED (SELECT c1.s, bi.b AS id, CAST(sum(c1.c) AS BIGINT) AS c
+       |  FROM c1 JOIN bi ON c1.id = bi.a GROUP BY 1, 2),
+       |c3 AS MATERIALIZED (SELECT c2.s, bi.b AS id, CAST(sum(c2.c) AS BIGINT) AS c
+       |  FROM c2 JOIN bi ON c2.id = bi.a GROUP BY 1, 2),
+       |ev AS MATERIALIZED (
+       |  SELECT s AS u, id AS v, c AS k1, CAST(0 AS BIGINT) AS k2, CAST(0 AS BIGINT) AS k3 FROM c1
+       |  UNION ALL SELECT s, id, 0, c, 0 FROM c2
+       |  UNION ALL SELECT s, id, 0, 0, c FROM c3),
+       |agg AS MATERIALIZED (SELECT u, v, CAST(sum(k1) AS BIGINT) AS k1,
+       |  CAST(sum(k2) AS BIGINT) AS k2, CAST(sum(k3) AS BIGINT) AS k3
+       |  FROM ev GROUP BY u, v)
+       |SELECT u, v, CAST(k1 * $b1 + k2 * $b2 + k3 * $b3 AS BIGINT) AS katz_num
+       |FROM agg WHERE u < v AND k1 = 0 AND k2 > 0""".stripMargin
+  }
+
+  /** End-to-end link-prediction evaluation (mirrors LinkPredEval.run): LCG holdout
+    * split -> ResourceAllocation on the training graph's distance-2 candidates ->
+    * cumulative confusion counts at the percentile rank thresholds. */
+  def linkpredEval(trainRatio: Double, uMod: Long, numThresholds: Int, seed: Long): String = {
+    import GraphSpec.{lcg, M}
+    val x = s"(u.src * 1000003 + u.dst + $seed)"
+    val draw = s"(((${lcg(x)} * ${lcg(s"($x) + 1000003")}) // 65536) % $M)"
+    s"""$base,
+       |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst FROM edges),
+       |cm AS MATERIALIZED (SELECT count(*) AS m FROM und),
+       |rked AS MATERIALIZED (SELECT u.src, u.dst,
+       |  row_number() OVER (ORDER BY ($draw) ASC, u.src ASC, u.dst ASC) - 1 AS pos FROM und u),
+       |ho AS MATERIALIZED (SELECT src, dst FROM rked
+       |  WHERE pos < (SELECT CAST(m - floor($trainRatio * m) AS BIGINT) FROM cm)),
+       |tr AS MATERIALIZED (SELECT src, dst FROM rked
+       |  WHERE pos >= (SELECT CAST(m - floor($trainRatio * m) AS BIGINT) FROM cm)),
+       |tbi AS MATERIALIZED (SELECT src AS a, dst AS b FROM tr UNION ALL SELECT dst, src FROM tr),
+       |dg AS MATERIALIZED (SELECT a AS id, count(*) AS deg FROM tbi GROUP BY a),
+       |wu AS MATERIALIZED (SELECT a AS z, b AS u FROM tbi WHERE b % $uMod = 0),
+       |pairs AS MATERIALIZED (
+       |  SELECT wu.u, wv.b AS v, round(sum(1.0 / dg.deg), 7) AS ra
+       |  FROM wu JOIN tbi wv ON wu.z = wv.a JOIN dg ON wu.z = dg.id
+       |  WHERE wu.u < wv.b GROUP BY 1, 2),
+       |cand AS MATERIALIZED (
+       |  SELECT p.* FROM pairs p LEFT JOIN tr e ON e.src = p.u AND e.dst = p.v
+       |  WHERE e.src IS NULL),
+       |flg AS MATERIALIZED (
+       |  SELECT c.u, c.v, c.ra, (h.src IS NOT NULL) AS pos,
+       |    row_number() OVER (ORDER BY c.ra DESC, c.u ASC, c.v ASC) - 1 AS rnk
+       |  FROM cand c LEFT JOIN ho h ON h.src = c.u AND h.dst = c.v),
+       |np AS MATERIALIZED (SELECT count(*) AS n,
+       |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS npos FROM flg),
+       |thr AS MATERIALIZED (SELECT DISTINCT
+       |    CAST(ceil((np.n * t.i) / ${(numThresholds - 1).toDouble}) AS BIGINT) AS thr
+       |  FROM generate_series(0, ${numThresholds - 1}) t(i) CROSS JOIN np),
+       |cnts AS MATERIALIZED (SELECT t.thr,
+       |    CAST(coalesce(sum(CASE WHEN f.pos THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+       |    CAST(coalesce(sum(CASE WHEN NOT f.pos THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp
+       |  FROM thr t LEFT JOIN flg f ON f.rnk < t.thr GROUP BY t.thr)
+       |SELECT c.thr, c.tp, c.fp,
+       |  CAST(np.npos - c.tp AS BIGINT) AS fn,
+       |  CAST((np.n - np.npos) - c.fp AS BIGINT) AS tn,
+       |  CASE WHEN np.npos = 0 THEN 0.0 ELSE c.tp::double / np.npos END AS tpr,
+       |  CASE WHEN np.n - np.npos = 0 THEN 0.0 ELSE c.fp::double / (np.n - np.npos) END AS fpr,
+       |  CASE WHEN c.tp + c.fp = 0 THEN 1.0 ELSE c.tp::double / (c.tp + c.fp) END AS "precision",
+       |  CASE WHEN c.tp + (np.npos - c.tp) = 0 THEN 1.0
+       |       ELSE c.tp::double / (c.tp + (np.npos - c.tp)) END AS recall
+       |FROM cnts c CROSS JOIN np""".stripMargin
+  }
+
+  /** PageRankNibble sweep table (mirrors Scd.approximatePageRank at `rounds` fixed
+    * batched push rounds + Scd.sweep): exact scaled-integer APR state, then the
+    * integer conductance-sweep columns (rank, id, p, vol, cum_vol, cut, denom). */
+  def prNibbleSweep(seed: Long, rounds: Int, aNum: Long = 15L, aDen: Long = 100L,
+                    eNum: Long = 1L, eDen: Long = 10000L,
+                    scale: Long = 1000000000000L): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""act$i AS MATERIALIZED (SELECT id, res, vol FROM s${i - 1}
+         |  WHERE res * $eDen >= vol * $eNum * $scale),
+         |msg$i AS MATERIALIZED (SELECT biw.b AS id,
+         |    CAST(sum(((${aDen - aNum} * a.res) * biw.w) // (${2 * aDen} * a.vol)) AS BIGINT) AS m
+         |  FROM biw JOIN act$i a ON biw.a = a.id GROUP BY biw.b),
+         |s$i AS MATERIALIZED (
+         |  SELECT s.id,
+         |    CAST(s.p + CASE WHEN a.id IS NOT NULL THEN ($aNum * s.res) // $aDen ELSE 0 END AS BIGINT) AS p,
+         |    CAST(CASE WHEN a.id IS NOT NULL THEN (${aDen - aNum} * s.res) // ${2 * aDen} ELSE s.res END
+         |      + coalesce(m.m, 0) AS BIGINT) AS res,
+         |    s.vol
+         |  FROM s${i - 1} s LEFT JOIN act$i a ON s.id = a.id LEFT JOIN msg$i m ON s.id = m.id
+         |  UNION ALL
+         |  SELECT m.id, CAST(0 AS BIGINT), m.m, v.vol
+         |  FROM msg$i m LEFT JOIN s${i - 1} s ON m.id = s.id JOIN vl v ON m.id = v.id
+         |  WHERE s.id IS NULL)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |und AS MATERIALIZED (SELECT least(src, dst) AS s, greatest(src, dst) AS t, count(*) AS w
+       |  FROM edges GROUP BY 1, 2),
+       |biw AS MATERIALIZED (SELECT s AS a, t AS b, w FROM und UNION ALL SELECT t, s, w FROM und),
+       |vl AS MATERIALIZED (SELECT a AS id, CAST(sum(w) AS BIGINT) AS vol FROM biw GROUP BY a),
+       |tot AS MATERIALIZED (SELECT CAST(2 * sum(w) AS BIGINT) AS tv FROM und),
+       |s0 AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS p, CAST($scale AS BIGINT) AS res, vol
+       |  FROM vl WHERE id = $seed),
+       |$steps,
+       |sup AS MATERIALIZED (SELECT id, p, vol, (p * 1000000) // vol AS score
+       |  FROM s$rounds WHERE p > 0 OR res > 0),
+       |rkd AS MATERIALIZED (SELECT id, p, vol, score,
+       |  row_number() OVER (ORDER BY score DESC, id ASC) - 1 AS srank FROM sup),
+       |cum AS MATERIALIZED (SELECT *,
+       |  CAST(sum(vol) OVER (ORDER BY srank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vol
+       |  FROM rkd),
+       |ev AS MATERIALIZED (SELECT greatest(ra.srank, rb.srank) AS erank, CAST(sum(und.w) AS BIGINT) AS wsum
+       |  FROM und JOIN rkd ra ON und.s = ra.id JOIN rkd rb ON und.t = rb.id
+       |  GROUP BY 1),
+       |swp AS MATERIALIZED (SELECT c.srank, c.id, c.p, c.vol, c.cum_vol,
+       |  CAST(sum(coalesce(ev.wsum, 0)) OVER (ORDER BY c.srank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_intra
+       |  FROM cum c LEFT JOIN ev ON c.srank = ev.erank)
+       |SELECT srank AS "rank", id, p, vol, cum_vol,
+       |  CAST(cum_vol - 2 * cum_intra AS BIGINT) AS cut,
+       |  CAST(least(cum_vol, (SELECT tv FROM tot) - cum_vol) AS BIGINT) AS denom
+       |FROM swp""".stripMargin
+  }
+
+  // --- partition-evaluation family (mirrors graft.algo.PartitionEval over PLP labels) ---
+
+  /** Intra-cluster labeled edge view + per-cluster size, shared CTE block. */
+  private def partitionEvalCtes(rounds: Int): String =
+    s"""le AS MATERIALIZED (SELECT und.s, und.t, und.w, a.label AS lsrc, b.label AS ldst
+       |  FROM und JOIN p$rounds a ON und.s = a.id JOIN p$rounds b ON und.t = b.id),
+       |sz AS MATERIALIZED (SELECT label, count(*) AS size FROM p$rounds GROUP BY label)""".stripMargin
+
+  /** Mirrors PartitionEval.hubDominance over PLP labels at `rounds`. */
+  def hubDominance(rounds: Int): String =
+    s"""$base,
+       |$biCte,
+       |${plpSteps(rounds)},
+       |$undDegCte,
+       |${partitionEvalCtes(rounds)},
+       |intra AS MATERIALIZED (SELECT s, t, lsrc AS label FROM le WHERE lsrc = ldst),
+       |internal AS MATERIALIZED (SELECT id, label, count(*) AS ideg FROM
+       |  (SELECT s AS id, label FROM intra UNION ALL SELECT t, label FROM intra)
+       |  GROUP BY id, label),
+       |mx AS MATERIALIZED (SELECT label, max(ideg) AS m FROM internal GROUP BY label)
+       |SELECT sz.label, CAST(sz.size AS BIGINT) AS size,
+       |  CAST(coalesce(mx.m, 0) AS BIGINT) AS max_internal_deg,
+       |  CASE WHEN sz.size <= 1 THEN 1.0
+       |       ELSE coalesce(mx.m, 0)::double / (sz.size - 1) END AS dominance
+       |FROM sz LEFT JOIN mx ON sz.label = mx.label""".stripMargin
+
+  /** Mirrors PartitionEval.intrapartitionDensity over PLP labels at `rounds`. */
+  def intrapartitionDensity(rounds: Int): String =
+    s"""$base,
+       |$biCte,
+       |${plpSteps(rounds)},
+       |$undDegCte,
+       |${partitionEvalCtes(rounds)},
+       |intra AS MATERIALIZED (SELECT lsrc AS label, count(*) AS ie FROM le
+       |  WHERE lsrc = ldst GROUP BY lsrc)
+       |SELECT sz.label, CAST(sz.size AS BIGINT) AS size,
+       |  CAST(coalesce(intra.ie, 0) AS BIGINT) AS intra_edges,
+       |  CASE WHEN sz.size * (sz.size - 1) / 2 = 0 THEN 1.0
+       |       ELSE coalesce(intra.ie, 0)::double / (sz.size * (sz.size - 1) / 2) END AS density
+       |FROM sz LEFT JOIN intra ON sz.label = intra.label""".stripMargin
+
+  /** Mirrors PartitionEval.isolatedInterpartition over PLP labels at `rounds`. */
+  def isolatedInterpartition(rounds: Int): String =
+    s"""$base,
+       |$biCte,
+       |${plpSteps(rounds)},
+       |$undDegCte,
+       |${partitionEvalCtes(rounds)},
+       |tot AS MATERIALIZED (SELECT sum(w) AS w_all FROM le),
+       |nv AS MATERIALIZED (SELECT count(*) AS n_all FROM p$rounds),
+       |cutp AS MATERIALIZED (SELECT label, CAST(sum(w) AS BIGINT) AS cut FROM
+       |  (SELECT lsrc AS label, w FROM le WHERE lsrc != ldst
+       |   UNION ALL SELECT ldst, w FROM le WHERE lsrc != ldst) GROUP BY label),
+       |vol AS MATERIALIZED (SELECT label, CAST(sum(w) AS BIGINT) AS vol FROM
+       |  (SELECT lsrc AS label, w FROM le UNION ALL SELECT ldst, w FROM le) GROUP BY label)
+       |SELECT sz.label, CAST(sz.size AS BIGINT) AS size,
+       |  coalesce(vol.vol, 0) AS vol, coalesce(cutp.cut, 0) AS cut,
+       |  CASE WHEN least(coalesce(vol.vol, 0), 2 * tot.w_all - coalesce(vol.vol, 0)) <= 0 THEN 0.0
+       |       ELSE coalesce(cutp.cut, 0)::double /
+       |            least(coalesce(vol.vol, 0), 2 * tot.w_all - coalesce(vol.vol, 0)) END AS conductance,
+       |  CASE WHEN least(sz.size, nv.n_all - sz.size) <= 0 THEN 0.0
+       |       ELSE coalesce(cutp.cut, 0)::double /
+       |            least(sz.size, nv.n_all - sz.size) END AS expansion
+       |FROM sz LEFT JOIN vol ON sz.label = vol.label
+       |LEFT JOIN cutp ON sz.label = cutp.label
+       |CROSS JOIN tot CROSS JOIN nv""".stripMargin
+
+  /** Mirrors PartitionEval.fragmentation over PLP labels at `rounds` with connected
+    * components at `ccRounds` unrolled min-label rounds. */
+  def fragmentation(rounds: Int, ccRounds: Int = 12): String =
+    s"""$base,
+       |$biCte,
+       |${plpSteps(rounds)},
+       |${ccSteps(ccRounds)},
+       |sz AS MATERIALIZED (SELECT label, count(*) AS size FROM p$rounds GROUP BY label),
+       |piece AS MATERIALIZED (SELECT p.label, c.label AS comp, count(*) AS piece
+       |  FROM p$rounds p JOIN l$ccRounds c ON p.id = c.id GROUP BY 1, 2),
+       |mx AS MATERIALIZED (SELECT label, max(piece) AS max_piece FROM piece GROUP BY label)
+       |SELECT sz.label, CAST(sz.size AS BIGINT) AS size,
+       |  CAST(coalesce(mx.max_piece, 0) AS BIGINT) AS max_piece,
+       |  1.0 - coalesce(mx.max_piece, 0)::double / sz.size AS fragmentation
+       |FROM sz LEFT JOIN mx ON sz.label = mx.label""".stripMargin
+
+  /** Mirrors PartitionEval.stablePartitionNodes over PLP labels at `rounds`. */
+  def stablePartitionNodes(rounds: Int): String =
+    s"""$base,
+       |$biCte,
+       |${plpSteps(rounds)},
+       |$undDegCte,
+       |biw AS MATERIALIZED (SELECT s AS a, t AS b, w FROM und UNION ALL SELECT t, s, w FROM und),
+       |lw AS MATERIALIZED (SELECT biw.a AS id, pa.label AS label, pb.label AS nl,
+       |    CAST(sum(biw.w) AS BIGINT) AS w
+       |  FROM biw JOIN p$rounds pa ON biw.a = pa.id JOIN p$rounds pb ON biw.b = pb.id
+       |  GROUP BY 1, 2, 3),
+       |own AS MATERIALIZED (SELECT id, w AS own FROM lw WHERE nl = label),
+       |fm AS MATERIALIZED (SELECT id, max(w) AS fmax FROM lw WHERE nl != label GROUP BY id),
+       |dgn AS MATERIALIZED (SELECT DISTINCT id FROM lw),
+       |st AS MATERIALIZED (SELECT p.id, p.label,
+       |  CASE WHEN dgn.id IS NULL THEN true
+       |       WHEN coalesce(own.own, 0) > 0 AND coalesce(fm.fmax, 0) < coalesce(own.own, 0)
+       |         THEN true ELSE false END AS stable
+       |  FROM p$rounds p LEFT JOIN dgn ON p.id = dgn.id
+       |  LEFT JOIN own ON p.id = own.id LEFT JOIN fm ON p.id = fm.id)
+       |SELECT label, CAST(count(*) AS BIGINT) AS size,
+       |  CAST(sum(CASE WHEN stable THEN 1 ELSE 0 END) AS BIGINT) AS stable,
+       |  sum(CASE WHEN stable THEN 1 ELSE 0 END)::double / count(*) AS stable_frac
+       |FROM st GROUP BY label""".stripMargin
 }

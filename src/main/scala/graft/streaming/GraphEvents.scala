@@ -90,4 +90,45 @@ object GraphEvents {
     biC.unpersist()
     lbl
   }
+
+  /** DynConnectedComponents edge-REMOVAL repair (components/DynConnectedComponents
+    * .cpp edge-removal case — the reference BFS-checks whether the endpoints are still
+    * connected and relabels the split-off side). Min-node-id label semantics make the
+    * repair local and exact: only the components containing a removed edge's endpoints
+    * can change, so min-label propagation is re-run from singleton labels INSIDE those
+    * components only (over `bi`, which must already EXCLUDE the removed edges); every
+    * other component's labels pass through untouched. Cost ∝ affected-component
+    * adjacency × its diameter — at web scale that's one community, not the graph.
+    * Result is identical to a cold ConnectedComponents recompute. */
+  def decrementalCC(spark: SparkSession, labels: DataFrame, bi: DataFrame,
+                    removedEdges: DataFrame): DataFrame = {
+    val touched = removedEdges
+      .select(col("src").as("id")).union(removedEdges.select(col("dst").as("id")))
+      .distinct().join(labels, "id").select("label").distinct().cutLineage
+    val affected = labels.join(touched, Seq("label"), "left_semi")
+      .select("id").cutLineage
+    val subBi = bi
+      .join(affected.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(affected.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var lbl = affected.select(col("id"), col("id").as("label")).cutLineage
+    var frontier = lbl
+    var active = frontier.count()
+    while (active > 0) {
+      val msgs = subBi.join(frontier.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("label").as("cand"))
+      val next = lbl.join(msgs, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("cand"), col("label"))).as("label"),
+          (col("cand") < col("label")).as("changed"))
+        .cutLineage
+      frontier = next.filter(col("changed")).select("id", "label")
+      active = frontier.count()
+      lbl = next.select("id", "label")
+    }
+    subBi.unpersist()
+    // select() pins the column order: the USING-join moves `label` first, and the
+    // union below is positional.
+    labels.join(touched, Seq("label"), "left_anti").select("id", "label").union(lbl)
+  }
 }

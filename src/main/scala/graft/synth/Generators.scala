@@ -3,6 +3,7 @@ package graft.synth
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.DataFrameLineageOps
 import graft.model.LinkGraph
 
 /** Deterministic distributed graph generators — every edge is a pure function of
@@ -264,5 +265,184 @@ object Generators {
     val out = LinkGraph.fromEdges(spark, edges, Some(nIds))
     cum.unpersist()
     out
+  }
+
+  /** StochasticBlockmodel (generators/StochasticBlockmodel.cpp:24-40): undirected
+    * Bernoulli(affinity(block u, block v)) per node pair. The reference loops all n²
+    * pairs — infeasible at scale — so each BLOCK PAIR is index-sampled like
+    * [[erdosRenyi]]: draw round(p·|pairs|) uniform pairs from the a×b index space and
+    * map indices to members (documented deviation: expected-count sampling instead of
+    * per-pair Bernoulli — same expectation, Poisson-ish count variance).
+    *
+    * `membership`: (id, block). `affinity(a)(b)` symmetric. Returns the graph; the
+    * planted partition is the membership input itself. */
+  def stochasticBlockmodel(spark: SparkSession, membership: DataFrame,
+                           affinity: Seq[Seq[Double]], seed: Long = 42L): LinkGraph = {
+    import graft.layout.Layout
+    val nBlocks = affinity.size
+    // Contiguous per-block member index: global rank by (block, id) minus block offset.
+    val ranked = Layout.zipWithRankBy(membership.select(col("id"), col("block")),
+      Seq(col("block").asc, col("id").asc), "grk")
+    val sizes = ranked.groupBy("block").agg(count(lit(1)).as("sz"), min("grk").as("off"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val members = ranked
+      .join(ranked.groupBy("block").agg(min("grk").as("off")), "block")
+      .select(col("block"), (col("grk") - col("off")).as("idx"), col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    members.count()
+    // One draw batch per block pair (a <= b), concatenated into a single range.
+    val pairSpecs = for {
+      a <- 0 until nBlocks; b <- a until nBlocks
+      (sa, _) = sizes.getOrElse(a.toLong, (0L, 0L))
+      (sb, _) = sizes.getOrElse(b.toLong, (0L, 0L))
+      pairs = if (a == b) sa * (sa - 1) / 2 else sa * sb
+      m = math.round(affinity(a)(b) * pairs) if m > 0
+    } yield (a.toLong, b.toLong, sa, sb, m)
+    val drawn = pairSpecs.zipWithIndex.map { case ((a, b, sa, sb, m), pi) =>
+      val base = seed * 7919L + pi * 15485863L
+      spark.range(m).select(
+        lit(a).as("ba"), lit(b).as("bb"),
+        (expr(s"(${draw(s"id*2 + $base")} div 64)") % sa).as("ia"),
+        (expr(s"(${draw(s"id*2 + 1 + $base")} div 64)") % sb).as("ib"))
+    }.reduceOption(_ union _)
+    val edges = drawn match {
+      case None => membership.select(col("id").as("src"), col("id").as("dst"),
+        lit(1.0).as("weight")).filter(lit(false))
+      case Some(d) =>
+        d.join(members.select(col("block").as("ba"), col("idx").as("ia"),
+            col("id").as("src")), Seq("ba", "ia"))
+          .join(members.select(col("block").as("bb"), col("idx").as("ib"),
+            col("id").as("dst")), Seq("bb", "ib"))
+          .filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("src"),
+            greatest(col("src"), col("dst")).as("dst"))
+          .distinct()
+          .withColumn("weight", lit(1.0))
+    }
+    val out = LinkGraph.fromEdges(spark, edges, Some(membership.select("id")))
+    members.unpersist(); ranked.unpersist()
+    out
+  }
+
+  /** LFR-style community benchmark (generators/LFRGenerator.cpp:1-558): power-law
+    * node degrees, power-law community sizes, mixing parameter mu = fraction of each
+    * node's degree leaving its community. The reference realizes exact degree
+    * sequences with sequential edge-switching Markov chains; this engine composes its
+    * deterministic Chung-Lu machinery instead — intra-community expected-degree
+    * sampling on (1-mu)·deg per community (ONE batched pipeline keyed by community,
+    * no per-community loop) plus one global pass on mu·deg — same expected degrees
+    * and mixing, fully index-parallel (the standard scalable LFR approximation; the
+    * planted recovery tests in PlmSpec consume it). Degrees are assigned through an
+    * affine index permutation so hubs spread across communities.
+    *
+    * Returns (graph, planted (id, block) partition). */
+  def lfrLike(spark: SparkSession, n: Long, minDeg: Long, maxDeg: Long,
+              gamma: Double, mu: Double, minCommunity: Long, maxCommunity: Long,
+              communityExp: Double = 2.0, seed: Long = 42L): (LinkGraph, DataFrame) = {
+    import graft.layout.Layout
+    require(mu >= 0.0 && mu <= 1.0)
+    // Community sizes: power-law-spaced, accumulated to cover n (last one absorbs the
+    // remainder like the reference's gap-fill, LFRGenerator.cpp:47-60).
+    val maxComms = math.max(4L, 4L * n / math.max(1L, minCommunity))
+    val sizesRaw = powerlawDegreeSequence(spark, maxComms, minCommunity, maxCommunity,
+      communityExp).withColumnRenamed("id", "c")
+    val ps = Layout.prefixSum(sizesRaw, Seq(col("c")), "w", "cum")
+    val cumSizes = ps
+      .filter(col("cum") < n)
+      .select(col("c").as("block"), col("cum"),
+        least(col("w"), lit(n) - col("cum")).as("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cumSizes.count()
+    ps.unpersist()
+    // Membership: contiguous id blocks [cum, cum+sz) — bucketed interval join.
+    val bSize = math.max(1L, minCommunity)
+    val ivals = cumSizes.select(col("block"), col("cum"), col("sz"),
+      explode(expr(s"sequence(cum div $bSize, (cum + sz - 1) div $bSize)")).as("bk"))
+    val membership = spark.range(n)
+      .withColumn("bk", expr(s"id div $bSize")).join(ivals, "bk")
+      .filter(col("id") >= col("cum") && col("id") < col("cum") + col("sz"))
+      .select(col("id"), col("block"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    membership.count()
+    // Degrees via an affine permutation of the power-law sequence (spread hubs).
+    val aPerm = Iterator.iterate(1000003L)(_ + 2L).find(a => gcd(a, n) == 1L).get
+    val w = powerlawDegreeSequence(spark, n, minDeg, maxDeg, gamma)
+      .select(col("id"), col("w"))
+    val deg = spark.range(n).select(col("id"), pmod(col("id") * aPerm, lit(n)).as("pid"))
+      .join(w.withColumnRenamed("id", "pid"), "pid").select(col("id"), col("w"))
+    val wInt = deg.select(col("id"),
+      floor(col("w") * (1.0 - mu)).cast("long").as("w")).filter(col("w") > 0L)
+    val wExt = deg.select(col("id"),
+      ceil(col("w") * mu).cast("long").as("w")).filter(col("w") > 0L)
+    // Intra-community Chung-Lu, batched by community.
+    val intra = chungLuGrouped(spark, wInt.join(membership, "id"), seed * 31L + 7L)
+    val inter = chungLu(spark, wExt, seed * 31L + 11L).edges
+      .select("src", "dst", "weight")
+    // Lineage cut: the generator pipeline above is ~10 plan levels deep (prefix sums,
+    // interval joins, two Chung-Lu passes); without truncation every downstream
+    // driver-loop round (PLM/PLP on the planted graph) re-renders the whole generator
+    // plan per job and the driver spends its time in plan stringification, not work.
+    val edges = intra.select("src", "dst")
+      .union(inter.select("src", "dst"))
+      .distinct().withColumn("weight", lit(1.0))
+      .cutLineage
+    val g = LinkGraph.fromEdges(spark, edges, Some(spark.range(n).select(col("id"))))
+    cumSizes.unpersist()
+    (g, membership)
+  }
+
+  private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+
+  /** Batched per-group Chung-Lu: expected-degree sampling where BOTH endpoints of a
+    * pair come from the same `block` — one pipeline over all groups (pair budget
+    * W_c/2 per group via a cumulative-weight interval join), no per-group loop. Input
+    * (id, w, block); output canonical undirected edges. */
+  def chungLuGrouped(spark: SparkSession, degSeq: DataFrame, seed: Long): DataFrame = {
+    import graft.layout.Layout
+    val cum = Layout.prefixSum(degSeq.select(col("id"), col("w"), col("block")),
+      Seq(col("block").asc, col("id").asc), "w", "cum")
+    val totalW = cum.agg(coalesce(sum("w"), lit(0L))).head().getLong(0)
+    if (totalW < 2) { cum.unpersist(); return degSeq.select(col("id").as("src"),
+      col("id").as("dst")).filter(lit(false)) }
+    val gAgg = cum.groupBy("block")
+      .agg(sum("w").as("gw"), min("cum").as("goff"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    gAgg.count()
+    val bucketSize = math.max(1L, totalW / math.max(32L, totalW / 64L))
+    // Node intervals [cum, cum+w) in the GLOBAL weight space (blocks are contiguous).
+    val nodeIvals = cum.filter(col("w") > 0L)
+      .select(col("id"), col("cum"), col("w"),
+        explode(expr(s"sequence(cum div $bucketSize, (cum + w - 1) div $bucketSize)")).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Pair k (k < totalW/2) belongs to the block whose weight range contains 2k;
+    // its endpoints are drawn within that block's [goff, goff+gw).
+    val mTarget = totalW / 2L
+    val gIvals = gAgg.filter(col("gw") > 0L)
+      .select(col("block"), col("goff"), col("gw"),
+        explode(expr(s"sequence(goff div $bucketSize, (goff + gw - 1) div $bucketSize)")).as("b"))
+    val pairs = spark.range(mTarget)
+      .select(col("id").as("pair"), (col("id") * 2L).as("pos"))
+      .withColumn("b", expr(s"pos div $bucketSize"))
+      .join(gIvals, "b")
+      .filter(col("pos") >= col("goff") && col("pos") < col("goff") + col("gw"))
+      .select(col("pair"), col("goff"), col("gw"))
+    val withDraws = pairs.select(col("pair"),
+      (col("goff") + expr(s"(${draw(s"pair*2 + $seed*60013")} * ${GraphSpec.M} + " +
+        s"${draw(s"pair*2 + 1 + $seed*60013")})") % col("gw")).as("u0"),
+      (col("goff") + expr(s"(${draw(s"pair*2 + $seed*31337")} * ${GraphSpec.M} + " +
+        s"${draw(s"pair*2 + 1 + $seed*31337")})") % col("gw")).as("u1"))
+    def resolve(df: DataFrame, uCol: String, out: String): DataFrame = df
+      .withColumn("b", expr(s"$uCol div $bucketSize"))
+      .join(nodeIvals, "b")
+      .filter(col(uCol) >= col("cum") && col(uCol) < col("cum") + col("w"))
+      .select(col("pair"), col("id").as(out))
+    val e = resolve(withDraws.select(col("pair"), col("u0")), "u0", "src")
+      .join(resolve(withDraws.select(col("pair"), col("u1")), "u1", "dst"), "pair")
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .distinct()
+    nodeIvals.unpersist(); gAgg.unpersist(); cum.unpersist()
+    e
   }
 }

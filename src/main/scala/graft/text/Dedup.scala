@@ -27,6 +27,15 @@ object Dedup {
   val ShingleSize = 3
   /** Shingles occurring in more than this many docs are dropped (skew guard). */
   val maxShingleFreq = 100L
+  /** MinHash band buckets larger than this are dropped — the hub-key guard applied to
+    * the band join itself. Mass boilerplate that survives the shingle filter (e.g.
+    * near-identical template families) would otherwise put 10^k docs in ONE (band,key)
+    * bucket and the candidate self-join goes quadratic on a single reducer. A bucket
+    * this full is template noise, not near-dup signal; dropping it bounds in-bucket
+    * pairs at cap^2/2 per bucket. Mirrored exactly in the DuckDB oracle. */
+  val maxBandFreq = 256L
+  /** Same guard for SimHash 16-bit chunk buckets. */
+  val maxChunkFreq = 256L
 
   private def lcg(x: Long): Long = {
     import GraphSpec.{A, C, M}
@@ -95,12 +104,19 @@ object Dedup {
     * candidates are verified with exact Jaccard >= tau. Output (a, b, jaccard), a < b.
     * This is the 100 TB-scale path — candidate generation never compares non-colliding
     * docs, and band keys distribute uniformly. */
-  def minhashNearDups(docs: DataFrame, tau: Double): DataFrame = {
+  def minhashNearDups(docs: DataFrame, tau: Double,
+                      maxBucket: Long = maxBandFreq): DataFrame = {
     val (sh, sizes) = prepared(docs)
     val sig = signatureFrom(sh)
-    val bands = sig.select(col("doc_id"),
+    val allBands = sig.select(col("doc_id"),
       explode(array((0 until NumBands).map(b => struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Hot-bucket guard: drop (band,key) buckets with more than maxBucket members
+    // BEFORE the self-join, so no single bucket can go quadratic.
+    val hot = allBands.groupBy("band", "key").agg(count(lit(1)).as("c"))
+      .filter(col("c") > maxBucket).select("band", "key")
+    val bands = allBands.join(hot, Seq("band", "key"), "left_anti")
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -146,14 +162,20 @@ object Dedup {
     * maxHamming <= 3 and approximate beyond. Bucket space is ~2^16 per chunk (vs 2^8
     * before), so in-bucket candidate pairs stay sub-quadratic as the corpus grows.
     * Output (a, b, hamming). */
-  def simhashNearDups(docs: DataFrame, maxHamming: Int): DataFrame = {
+  def simhashNearDups(docs: DataFrame, maxHamming: Int,
+                      maxBucket: Long = maxChunkFreq): DataFrame = {
     val sig = simhash(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    val chunks = sig.select(col("doc_id"), col("simhash"),
+    val allChunks = sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until SimChunks).map(c =>
         struct(lit(c).as("chunk"),
           shiftright(col("simhash"), SimChunkBits * c)
             .bitwiseAND(lit((1L << SimChunkBits) - 1L)).as("v"))): _*)).as("cv"))
       .select(col("doc_id"), col("simhash"), col("cv.chunk").as("chunk"), col("cv.v").as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Hot-bucket guard, same rationale as minhashNearDups.
+    val hot = allChunks.groupBy("chunk", "v").agg(count(lit(1)).as("c"))
+      .filter(col("c") > maxBucket).select("chunk", "v")
+    val chunks = allChunks.join(hot, Seq("chunk", "v"), "left_anti")
     chunks.as("x").join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.v") === col("y.v") &&
           col("x.doc_id") < col("y.doc_id"))

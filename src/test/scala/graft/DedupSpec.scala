@@ -98,4 +98,43 @@ class DedupSpec extends AnyFunSuite {
     assert(Embeddings.planesFor(1000000) == 16)
     assert(Embeddings.planesFor(10000000000L) > 25)
   }
+
+  // --- hot-bucket guards: a planted boilerplate cluster must not go quadratic ---
+
+  /** 80 identical docs (below the 100-doc stop-shingle threshold, so their shingles
+    * survive and ALL land in the same band/chunk buckets) + 2 unrelated docs. */
+  private def boilerplate(k: Int = 80) = docsDf(
+    Seq.fill(k)("lorem ipsum dolor sit amet consectetur adipiscing elit sed do") ++
+      Seq("totally different text one here now ok fine yes",
+          "another unrelated document with its own words entirely"))
+
+  test("minhash hot-band cap drops mega-buckets; default cap keeps real dup clusters") {
+    val d = boilerplate()
+    // Capped below the cluster size: every band bucket (80 members) is dropped, the
+    // candidate self-join sees nothing — this is the stage that would otherwise
+    // produce 80*79/2 in-bucket pairs (quadratic in cluster size).
+    assert(Dedup.minhashNearDups(d, 0.5, maxBucket = 16L).count() == 0L)
+    // Default cap (256) is above the cluster: all 3160 exact-dup pairs verified.
+    assert(Dedup.minhashNearDups(d, 0.5).count() == 80L * 79 / 2)
+  }
+
+  test("simhash hot-chunk cap drops mega-buckets; default cap keeps the cluster") {
+    val d = boilerplate()
+    assert(Dedup.simhashNearDups(d, 3, maxBucket = 16L).count() == 0L)
+    assert(Dedup.simhashNearDups(d, 3).count() == 80L * 79 / 2)
+  }
+
+  test("embedding lsh hot-bucket cap bounds build-side fan-out") {
+    val s = spark
+    import s.implicits._
+    val base = (0 until 64).map(i => math.sin(i * 0.7).toFloat)
+    val far = (0 until 64).map(i => (if (i % 2 == 0) -1f else 1f) * math.cos(i * 1.3).toFloat)
+    val emb = ((0 until 60).map(i => (i.toLong, base, 0)) :+ (60L, far, 0))
+      .toDF("vec_id", "embedding", "label")
+    // 60 identical vectors share every home bucket; cap 8 drops those buckets from the
+    // build side, so no intra-cluster pair survives.
+    assert(Embeddings.lshNearDups(emb, 0.9, maxBucket = 8L).count() == 0L)
+    // Default cap (256) keeps the cluster: all 60*59/2 cos=1 pairs.
+    assert(Embeddings.lshNearDups(emb, 0.9).count() == 60L * 59 / 2)
+  }
 }

@@ -189,4 +189,34 @@ class StreamingSpec extends AnyFunSuite {
     val got = upd.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.values.toSet == Set(0L))
   }
+
+  test("decremental CC repairs a split component; add->remove->add = cold recompute") {
+    val s = spark
+    import s.implicits._
+    def biOf(es: Seq[(Long, Long)]) =
+      es.flatMap(e => Seq(e, (e._2, e._1))).toDF("src", "dst")
+    // ring 0-1-2-3-0 plus tail 3-4, separate pair 10-11; labels at fixpoint.
+    val edges0 = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L), (3L, 4L), (10L, 11L))
+    val labels0 = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L),
+      (10L, 10L), (11L, 10L)).toDF("id", "label")
+    // remove 2-3 (ring survives via 0-3: no split) then 0-3 (now 3,4 split off... no:
+    // 3 still reaches 2 via... edges left: 0-1,1-2,3-4 -> {0,1,2} and {3,4}).
+    val edges1 = edges0.filterNot(e => e == (2L, 3L) || e == (0L, 3L))
+    val l1 = GraphEvents.decrementalCC(spark, labels0, biOf(edges1),
+      Seq((2L, 3L), (0L, 3L)).toDF("src", "dst"))
+    val got1 = l1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got1 == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L,
+      10L -> 10L, 11L -> 10L))
+    // re-add 0-3: incremental insert merges back to the original labeling.
+    val l2 = GraphEvents.incrementalCC(spark, l1,
+      biOf(edges1 :+ (0L -> 3L)), Seq((0L, 3L)).toDF("src", "dst"))
+    val got2 = l2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cold recompute on the same edge set for comparison
+    val cold = graft.algo.ConnectedComponents.run(spark,
+      graft.model.LinkGraph.fromEdges(spark,
+        (edges1 :+ (0L -> 3L)).map(e => (e._1, e._2, 1.0)).toDF("src", "dst", "weight"),
+        Some(Seq(0L, 1L, 2L, 3L, 4L, 10L, 11L).toDF("id")))).labels
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == cold)
+  }
 }

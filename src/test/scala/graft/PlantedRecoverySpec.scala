@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.algo.{LabelPropagation, Measures, PLM}
+import graft.synth.Generators
+
+/** Planted-partition RECOVERY gates (mirrors the reference's community tests,
+  * community/test/CommunityGTest.cpp:46-142, which assert detection quality on
+  * clustered generator output rather than structural invariants alone). */
+class PlantedRecoverySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def nmiOf(a: org.apache.spark.sql.DataFrame,
+                    b: org.apache.spark.sql.DataFrame): Double =
+    Measures.nmi(spark, a, b).head().getAs[Double]("nmi")
+
+  test("SBM: structure matches the affinity matrix and generation is deterministic") {
+    val membership = spark.range(200).select(col("id"), (col("id") / 50).cast("long").as("block"))
+    val aff = Seq(
+      Seq(0.30, 0.01, 0.01, 0.01),
+      Seq(0.01, 0.30, 0.01, 0.01),
+      Seq(0.01, 0.01, 0.30, 0.01),
+      Seq(0.01, 0.01, 0.01, 0.30))
+    val g = Generators.stochasticBlockmodel(spark, membership, aff)
+    // Expected: 4 * 0.3 * C(50,2) intra = 1470, 6 * 0.01 * 2500 inter = 150 (minus
+    // dedup collisions — a few percent at these densities).
+    assert(g.m > 1200 && g.m < 1700, s"m=${g.m}")
+    val g2 = Generators.stochasticBlockmodel(spark, membership, aff)
+    assert(g.m == g2.m)
+    // Cross-block edge fraction is small.
+    val withBlocks = g.canonicalUndirected
+      .join(membership.select(col("id").as("src"), col("block").as("bs")), "src")
+      .join(membership.select(col("id").as("dst"), col("block").as("bd")), "dst")
+    val cross = withBlocks.filter(col("bs") =!= col("bd")).count()
+    assert(cross.toDouble / g.m < 0.15, s"cross=$cross of ${g.m}")
+  }
+
+  test("SBM: PLM recovers the planted blocks (NMI >= 0.85)") {
+    val membership = spark.range(200).select(col("id"), (col("id") / 50).cast("long").as("block"))
+    val aff = Seq.tabulate(4, 4)((i, j) => if (i == j) 0.30 else 0.01)
+    val g = Generators.stochasticBlockmodel(spark, membership, aff.map(_.toSeq))
+    val planted = membership.select(col("id"), col("block").as("label"))
+    val found = PLM.run(spark, g).labels
+    val nmi = nmiOf(found, planted)
+    info(s"SBM PLM nmi = $nmi")
+    assert(nmi >= 0.85)
+    // PLP on the crisply separated SBM recovers the planted blocks essentially
+    // exactly (measured: k=4, every block intact).
+    val nmiPlp = nmiOf(LabelPropagation.run(spark, g).labels, planted)
+    info(s"SBM PLP nmi = $nmiPlp")
+    assert(nmiPlp >= 0.95)
+  }
+
+  test("LFR-like: sane structure, planted mixing respected, PLM recovery") {
+    val (g, membership) = Generators.lfrLike(spark, n = 600, minDeg = 6L, maxDeg = 30L,
+      gamma = 2.5, mu = 0.15, minCommunity = 40L, maxCommunity = 120L)
+    assert(membership.count() == 600)
+    assert(g.m > 500, s"m=${g.m}")
+    // Measured mixing should be near mu (CL thinning makes it approximate).
+    val withBlocks = g.canonicalUndirected
+      .join(membership.select(col("id").as("src"), col("block").as("bs")), "src")
+      .join(membership.select(col("id").as("dst"), col("block").as("bd")), "dst")
+    val crossFrac = withBlocks.filter(col("bs") =!= col("bd")).count().toDouble / g.m
+    info(s"LFR cross-community edge fraction = $crossFrac (mu=0.15)")
+    assert(crossFrac < 0.35)
+    val planted = membership.select(col("id"), col("block").as("label"))
+    val nmiPlm = nmiOf(PLM.run(spark, g).labels, planted)
+    info(s"LFR PLM nmi = $nmiPlm")
+    assert(nmiPlm >= 0.6)
+    // PLP is recorded but NOT quality-gated here: on LFR-style graphs with mixing,
+    // label propagation exhibits its well-documented epidemic collapse (one label
+    // floods across the mu-fraction bridges; measured k=4, giant=585/600 on this
+    // fixture) — the reason PLM, not PLP, is the reference's default detector
+    // (networkit/community.py:31-38). PLP's recovery quality is gated on the SBM
+    // fixture above, where the planted structure is within LPA's regime.
+    val plp = LabelPropagation.run(spark, g)
+    val nmiPlp = nmiOf(plp.labels, planted)
+    info(s"LFR PLP nmi = $nmiPlp (not gated; LPA epidemic collapse regime)")
+    assert(plp.labels.count() == 600) // still a total partition of the vertex set
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.io.GraphReaders
+import graft.model.LinkGraph
+
+/** Round-7 additions: GML reader/writer. */
+class Round7Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("GML roundtrip: directed graph survives write + read") {
+    val g = LinkGraph.fromEdges(spark, TestSpark.directed(Seq(
+      (0L, 1L, 1.0), (1L, 2L, 1.0), (2L, 0L, 1.0), (0L, 3L, 1.0))),
+      Some(spark.range(4).select(col("id"))))
+    val path = java.nio.file.Files.createTempDirectory("gml").toString + "/g.gml"
+    GraphReaders.writeGml(g, path, directed = true)
+    val r = GraphReaders.readGml(spark, path)
+    assert(r.n == 4 && r.m == 4)
+    val got = r.edges.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == Set((0L, 1L), (1L, 2L), (2L, 0L), (0L, 3L)))
+  }
+
+  test("PageRankNibble: recovers a planted clique community from a seed") {
+    // two K5 cliques {0..4} and {5..9} joined by the single bridge 4-5
+    val k5a = for (i <- 0 until 5; j <- i + 1 until 5) yield (i.toLong, j.toLong, 1.0)
+    val k5b = for (i <- 5 until 10; j <- i + 1 until 10) yield (i.toLong, j.toLong, 1.0)
+    val g = LinkGraph.fromEdges(spark,
+      TestSpark.directed(k5a ++ k5b :+ ((4L, 5L, 1.0))),
+      Some(spark.range(10).select(col("id"))))
+    val members = graft.algo.Scd.pageRankNibble(spark, g, seed = 0L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(members == Set(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("approximatePageRank: support-sparse, mass bounded, deterministic") {
+    val g = LinkGraph.forSf(spark, "/root/testdata/sf0.001")
+    val apr = graft.algo.Scd.approximatePageRank(spark, g, seed = 0L,
+      maxRounds = 12, fixedRounds = true)
+    val rows = apr.collect()
+    assert(rows.nonEmpty && rows.length < g.n) // support-sparse
+    // truncated fixed-point mass can only LEAK, never grow: sum(p + res) <= Scale
+    val total = rows.map(r => r.getAs[Long]("p") + r.getAs[Long]("res")).sum
+    assert(total <= graft.algo.Scd.Scale && total > graft.algo.Scd.Scale / 2)
+    val apr2 = graft.algo.Scd.approximatePageRank(spark, g, seed = 0L,
+      maxRounds = 12, fixedRounds = true)
+    assert(apr2.exceptAll(apr).count() == 0)
+  }
+
+  test("GML reader: undirected flag canonicalizes; string node ids remap by order") {
+    val path = java.nio.file.Files.createTempDirectory("gml2").toString + "/g.gml"
+    val text =
+      """graph [
+        |  directed 0
+        |  node [ id 7 ]
+        |  node [ id 3 ]
+        |  node [ id 9 ]
+        |  edge [ source 3 target 7 ]
+        |  edge [ source 9 target 3 ]
+        |]""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      text.getBytes("UTF-8"))
+    val g = GraphReaders.readGml(spark, path)
+    // file-order internal ids: 7 -> 0, 3 -> 1, 9 -> 2 (GMLGraphReader.cpp:57-74)
+    assert(g.n == 3 && g.m == 2)
+    val got = g.edges.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == Set((0L, 1L), (1L, 2L))) // canonicalized (min, max)
+  }
+}
