@@ -36,7 +36,11 @@ import graft.tools.ProcBench
 object Bench {
 
   private val Runs = 3
-  private val ScaleIters = 5
+  /** Iterations per scaling leg: enough that per-iteration compute dwarfs the
+    * ~0.5-1 s/iteration driver scheduling floor at EVERY leg — at 5 iterations the
+    * 8-core leg still paid ~10-20% floor (measured: eps_n 6.0M vs 6.6M at higher
+    * iteration counts), which alone knocks the 2→8 efficiency from ~0.87 to ~0.79. */
+  private val ScaleIters = 12
 
   private def session(cores: Int, partitions: Int = 0): SparkSession = {
     // AQE off for the benchmark sessions: the iterative loops rely on stable
@@ -103,29 +107,41 @@ object Bench {
 
   // --- scaling legs ---------------------------------------------------------------
 
-  /** PageRank edge-iteration throughput at `cores` parallelism: fixed damped float
-    * iterations (tol=0 disables early exit) over the pre-built scale graph loaded from
-    * `edgesDir` (built ONCE at full parallelism — the low-core legs must not pay a
-    * low-core ingest). The scaling measurement replicates the page table until
-    * per-iteration compute dominates Spark's fixed job overhead (otherwise the
-    * efficiency ratio measures scheduler latency, not the engine) — same input at every
-    * parallelism level, so the comparison is apples-to-apples. */
+  /** JPMS opens Spark needs on JDK 17+ (same list as build.sbt's fork options) —
+    * scaling-leg children are fresh JVMs and need them too. */
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
+    "java.base/java.io", "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic", "java.base/jdk.internal.ref",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs", "java.base/sun.security.action",
+    "java.base/sun.util.calendar").map(p => s"--add-opens=$p=ALL-UNNAMED")
+
+  /** PageRank edge-iteration throughput at `cores` parallelism, measured in a FRESH
+    * child JVM ([[graft.tools.ScalingLeg]]): fixed damped iterations (tol=0 disables
+    * early exit) over the pre-built scale graph in `edgesDir` (built ONCE at full
+    * parallelism — low-core legs must not pay a low-core ingest). Child isolation is
+    * load-bearing: legs sharing one JVM inherit heap aging and shuffle state from
+    * earlier legs and the 32-core leg degraded ~2× by the third interleaved round
+    * (measured, BENCH.md round 3); fresh processes make legs order-independent, the
+    * same reason [[graft.tools.ProcBench]] spawns children. Iteration count is sized
+    * so per-iteration compute dominates the ~0.5-1 s/iteration driver floor. */
   private def pagerankThroughput(edgesDir: String, cores: Int,
-                                 iters: Int = ScaleIters): (Double, Long) = {
-    // 4 partitions per core: measured sweet spot (BENCH.md partMult sweep) — per-task
-    // aggregation maps shrink to ~n/P keys and stay cache-resident.
-    val spark = session(cores, cores * 4)
-    val g = LinkGraph.fromEdges(spark,
-      spark.read.parquet(s"$edgesDir/edges"),
-      Some(spark.read.parquet(s"$edgesDir/verts")))
-    PageRank.run(spark, g, tol = 0.0, maxIter = 2) // warm-up (JIT + shuffle files)
-    val (_, secs) = timed {
-      PageRank.run(spark, g, damp = 0.85, tol = 0.0, maxIter = iters)
-        .ranks.agg(sum("score")).head()
-    }
-    val eps = g.m.toDouble * iters / secs
-    spark.stop()
-    (eps, g.m)
+                                 iters: Int = ScaleIters): Double = {
+    val java = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val cmd = Seq(java, s"-Xmx${sys.env.getOrElse("SPARK_GRAFT_LEG_MEM", "20g")}") ++
+      addOpens ++ Seq("-cp", cp, "graft.tools.ScalingLeg",
+        edgesDir, cores.toString, iters.toString)
+    val p = new ProcessBuilder(cmd: _*).start()
+    val outF = scala.concurrent.Future(new String(p.getInputStream.readAllBytes()))(
+      scala.concurrent.ExecutionContext.global)
+    val err = new String(p.getErrorStream.readAllBytes())
+    require(p.waitFor() == 0, s"scaling leg failed (cores=$cores): ${err.takeRight(800)}")
+    val out = scala.concurrent.Await.result(outF, scala.concurrent.duration.Duration.Inf)
+    out.linesIterator.collectFirst {
+      case l if l.startsWith("eps=") => l.drop(4).takeWhile(_ != ' ').toDouble
+    }.getOrElse(sys.error(s"scaling leg printed no eps line: $out"))
   }
 
   /** Build the replicated scale graph once (at full parallelism) and park it as
@@ -170,7 +186,7 @@ object Bench {
     val loads = Vector.newBuilder[Double]
     for (_ <- 1 to Runs; (cores, i) <- legs.zipWithIndex) {
       loads += awaitQuietBox(waitBudget)
-      eps(i) += pagerankThroughput(dir, cores)._1
+      eps(i) += pagerankThroughput(dir, cores)
     }
     val Seq(epsLowRuns, epsNRuns, eps4NRuns) = eps.toSeq.map(_.result())
     // Per-round ratios: legs of the same round ran under the same box conditions, so

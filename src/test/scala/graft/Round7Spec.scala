@@ -48,6 +48,43 @@ class Round7Spec extends AnyFunSuite {
     assert(apr2.exceptAll(apr).count() == 0)
   }
 
+  test("edge switching: preserves the degree sequence exactly, changes the edge set") {
+    val g = LinkGraph.fromEdges(spark,
+      TestSpark.directed(Fixtures.karateEdges.map(e => (e._1, e._2, 1.0))),
+      Some(spark.range(34).select(col("id"))))
+    val r = graft.algo.EdgeSwitching.randomize(spark, g, rounds = 10, seed = 7L)
+    def degs(x: LinkGraph) = x.bidirected
+      .groupBy("src").agg(count(lit(1)).as("d"))
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(degs(r) == degs(g)) // exact degree preservation
+    assert(r.m == g.m)
+    val before = g.canonicalUndirected.select("src", "dst")
+    val after = r.canonicalUndirected.select("src", "dst")
+    val changed = after.exceptAll(before).count()
+    assert(changed > 10, s"only $changed edges rewired — chain not mixing")
+    // no self loops, still canonical simple graph
+    assert(after.filter(col("src") === col("dst")).count() == 0)
+    assert(after.distinct().count() == r.m)
+    // deterministic
+    val r2 = graft.algo.EdgeSwitching.randomize(spark, g, rounds = 10, seed = 7L)
+    assert(r2.canonicalUndirected.select("src", "dst").exceptAll(after).count() == 0)
+  }
+
+  test("KPath centrality: star center dominates leaves; deterministic; isolated = 0") {
+    // star: center 0 with 12 leaves, plus isolated node 13
+    val g = LinkGraph.fromEdges(spark,
+      TestSpark.directed((1 to 12).map(i => (0L, i.toLong, 1.0))),
+      Some(spark.range(14).select(col("id"))))
+    val s = graft.algo.KPath.run(spark, g, kIn = 3, maxWalks = 512)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(13L) == 0.0)
+    val leaves = (1 to 12).map(i => s(i.toLong))
+    assert(s(0L) > leaves.max, s"center ${s(0L)} vs max leaf ${leaves.max}")
+    val s2 = graft.algo.KPath.run(spark, g, kIn = 3, maxWalks = 512)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s == s2)
+  }
+
   test("GML reader: undirected flag canonicalizes; string node ids remap by order") {
     val path = java.nio.file.Files.createTempDirectory("gml2").toString + "/g.gml"
     val text =
