@@ -35,12 +35,20 @@ import graft.tools.ProcBench
   */
 object Bench {
 
-  private val Runs = 3
-  /** Iterations per scaling leg: enough that per-iteration compute dwarfs the
-    * ~0.5-1 s/iteration driver scheduling floor at EVERY leg — at 5 iterations the
-    * 8-core leg still paid ~10-20% floor (measured: eps_n 6.0M vs 6.6M at higher
-    * iteration counts), which alone knocks the 2→8 efficiency from ~0.87 to ~0.79. */
-  private val ScaleIters = 12
+  private val Runs = 4
+  /** Iterations per scaling leg, sized per core count: enough that per-iteration
+    * compute dwarfs the ~0.5-1 s/iteration driver scheduling floor at EVERY leg (at
+    * 5 iterations the 8-core leg still paid ~10-20% floor), and LONGER at wide legs
+    * where the measured phase is short and the box's throughput windows (host-level
+    * noisy-neighbor phases, observed 4.1M vs 7.1M eps at 32 cores minutes apart)
+    * would otherwise dominate a short sample. */
+  private def scaleIters(cores: Int, cpus: Int): Int =
+    if (cores >= cpus) 16 else if (cores > cpus / 8) 12 else 8
+  /** Warm-up iterations per leg: a fresh child JVM pays a near-constant C2/codegen
+    * compile wall-clock, negligible inside a minutes-long 2-core leg but 25-45% of a
+    * wide leg's measured phase at 3 warm-up iterations (measured: 8-core eps 5.5M
+    * cold vs ~7.0M warm). */
+  private def warmIters(cores: Int): Int = math.min(12, math.max(3, cores))
 
   private def session(cores: Int, partitions: Int = 0): SparkSession = {
     // AQE off for the benchmark sessions: the iterative loops rely on stable
@@ -126,13 +134,13 @@ object Bench {
     * (measured, BENCH.md round 3); fresh processes make legs order-independent, the
     * same reason [[graft.tools.ProcBench]] spawns children. Iteration count is sized
     * so per-iteration compute dominates the ~0.5-1 s/iteration driver floor. */
-  private def pagerankThroughput(edgesDir: String, cores: Int,
-                                 iters: Int = ScaleIters): Double = {
+  private def pagerankThroughput(edgesDir: String, cores: Int, iters: Int,
+                                 warm: Int): Double = {
     val java = s"${System.getProperty("java.home")}/bin/java"
     val cp = System.getProperty("java.class.path")
     val cmd = Seq(java, s"-Xmx${sys.env.getOrElse("SPARK_GRAFT_LEG_MEM", "20g")}") ++
       addOpens ++ Seq("-cp", cp, "graft.tools.ScalingLeg",
-        edgesDir, cores.toString, iters.toString)
+        edgesDir, cores.toString, iters.toString, warm.toString)
     val p = new ProcessBuilder(cmd: _*).start()
     val outF = scala.concurrent.Future(new String(p.getInputStream.readAllBytes()))(
       scala.concurrent.ExecutionContext.global)
@@ -186,7 +194,7 @@ object Bench {
     val loads = Vector.newBuilder[Double]
     for (_ <- 1 to Runs; (cores, i) <- legs.zipWithIndex) {
       loads += awaitQuietBox(waitBudget)
-      eps(i) += pagerankThroughput(dir, cores)
+      eps(i) += pagerankThroughput(dir, cores, scaleIters(cores, cpus), warmIters(cores))
     }
     val Seq(epsLowRuns, epsNRuns, eps4NRuns) = eps.toSeq.map(_.result())
     // Per-round ratios: legs of the same round ran under the same box conditions, so
@@ -214,7 +222,7 @@ object Bench {
     val streamEffLow = strN / (4.0 * strL)
     val streamEff = str4 / (4.0 * strN)
     s"""{"cores_low":$lowCores,"cores_n":$nCores,"cores_4n":$cpus,"scale_m":$scaleM,""" +
-      s""""protocol":"interleaved median-of-$Runs, $ScaleIters fixed iterations/leg, foreign-CPU guard","""  +
+      s""""protocol":"interleaved median-of-$Runs fresh-JVM legs, per-core-sized warm-up+iterations, foreign-CPU guard","""  +
       s""""eps_low_runs":${jarr(epsLowRuns)},"eps_n_runs":${jarr(epsNRuns)},"eps_4n_runs":${jarr(eps4NRuns)},""" +
       s""""eps_low":${median(epsLowRuns)},"eps_n":${median(epsNRuns)},"eps_4n":${median(eps4NRuns)},""" +
       s""""efficiency_low_runs":${jarr(effLowRuns)},"efficiency_runs":${jarr(effRuns)},""" +

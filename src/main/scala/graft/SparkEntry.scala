@@ -123,6 +123,43 @@ object SparkEntry {
       graft.io.GraphReaders.readMetis(s, p)
         .canonicalUndirected.select(col("src"), col("dst"))
     }),
+    "q_snap_roundtrip" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val p = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/root/repo/target"), "vrt").resolve("snap").toString
+      graft.io.GraphReaders.writeSnap(g, p)
+      graft.io.GraphReaders.readSnap(s, p).edges.select(col("src"), col("dst"))
+    }),
+    "q_konect_roundtrip" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val p = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/root/repo/target"), "vrt").resolve("konect").toString
+      graft.io.GraphReaders.writeKonect(g, p)
+      graft.io.GraphReaders.readKonect(s, p).edges.select(col("src"), col("dst"))
+    }),
+    "q_mm_roundtrip" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val p = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/root/repo/target"), "vrt").resolve("mm").toString
+      graft.io.GraphReaders.writeMatrixMarket(g, p)
+      graft.io.GraphReaders.readMatrixMarket(s, p).edges.select(col("src"), col("dst"))
+    }),
+    "q_gml_roundtrip" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val p = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/root/repo/target"), "vrt").resolve("gml").toString + "/g.gml"
+      graft.io.GraphReaders.writeGml(g, p, directed = true)
+      graft.io.GraphReaders.readGml(s, p).edges.select(col("src"), col("dst"))
+    }),
+    "q_group_closeness" -> ((s, dir) =>
+      graft.algo.GroupCentrality.groupCloseness(s, graph(s, dir), k = 4,
+        poolSize = 16, maxLevels = 15)),
+    // Tarjan-Vishkin biconnectivity: no tractable SQL twin (the DuckDB side would
+    // need per-articulation reachability); correctness gated by BiconnectedSpec's
+    // sequential Hopcroft-Tarjan oracle, driver records the rows-only check.
+    "q_bicc" -> ((s, dir) =>
+      graft.algo.Biconnected.run(s, graph(s, dir)).edgeComponents
+        .select(col("src"), col("dst"), col("comp"))),
 
     // --- k-core / distances / edge scores / assortativity / Katz ---
     "q_kcore3"        -> ((s, dir) => KCore.kCore(s, graph(s, dir), 3)),
@@ -332,6 +369,11 @@ object SparkEntry {
     "q_edgelist_roundtrip" -> OracleSql.edges,
     "q_metis_roundtrip"  -> OracleSql.undirectedEdges,
     "q_thrill_roundtrip" -> OracleSql.undirectedEdges,
+    "q_snap_roundtrip"   -> OracleSql.edges,
+    "q_group_closeness"  -> OracleSql.groupCloseness(4, 16, 15),
+    "q_konect_roundtrip" -> OracleSql.edges,
+    "q_mm_roundtrip"     -> OracleSql.edges,
+    "q_gml_roundtrip"    -> OracleSql.edges,
     "q_kcore3"           -> OracleSql.kcore(3, 20),
     "q_coreness"         -> OracleSql.coreness(16, 35),
     "q_scan_score"       -> OracleSql.scanScore,

@@ -203,6 +203,34 @@ object GraphReaders extends Serializable {
       .write.mode("overwrite").text(path)
   }
 
+  /** KONECT writer (inverse of [[readKonect]], io/KONECTGraphReader.cpp:23-279):
+    * `% asym positive` property header, then 1-based `u v w` lines. Header must be the
+    * first line, so single-file write with sort keys (fixture-scale exchange format,
+    * same justification as [[writeMetis]]). */
+  def writeKonect(g: LinkGraph, path: String): Unit = {
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    val body = g.edges.select(lit(1L).as("k"),
+      concat_ws(" ", col("src") + 1, col("dst") + 1, col("weight")).as("line"))
+    Seq((0L, "% asym positive")).toDF("k", "line").union(body)
+      .repartition(1).sortWithinPartitions(col("k"), col("line")).select("line")
+      .write.mode("overwrite").text(path)
+  }
+
+  /** MatrixMarket coordinate writer (inverse of [[readMatrixMarket]]): banner +
+    * `n n nnz` dims line + 1-based `i j v` COO entries. The dims line must be the
+    * first non-comment line, so single-file write with sort keys (fixture-scale). */
+  def writeMatrixMarket(g: LinkGraph, path: String): Unit = {
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    val body = g.edges.select(lit(2L).as("k"),
+      concat_ws(" ", col("src") + 1, col("dst") + 1, col("weight")).as("line"))
+    Seq((0L, "%%MatrixMarket matrix coordinate real general"),
+        (1L, s"${g.n} ${g.n} ${g.m}")).toDF("k", "line").union(body)
+      .repartition(1).sortWithinPartitions(col("k"), col("line")).select("line")
+      .write.mode("overwrite").text(path)
+  }
+
   /** GraphViz DOT writer (io/DotGraphWriter.cpp:14-29): `graph G { a -- b; ... }`.
     * The braces ride in the same text file via sort keys; body rows stay distributed
     * until the final single-file coalesce (DOT is a small-graph viz format). */

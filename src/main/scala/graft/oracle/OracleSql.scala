@@ -585,6 +585,55 @@ object OracleSql {
        |SELECT CAST(ord AS BIGINT) AS ord, id, CAST(gain AS BIGINT) AS gain FROM s$k""".stripMargin
   }
 
+  /** Greedy group-closeness (mirrors GroupCentrality.groupCloseness): candidate pool
+    * = top `pool` by (bidirected degree DESC, id ASC), one unrolled msBFS from the
+    * pool (dist <= levels), seed = max-degree pool node, then k-1 greedy rounds of
+    * gain = Σ_v max(0, d[v] − dist(s,v)) with unreachable sentinel n. */
+  def groupCloseness(k: Int, pool: Int, levels: Int): String = {
+    val bfsSteps = (1 to levels).map { i =>
+      s"""pm$i AS MATERIALIZED (SELECT f.s, bi.b AS id FROM pf${i - 1} f
+         |  JOIN bi ON f.id = bi.a GROUP BY 1, 2),
+         |pf$i AS MATERIALIZED (SELECT m.s, m.id, $i AS dist FROM pm$i m
+         |  LEFT JOIN pst${i - 1} x ON m.s = x.s AND m.id = x.id WHERE x.s IS NULL),
+         |pst$i AS MATERIALIZED (SELECT * FROM pst${i - 1} UNION ALL SELECT * FROM pf$i)""".stripMargin
+    }.mkString(",\n")
+    val rounds = (1 to (k - 1)).map { i =>
+      s"""gg$i AS MATERIALIZED (SELECT st.s,
+         |  sum(CASE WHEN d.dist > st.dist THEN d.dist - st.dist ELSE 0 END) AS gain
+         |  FROM pst$levels st JOIN gd${i - 1} d ON st.id = d.id
+         |  LEFT JOIN sel${i - 1} x ON st.s = x.id WHERE x.id IS NULL GROUP BY st.s),
+         |gb$i AS MATERIALIZED (SELECT s AS id, $i AS ord, gain FROM gg$i
+         |  ORDER BY gain DESC, s ASC LIMIT 1),
+         |gd$i AS MATERIALIZED (SELECT d.id,
+         |  CASE WHEN nd.dist IS NOT NULL AND nd.dist < d.dist THEN nd.dist ELSE d.dist END AS dist
+         |  FROM gd${i - 1} d LEFT JOIN (SELECT st.id, st.dist FROM pst$levels st
+         |    JOIN gb$i ON st.s = gb$i.id) nd ON d.id = nd.id),
+         |sel$i AS MATERIALIZED (SELECT id FROM sel${i - 1} UNION ALL SELECT id FROM gb$i)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to (k - 1)).map(i => s"SELECT ord, id, gain FROM gb$i")
+      .mkString(" UNION ALL ")
+    s"""$base,
+       |$biCte,
+       |gdeg AS MATERIALIZED (SELECT a AS id, count(*) AS d FROM bi GROUP BY a),
+       |gpool AS MATERIALIZED (SELECT v.id FROM verts v LEFT JOIN gdeg g ON v.id = g.id
+       |  ORDER BY coalesce(g.d, 0) DESC, v.id ASC LIMIT $pool),
+       |pf0 AS MATERIALIZED (SELECT id AS s, id, 0 AS dist FROM gpool),
+       |pst0 AS MATERIALIZED (SELECT * FROM pf0),
+       |$bfsSteps,
+       |gseed AS MATERIALIZED (SELECT p.id FROM gpool p LEFT JOIN gdeg g ON p.id = g.id
+       |  ORDER BY coalesce(g.d, 0) DESC, p.id ASC LIMIT 1),
+       |gd0 AS MATERIALIZED (SELECT v.id,
+       |  coalesce(sd.dist, (SELECT n FROM nn)) AS dist FROM verts v
+       |  LEFT JOIN (SELECT st.id, st.dist FROM pst$levels st JOIN gseed ON st.s = gseed.id) sd
+       |    ON v.id = sd.id),
+       |sel0 AS MATERIALIZED (SELECT id FROM gseed),
+       |gb0 AS MATERIALIZED (SELECT id, 0 AS ord,
+       |  (SELECT sum((SELECT n FROM nn) - dist) FROM gd0) AS gain FROM gseed),
+       |$rounds
+       |SELECT CAST(ord AS BIGINT) AS ord, id, CAST(gain AS BIGINT) AS gain
+       |FROM (SELECT ord, id, gain FROM gb0 UNION ALL $unionAll)""".stripMargin
+  }
+
   /** Sfigality (mirrors Centralities.sfigality): fraction of neighbors with strictly
     * higher degree. */
   val sfigality: String =

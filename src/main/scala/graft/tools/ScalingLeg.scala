@@ -17,9 +17,14 @@ import graft.model.LinkGraph
   * ceiling. */
 object ScalingLeg {
   def main(args: Array[String]): Unit = {
-    val Array(edgesDir, coresS, itersS) = args
-    val cores = coresS.toInt
-    val iters = itersS.toInt
+    val edgesDir = args(0)
+    val cores = args(1).toInt
+    val iters = args(2).toInt
+    // Warm-up sized for a FRESH JVM: C2/codegen compilation costs near-constant
+    // wall-clock, which is a negligible fraction of a 2-core leg but 25-45% of an
+    // 8/32-core leg at 3 warm-up iterations (measured: 8-core eps 5.5M cold vs 7.2M
+    // JIT-warm in the r2 shared-JVM first round). Default 8 restores parity.
+    val warm = if (args.length > 3) args(3).toInt else 8
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-leg-$cores")
@@ -32,7 +37,7 @@ object ScalingLeg {
     val g = LinkGraph.fromEdges(spark,
       spark.read.parquet(s"$edgesDir/edges"),
       Some(spark.read.parquet(s"$edgesDir/verts")))
-    PageRank.run(spark, g, tol = 0.0, maxIter = 3) // warm-up (JIT + shuffle files)
+    PageRank.run(spark, g, tol = 0.0, maxIter = warm) // warm-up (JIT + shuffle files)
     val t0 = System.nanoTime()
     PageRank.run(spark, g, damp = 0.85, tol = 0.0, maxIter = iters)
       .ranks.agg(sum("score")).head()

@@ -85,6 +85,18 @@ class Round7Spec extends AnyFunSuite {
     assert(s == s2)
   }
 
+  test("group closeness: path graph, hand-computed greedy picks and gains") {
+    // path 0-1-2-3-4: seed = node 1 (deg 2, smallest id), INF = n = 5
+    // d(from 1) = [1,0,1,2,3], seed gain = 25-7 = 18
+    // round 1: gain(3) = 4 = gain(4) -> tie-break id 3; round 2: gain(0)=gain(2)=gain(4)=1 -> id 0
+    val g = LinkGraph.fromEdges(spark,
+      TestSpark.directed(Seq((0L, 1L, 1.0), (1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0))),
+      Some(spark.range(5).select(col("id"))))
+    val r = graft.algo.GroupCentrality.groupCloseness(spark, g, k = 3, poolSize = 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).sortBy(_._1)
+    assert(r.toSeq == Seq((0L, 1L, 18L), (1L, 3L, 4L), (2L, 0L, 1L)))
+  }
+
   test("GML reader: undirected flag canonicalizes; string node ids remap by order") {
     val path = java.nio.file.Files.createTempDirectory("gml2").toString + "/g.gml"
     val text =
