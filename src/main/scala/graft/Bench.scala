@@ -135,12 +135,12 @@ object Bench {
     * same reason [[graft.tools.ProcBench]] spawns children. Iteration count is sized
     * so per-iteration compute dominates the ~0.5-1 s/iteration driver floor. */
   private def pagerankThroughput(edgesDir: String, cores: Int, iters: Int,
-                                 warm: Int): Double = {
+                                 warm: Int, partMult: Int = 4): Double = {
     val java = s"${System.getProperty("java.home")}/bin/java"
     val cp = System.getProperty("java.class.path")
     val cmd = Seq(java, s"-Xmx${sys.env.getOrElse("SPARK_GRAFT_LEG_MEM", "20g")}") ++
       addOpens ++ Seq("-cp", cp, "graft.tools.ScalingLeg",
-        edgesDir, cores.toString, iters.toString, warm.toString)
+        edgesDir, cores.toString, iters.toString, warm.toString, partMult.toString)
     val p = new ProcessBuilder(cmd: _*).start()
     val outF = scala.concurrent.Future(new String(p.getInputStream.readAllBytes()))(
       scala.concurrent.ExecutionContext.global)
@@ -197,6 +197,14 @@ object Bench {
       eps(i) += pagerankThroughput(dir, cores, scaleIters(cores, cpus), warmIters(cores))
     }
     val Seq(epsLowRuns, epsNRuns, eps4NRuns) = eps.toSeq.map(_.result())
+    // Peak-throughput row: partitions = cores (fewest task switches; measured 2x the
+    // gate protocol's absolute eps at 32 cores). One leg per width — this row carries
+    // the absolute-throughput-vs-baseline story; the gate ratios above keep the
+    // constant-granularity protocol.
+    val peak = legs.map { cores =>
+      awaitQuietBox(waitBudget)
+      pagerankThroughput(dir, cores, scaleIters(cores, cpus), warmIters(cores), partMult = 1)
+    }
     // Per-round ratios: legs of the same round ran under the same box conditions, so
     // a uniformly slow round still yields an honest ratio.
     val effLowRuns = epsLowRuns.zip(epsNRuns).map { case (l, n) => n / (4.0 * l) }
@@ -228,6 +236,9 @@ object Bench {
       s""""efficiency_low_runs":${jarr(effLowRuns)},"efficiency_runs":${jarr(effRuns)},""" +
       s""""efficiency_low":$effLow,"efficiency":$eff,""" +
       s""""foreign_cpu_cores":${jarr(loads.result())},""" +
+      s""""peak":{"partitions":"1x cores","eps_low":${peak(0)},"eps_n":${peak(1)},""" +
+      s""""eps_4n":${peak(2)},"efficiency_low":${peak(1) / (4.0 * peak(0))},""" +
+      s""""efficiency":${peak(2) / (4.0 * peak(1))}},""" +
       s""""process_ceiling":$ceilJson,""" +
       s""""efficiency_low_vs_stream_ceiling":${effLow / streamEffLow},""" +
       s""""efficiency_vs_stream_ceiling":${eff / streamEff}}"""

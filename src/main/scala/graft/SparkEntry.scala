@@ -151,6 +151,16 @@ object SparkEntry {
       graft.io.GraphReaders.writeGml(g, p, directed = true)
       graft.io.GraphReaders.readGml(s, p).edges.select(col("src"), col("dst"))
     }),
+    // Generator gates: pure (seed,index) arithmetic — DuckDB replays the formula.
+    "q_gen_er"   -> ((s, _) =>
+      graft.synth.Generators.erdosRenyi(s, 5000L, 20000L, 42L).edges
+        .select(col("src"), col("dst"))),
+    "q_gen_ws"   -> ((s, _) =>
+      graft.synth.Generators.wattsStrogatz(s, 3000L, 6, 0.1, 42L).edges
+        .select(col("src"), col("dst"))),
+    "q_gen_rmat" -> ((s, _) =>
+      graft.synth.Generators.rmat(s, 12, 8, 42L).edges
+        .select(col("src"), col("dst"))),
     "q_group_closeness" -> ((s, dir) =>
       graft.algo.GroupCentrality.groupCloseness(s, graph(s, dir), k = 4,
         poolSize = 16, maxLevels = 15)),
@@ -333,6 +343,7 @@ object SparkEntry {
     // --- near-duplicate detection (shingle Jaccard / MinHash-LSH / SimHash) ---
     "q_neardup_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), 0.5)),
     "q_neardup_minhash" -> ((s, dir) => Dedup.minhashNearDups(docs(s, dir), 0.5)),
+    "q_dedup_clusters"  -> ((s, dir) => Dedup.nearDupClusters(s, docs(s, dir), 0.5)),
     // maxHamming=3 = the chunk-banding exact-recall bound (pigeonhole over 4 chunks).
     "q_neardup_simhash" -> ((s, dir) => Dedup.simhashNearDups(docs(s, dir), 3)),
 
@@ -371,6 +382,9 @@ object SparkEntry {
     "q_thrill_roundtrip" -> OracleSql.undirectedEdges,
     "q_snap_roundtrip"   -> OracleSql.edges,
     "q_group_closeness"  -> OracleSql.groupCloseness(4, 16, 15),
+    "q_gen_er"           -> OracleSql.generatorEr(5000L, 20000L, 42L),
+    "q_gen_ws"           -> OracleSql.generatorWs(3000L, 6, 0.1, 42L),
+    "q_gen_rmat"         -> OracleSql.generatorRmat(12, 8, 42L),
     "q_konect_roundtrip" -> OracleSql.edges,
     "q_mm_roundtrip"     -> OracleSql.edges,
     "q_gml_roundtrip"    -> OracleSql.edges,
@@ -426,6 +440,7 @@ object SparkEntry {
     "q_dedup_exact"      -> DocOracleSql.dedupExact,
     "q_neardup_jaccard"  -> DedupOracleSql.ngramJaccard(0.5),
     "q_neardup_minhash"  -> DedupOracleSql.minhashNearDups(0.5),
+    "q_dedup_clusters"   -> DedupOracleSql.nearDupClusters(0.5),
     "q_neardup_simhash"  -> DedupOracleSql.simhashNearDups(3),
     "q_media_meta"       -> MediaOracleSql.mediaMeta(),
     "q_ann_topk"         -> EmbOracleSql.bruteTopK(),

@@ -66,6 +66,38 @@ object DedupOracleSql {
        |SELECT jac.a, jac.b, jac.jaccard FROM jac JOIN cand USING (a, b)""".stripMargin
   }
 
+  /** Near-dup clusters (mirrors Dedup.nearDupClusters): the minhash pair pipeline,
+    * then `rounds` min-label propagation steps over the pair graph (plain propagation:
+    * rounds bounds the label-distance covered — near-dup chains are far shorter). */
+  def nearDupClusters(tau: Double, rounds: Int = 8): String = {
+    val bandSelects = (0 until NumBands).map(b =>
+      s"SELECT doc_id, $b AS band, ${bandKeyExpr(b)} AS key FROM sig").mkString("\n  UNION ALL ")
+    val steps = (1 to rounds).map { i =>
+      s"""dl$i AS MATERIALIZED (SELECT l.id,
+         |  least(l.label, coalesce(m.ml, l.label)) AS label
+         |  FROM dl${i - 1} l LEFT JOIN (
+         |    SELECT d.b AS id, min(x.label) AS ml FROM dbi d JOIN dl${i - 1} x ON d.a = x.id
+         |    GROUP BY d.b) m ON l.id = m.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $shCtes,
+       |$sigCte,
+       |bands0 AS MATERIALIZED (
+       |  $bandSelects),
+       |bkeep AS MATERIALIZED (SELECT band, key FROM bands0
+       |  GROUP BY band, key HAVING count(*) <= $maxBandFreq),
+       |bands AS MATERIALIZED (SELECT bands0.* FROM bands0 JOIN bkeep USING (band, key)),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |${jacCtes(tau)},
+       |pairs AS MATERIALIZED (SELECT jac.a, jac.b FROM jac JOIN cand USING (a, b)),
+       |dbi AS MATERIALIZED (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+       |dl0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS label FROM documents),
+       |$steps
+       |SELECT id AS doc_id, label AS rep FROM dl$rounds""".stripMargin
+  }
+
   private val simCte = {
     val bitSums = (0 until Dedup.SimBits).map(j =>
       s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n    ")

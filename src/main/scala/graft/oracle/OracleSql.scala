@@ -585,6 +585,50 @@ object OracleSql {
        |SELECT CAST(ord AS BIGINT) AS ord, id, CAST(gain AS BIGINT) AS gain FROM s$k""".stripMargin
   }
 
+  /** Generator twins: the generators are pure (seed, index) integer arithmetic
+    * (Generators.drawSql is dialect-aware), so DuckDB replays the exact formula over
+    * generate_series — same draws, same filters, same edge set. */
+  private def genDraw(x: String) = graft.synth.Generators.drawSql(x, duck = true)
+
+  /** Erdős–Rényi G(n, m) (mirrors Generators.erdosRenyi). */
+  def generatorEr(n: Long, m: Long, seed: Long): String =
+    s"""WITH t AS (SELECT g AS id FROM generate_series(0, ${m - 1}) s(g))
+       |SELECT DISTINCT
+       |  (${genDraw(s"id*2 + $seed*7")} // 128) % $n AS src,
+       |  (${genDraw(s"id*2 + 1 + $seed*7")} // 128) % $n AS dst
+       |FROM t WHERE (${genDraw(s"id*2 + $seed*7")} // 128) % $n
+       |        != (${genDraw(s"id*2 + 1 + $seed*7")} // 128) % $n""".stripMargin
+
+  /** Watts–Strogatz (mirrors Generators.wattsStrogatz: ring lattice + LCG rewires,
+    * collisions dropped). */
+  def generatorWs(n: Long, k: Int, beta: Double, seed: Long): String = {
+    val half = k / 2
+    val betaM = math.round(beta * graft.synth.GraphSpec.M.toDouble)
+    val i = s"(id // $half)"
+    val j = s"(id % $half + 1)"
+    val rewire = genDraw(s"id*2 + $seed*60013")
+    val target = s"((${genDraw(s"id*2 + 1 + $seed*60013")} // 128) % $n)"
+    s"""WITH t AS (SELECT g AS id FROM generate_series(0, ${n * half - 1}) s(g)),
+       |e AS (SELECT $i AS src,
+       |  CASE WHEN $rewire < $betaM THEN $target ELSE ($i + $j) % $n END AS dst FROM t)
+       |SELECT DISTINCT src, dst FROM e WHERE src != dst""".stripMargin
+  }
+
+  /** RMAT (mirrors Generators.rmat: per-bit quadrant descent, a/b/c/d = 57/19/19/5). */
+  def generatorRmat(scale: Int, edgeFactor: Int, seed: Long): String = {
+    val n = 1L << scale
+    val m = edgeFactor.toLong * n
+    val levels = (0 until scale).map { l =>
+      val r = s"((${genDraw(s"id*64 + $l + $seed*999983")} // 1024) % 100)"
+      (s"(CASE WHEN $r >= 76 THEN ${1L << l} ELSE 0 END)",
+        s"(CASE WHEN ($r >= 57 AND $r < 76) OR $r >= 95 THEN ${1L << l} ELSE 0 END)")
+    }
+    s"""WITH t AS (SELECT g AS id FROM generate_series(0, ${m - 1}) s(g)),
+       |e AS (SELECT ${levels.map(_._1).mkString(" + ")} AS src,
+       |  ${levels.map(_._2).mkString(" + ")} AS dst FROM t)
+       |SELECT DISTINCT src, dst FROM e WHERE src != dst""".stripMargin
+  }
+
   /** Greedy group-closeness (mirrors GroupCentrality.groupCloseness): candidate pool
     * = top `pool` by (bidirected degree DESC, id ASC), one unrolled msBFS from the
     * pool (dist <= levels), seed = max-degree pool node, then k-1 greedy rounds of

@@ -22,9 +22,12 @@ object Generators {
   /** Nonlinear 31-bit draw. The chained LCG alone is AFFINE in x (lcg(x) = A²x+c mod M),
     * so constant input strides (edge index, level) would produce tiny output cycles;
     * multiplying two independent affine draws makes the result quadratic in x —
-    * breaking the stride structure while staying pure 64-bit-safe integer arithmetic. */
-  private def draw(x: String): String =
-    s"(((${lcgSql(x)} * ${lcgSql(s"($x) + 1000003")}) div 65536) % ${GraphSpec.M})"
+    * breaking the stride structure while staying pure 64-bit-safe integer arithmetic.
+    * Dialect-aware (`duck`) so the DuckDB oracle replays the identical formula. */
+  def drawSql(x: String, duck: Boolean): String =
+    s"(((${lcgSql(x)} * ${lcgSql(s"($x) + 1000003")}) ${if (duck) "//" else "div"} 65536) % ${GraphSpec.M})"
+
+  private def draw(x: String): String = drawSql(x, duck = false)
 
   /** RMAT edge list: 2^scale nodes, edgeFactor * 2^scale edges. Quadrant descent per
     * bit level; draws come from the shared LCG on (seed, edge index, level). */

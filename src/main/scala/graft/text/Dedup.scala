@@ -137,6 +137,22 @@ object Dedup {
       .filter(col("jaccard") >= tau)
   }
 
+  /** Near-dup CLUSTERS: connected components over the MinHash near-dup pair graph —
+    * the step a real dedup pipeline runs after pair generation, so transitive
+    * near-dups (A~B, B~C) collapse to one representative. Every document gets
+    * rep = min doc_id of its cluster (itself when it has no near-dup). Reuses the
+    * engine's min-label CC (frontier + coarsening — cluster diameters are tiny, so
+    * rounds ~ log of the longest near-dup chain). Output (doc_id, rep). */
+  def nearDupClusters(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+                      tau: Double, maxBucket: Long = maxBandFreq): DataFrame = {
+    val pairs = minhashNearDups(docs, tau, maxBucket)
+      .select(col("a").as("src"), col("b").as("dst"), lit(1.0).as("weight"))
+    val g = graft.model.LinkGraph.fromEdges(spark, pairs,
+      Some(docs.select(col("doc_id").as("id"))))
+    graft.algo.ConnectedComponents.run(spark, g).labels
+      .select(col("id").as("doc_id"), col("label").as("rep"))
+  }
+
   /** SimHash width: the shingle hashes are 60-bit md5-derived ints, so 60 informative
     * fingerprint bits; banded as 4 chunks of 16 (chunk 3 carries 12 live bits). */
   val SimBits = 60

@@ -25,10 +25,15 @@ object ScalingLeg {
     // 8/32-core leg at 3 warm-up iterations (measured: 8-core eps 5.5M cold vs 7.2M
     // JIT-warm in the r2 shared-JVM first round). Default 8 restores parity.
     val warm = if (args.length > 3) args(3).toInt else 8
+    // partitions-per-core: 4 = the scaling-gate protocol (constant per-core task
+    // granularity across legs); 1 = peak-throughput configuration (fewest task
+    // switches — measured 2x faster at 32 cores on the same input)
+    val partMult = if (args.length > 4) args(4).toInt
+      else sys.env.getOrElse("SPARK_GRAFT_PART_MULT", "4").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-leg-$cores")
-      .config("spark.sql.shuffle.partitions", cores * 4) // measured sweet spot (BENCH.md)
+      .config("spark.sql.shuffle.partitions", cores * partMult)
       .config("spark.sql.adaptive.enabled", "false") // stable co-partitioning (Bench.session)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
