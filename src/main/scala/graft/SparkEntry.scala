@@ -328,6 +328,25 @@ object SparkEntry {
       Distances.diameterExact(s,
         g.subgraphFromNodes(g.vertices.filter(col("id") % 7 === 0)), 0L)
     }),
+    // --- matching / independent set / spanning forests (§2.9 family) ---
+    // Local-max (Preis) matching, 15 fixed rounds (drains well before that at sf0.01;
+    // spec asserts maximality on fixtures); strict (w DESC, src, dst) total order.
+    "q_matching" -> ((s, dir) =>
+      graft.algo.Matching.localMaxMatching(s, graph(s, dir), rounds = 15)),
+    // Luby MIS, 12 fixed deterministic-LCG rounds (spec asserts independence always,
+    // maximality on drained fixtures).
+    "q_luby" -> ((s, dir) =>
+      graft.algo.IndependentSet.lubyFixed(s, graph(s, dir), rounds = 12, seed = 42L)),
+    // BFS spanning forest: per-component min-id roots, parent = min neighbor one
+    // level closer; (parent, child, dist) rows.
+    "q_spanning_forest" -> ((s, dir) =>
+      graft.algo.Forest.spanningForest(s, graph(s, dir), maxLevels = 20)),
+    // Union-of-maximum-spanning-forests membership over the capped triangle attribute
+    // (6 levels, 16 fixed propagate+jump rounds per level — the DuckDB-twin schedule; the
+    // production path propagates each level to convergence).
+    "q_umsf" -> ((s, dir) =>
+      graft.algo.Forest.umsfTriangle(s, graph(s, dir), levelCap = 6, roundsPerLevel = 16)),
+
     // Deterministic multilevel Louvain, fixed schedule (6 rounds x 2 levels) so the
     // DuckDB twin can unroll the identical recursion; integer-exact gain compares.
     // The adaptive PLM.run is the production path (PlmSpec covers it).
@@ -338,6 +357,10 @@ object SparkEntry {
     "q_langid"      -> ((s, dir) => TextOps.langId(docs(s, dir))),
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
     "q_token_freq"  -> ((s, dir) => TextOps.tokenFreq(docs(s, dir))),
+    // BPE-style pre-tokenizer frequency over the page urls (letter runs / digit runs /
+    // single punctuation — the vocab-trainer input shape).
+    "q_bpe_tokens"  -> ((s, dir) =>
+      TextOps.bpeTokenFreq(graft.synth.PageTableGen.pages(s, dir), "url")),
     "q_dedup_exact" -> ((s, dir) => TextOps.dedupExact(docs(s, dir))),
 
     // --- near-duplicate detection (shingle Jaccard / MinHash-LSH / SimHash) ---
@@ -357,6 +380,10 @@ object SparkEntry {
       Embeddings.bruteTopK(s.read.parquet(s"$dir/embeddings.parquet"))),
     "q_emb_neardup_lsh" -> ((s, dir) =>
       Embeddings.lshNearDups(s.read.parquet(s"$dir/embeddings.parquet"), 0.35)),
+    // IVF ANN: deterministic k-means coarse quantizer (16 lists, 3 Lloyd rounds) +
+    // 4-probe exact-cosine re-rank — the indexed scale path next to q_ann_topk.
+    "q_emb_ivf"         -> ((s, dir) =>
+      Embeddings.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -425,6 +452,10 @@ object SparkEntry {
     "q_subgraph"         -> OracleSql.subgraph7,
     "q_top_closeness"    -> OracleSql.topCloseness(7, 25, 28),
     "q_plm"              -> OracleSql.plm(6, 2),
+    "q_matching"         -> OracleSql.localMaxMatching(15),
+    "q_luby"             -> OracleSql.luby(12, 42L),
+    "q_spanning_forest"  -> OracleSql.spanningForest(12, 20),
+    "q_umsf"             -> OracleSql.umsfTriangle(6, 16),
     "q_scc"              -> OracleSql.scc(5),
     "q_diameter_exact"   -> OracleSql.diameterExact(7, 0L, 35),
     "q_simmelian"        -> OracleSql.simmelianOverlap(10),
@@ -437,6 +468,7 @@ object SparkEntry {
     "q_langid"           -> DocOracleSql.langId,
     "q_fingerprint"      -> DocOracleSql.fingerprint,
     "q_token_freq"       -> DocOracleSql.tokenFreq,
+    "q_bpe_tokens"       -> DocOracleSql.bpeUrlTokenFreq,
     "q_dedup_exact"      -> DocOracleSql.dedupExact,
     "q_neardup_jaccard"  -> DedupOracleSql.ngramJaccard(0.5),
     "q_neardup_minhash"  -> DedupOracleSql.minhashNearDups(0.5),
@@ -445,5 +477,6 @@ object SparkEntry {
     "q_media_meta"       -> MediaOracleSql.mediaMeta(),
     "q_ann_topk"         -> EmbOracleSql.bruteTopK(),
     "q_emb_neardup_lsh"  -> EmbOracleSql.lshNearDups(0.35),
+    "q_emb_ivf"          -> EmbOracleSql.ivfTopK(),
   )
 }

@@ -131,4 +131,87 @@ object Embeddings {
       .distinct()
     pairs.filter(col("cos") >= tau)
   }
+
+  // --- IVF (inverted-file) ANN: k-means coarse quantizer + probed-list re-rank -----
+
+  /** Deterministic Lloyd k-means over the exact integer vectors: `nlist` centroids
+    * initialized from the first `nlist` vec_ids, `iters` assignment/update rounds.
+    * Centroid elements stay exact integers (floor of the cluster mean, computed as the
+    * SAME double expression in the DuckDB twin), assignment ties break on centroid id,
+    * and empty clusters keep their previous centroid — every step is reproducible
+    * bit-for-bit across engines and partitionings.
+    *
+    * Returns (assign(vec_id, cid), centroids(cid, cv, cn)). The corpus is scanned once
+    * per round against the BROADCAST centroid table (nlist rows) — the canonical
+    * distributed k-means shape: no shuffle of the corpus, one partial-aggregable
+    * argmin + one per-dimension partial aggregation per round. */
+  def kmeans(emb: DataFrame, nlist: Int, iters: Int): (DataFrame, DataFrame) = {
+    val vs = vectors(emb).persist(StorageLevel.MEMORY_AND_DISK)
+    vs.count()
+    var cents = vs.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var assign: DataFrame = null
+    for (i <- 1 to iters) {
+      // Assignment: argmin over (squared L2 distance, cid); d2 = |v|^2 - 2 v·c + |c|^2.
+      val a = vs.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("nrm"),
+          (col("nrm") - lit(2L) * dot(col("v"), col("cv")) + col("cn")).as("d2"), col("cid"))
+        .groupBy("vec_id").agg(min(struct(col("d2"), col("cid"))).as("b"))
+        .select(col("vec_id"), col("b.cid").as("cid"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      a.count()
+      if (assign != null) assign.unpersist()
+      assign = a
+      if (i < iters) {
+        // Update: element-wise floor(mean) per cluster — Dim static agg expressions,
+        // identical to the unrolled DuckDB twin.
+        val sums = (0 until Dim).map(d =>
+          sum(element_at(col("v"), d + 1)).as(s"s$d")) :+ count(lit(1)).as("c")
+        val means = vs.join(a, "vec_id").groupBy("cid")
+          .agg(sums.head, sums.tail: _*)
+          .select(col("cid"), array((0 until Dim).map(d =>
+            floor(col(s"s$d").cast("double") / col("c")).cast("long")): _*).as("mv"))
+        val prev = cents
+        cents = cents.join(means, Seq("cid"), "left")
+          .select(col("cid"), coalesce(col("mv"), col("cv")).as("cv"))
+          .withColumn("cn", aggregate(col("cv"), lit(0L), (acc, x) => acc + x * x))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        cents.count()
+        prev.unpersist()
+      }
+    }
+    (assign, cents)
+  }
+
+  /** IVF cosine top-k — the indexed scale path next to [[bruteTopK]]'s exhaustive
+    * baseline: each query probes its `nprobe` closest coarse centroids and re-ranks
+    * only the vectors assigned to those lists (expected corpus fraction nprobe/nlist
+    * instead of 1). Same output shape as bruteTopK; recall vs brute force is measured
+    * in DedupSpec-style specs, and the DuckDB twin replays the quantizer exactly so
+    * the correctness gate is bit-exact on whatever the index returns. */
+  def ivfTopK(emb: DataFrame, numQueries: Int = 20, k: Int = 5,
+              nlist: Int = 16, iters: Int = 3, nprobe: Int = 4): DataFrame = {
+    val (assign, cents) = kmeans(emb, nlist, iters)
+    val vs = vectors(emb)
+    val q = vs.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("query_id"),
+        (col("qn") - lit(2L) * dot(col("qv"), col("cv")) + col("cn")).as("d2"), col("cid"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("d2"), asc("cid"))))
+      .filter(col("rn") <= nprobe)
+      .select("query_id", "cid")
+    val lists = vs.join(assign, "vec_id")
+    val scored = lists.join(broadcast(probes.join(q, "query_id")), "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
+  }
 }

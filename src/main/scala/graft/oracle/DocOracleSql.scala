@@ -54,6 +54,19 @@ object DocOracleSql {
        |FROM (SELECT unnest($ts) AS token FROM documents)
        |GROUP BY token""".stripMargin
 
+  /** Mirrors TextOps.bpeTokenFreq over the synthetic page-table urls (rebuilt
+    * arithmetically, like MediaOracleSql). */
+  def bpeUrlTokenFreq: String = {
+    import graft.synth.GraphSpec.{urlSql, PagesPerDoc}
+    s"""WITH pg AS MATERIALIZED (
+       |  SELECT d.doc_id*$PagesPerDoc + s.g AS p
+       |  FROM documents d CROSS JOIN generate_series(0, ${PagesPerDoc - 1}) s(g)),
+       |u AS MATERIALIZED (SELECT ${urlSql("p")} AS url FROM pg)
+       |SELECT token, CAST(count(*) AS BIGINT) AS cnt
+       |FROM (SELECT unnest(regexp_extract_all(url, '${graft.text.TextOps.BpePattern}')) AS token FROM u)
+       |GROUP BY token""".stripMargin
+  }
+
   val dedupExact: String =
     s"""SELECT md5(text) AS text_md5, min(doc_id) AS rep_id,
        |  CAST(count(*) AS BIGINT) AS n_dups

@@ -58,4 +58,50 @@ object EmbOracleSql {
        |FROM b x JOIN bk y ON x.t = y.t AND $cond AND x.vec_id < y.vec_id
        |WHERE list_dot_product(x.v, y.v)/sqrt(x.nrm)/sqrt(y.nrm) >= $tau""".stripMargin
   }
+
+  /** Mirrors Embeddings.ivfTopK: `iters` unrolled Lloyd rounds of the deterministic
+    * integer k-means (init = first `nlist` vec_ids, floor-mean centroid update,
+    * (d2, cid) tie order, empty clusters keep their centroid), then nprobe closest
+    * lists per query and an exact cosine re-rank of their members. */
+  def ivfTopK(numQueries: Int = 20, k: Int = 5,
+              nlist: Int = 16, iters: Int = 3, nprobe: Int = 4): String = {
+    val meanList = (0 until Dim)
+      .map(d => s"floor(sum(v[${d + 1}])/count(*))").mkString("[", ", ", "]")
+    val rounds = (1 to iters).map { i =>
+      val upd = if (i == iters) "" else
+        s""",
+           |mu$i AS MATERIALIZED (SELECT cid, $meanList AS mv
+           |  FROM vn JOIN a$i USING (vec_id) GROUP BY cid),
+           |c$i AS MATERIALIZED (SELECT c.cid, coalesce(mu$i.mv, c.cv) AS cv,
+           |    list_dot_product(coalesce(mu$i.mv, c.cv), coalesce(mu$i.mv, c.cv)) AS cn
+           |  FROM c${i - 1} c LEFT JOIN mu$i ON c.cid = mu$i.cid)""".stripMargin
+      s"""a$i AS MATERIALIZED (SELECT vec_id, cid FROM (
+         |  SELECT vn.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY vn.vec_id
+         |      ORDER BY vn.nrm - 2*list_dot_product(vn.v, c.cv) + c.cn, c.cid) AS rn
+         |  FROM vn CROSS JOIN c${i - 1} c) WHERE rn = 1)$upd""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $vecCte,
+       |c0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM vn
+       |  WHERE vec_id < $nlist),
+       |$rounds,
+       |q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM vn
+       |  WHERE vec_id < $numQueries),
+       |pr AS MATERIALIZED (SELECT query_id, cid FROM (
+       |  SELECT q.query_id, c.cid,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY q.qn - 2*list_dot_product(q.qv, c.cv) + c.cn, c.cid) AS rn
+       |  FROM q CROSS JOIN c${iters - 1} c) WHERE rn <= $nprobe),
+       |cand AS MATERIALIZED (
+       |  SELECT q.query_id, vn.vec_id AS neighbor_id,
+       |    list_dot_product(q.qv, vn.v)/sqrt(q.qn)/sqrt(vn.nrm) AS cos
+       |  FROM pr JOIN a$iters a ON pr.cid = a.cid
+       |  JOIN vn ON a.vec_id = vn.vec_id
+       |  JOIN q ON pr.query_id = q.query_id
+       |  WHERE vn.vec_id != q.query_id)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, cos FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM cand) WHERE rnk <= $k""".stripMargin
+  }
 }

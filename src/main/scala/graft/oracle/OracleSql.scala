@@ -1425,4 +1425,133 @@ object OracleSql {
        |  CAST(sum(CASE WHEN stable THEN 1 ELSE 0 END) AS BIGINT) AS stable,
        |  sum(CASE WHEN stable THEN 1 ELSE 0 END)::double / count(*) AS stable_frac
        |FROM st GROUP BY label""".stripMargin
+
+  /** Mirrors Matching.localMaxMatching: `rounds` rounds of mutual-dominant-edge
+    * matching under the strict total order (w DESC, src, dst),
+    * w = 1 + (src+dst) % 5. */
+  def localMaxMatching(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""mb$i AS MATERIALIZED (SELECT x, src, dst FROM (
+         |  SELECT x, src, dst, row_number() OVER (PARTITION BY x ORDER BY w DESC, src, dst) AS rn
+         |  FROM (SELECT src AS x, src, dst, w FROM mr${i - 1}
+         |        UNION ALL SELECT dst, src, dst, w FROM mr${i - 1})) WHERE rn = 1),
+         |mt$i AS MATERIALIZED (SELECT r.src, r.dst, r.w FROM mr${i - 1} r
+         |  JOIN mb$i a ON a.x = r.src AND a.src = r.src AND a.dst = r.dst
+         |  JOIN mb$i b ON b.x = r.dst AND b.src = r.src AND b.dst = r.dst),
+         |mn$i AS MATERIALIZED (SELECT src AS id FROM mt$i UNION SELECT dst FROM mt$i),
+         |mr$i AS MATERIALIZED (SELECT r.src, r.dst, r.w FROM mr${i - 1} r
+         |  LEFT JOIN mn$i na ON r.src = na.id LEFT JOIN mn$i nb ON r.dst = nb.id
+         |  WHERE na.id IS NULL AND nb.id IS NULL),
+         |ma$i AS MATERIALIZED (SELECT src, dst, w FROM ma${i - 1} UNION ALL SELECT src, dst, w FROM mt$i)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |mr0 AS MATERIALIZED (SELECT src, dst, 1 + (src + dst) % 5 AS w FROM (
+       |  SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst FROM edges)),
+       |ma0 AS MATERIALIZED (SELECT src, dst, w FROM mr0 WHERE 1 = 0),
+       |$steps
+       |SELECT src, dst, CAST(w AS BIGINT) AS w FROM ma$rounds""".stripMargin
+  }
+
+  /** Mirrors IndependentSet.lubyFixed: `rounds` Luby rounds with the deterministic
+    * nonlinear-LCG draw on (id, round, seed) and exact-integer membership test
+    * draw < M // (2·wdeg); ties in the conflict resolution drop the canonical-second
+    * endpoint. */
+  def luby(rounds: Int, seed: Long): String = {
+    import graft.synth.GraphSpec.{lcg, M}
+    val steps = (1 to rounds).map { i =>
+      val x = s"(id * 1000003 + $i * 7919 + $seed)"
+      val draw = s"(((${lcg(x)} * ${lcg(s"($x) + 1000003")}) // 65536) % $M)"
+      s"""iw$i AS MATERIALIZED (SELECT a.id, coalesce(d.wd, 0) AS wd FROM ia${i - 1} a
+         |  LEFT JOIN (SELECT id, sum(w) AS wd FROM (
+         |    SELECT s AS id, w FROM ie${i - 1} UNION ALL SELECT t, w FROM ie${i - 1})
+         |    GROUP BY id) d ON a.id = d.id),
+         |is$i AS MATERIALIZED (SELECT id, wd FROM iw$i
+         |  WHERE wd = 0 OR $draw < ($M // (2 * wd))),
+         |il$i AS MATERIALIZED (SELECT DISTINCT CASE WHEN su.wd >= sv.wd THEN e.t ELSE e.s END AS id
+         |  FROM ie${i - 1} e JOIN is$i su ON e.s = su.id JOIN is$i sv ON e.t = sv.id),
+         |ip$i AS MATERIALIZED (SELECT s.id FROM is$i s LEFT JOIN il$i l ON s.id = l.id
+         |  WHERE l.id IS NULL),
+         |im$i AS MATERIALIZED (SELECT id FROM im${i - 1} UNION ALL SELECT id FROM ip$i),
+         |ir$i AS MATERIALIZED (SELECT id FROM ip$i
+         |  UNION SELECT e.t FROM ie${i - 1} e JOIN ip$i s ON e.s = s.id
+         |  UNION SELECT e.s FROM ie${i - 1} e JOIN ip$i s ON e.t = s.id),
+         |ia$i AS MATERIALIZED (SELECT a.id FROM ia${i - 1} a LEFT JOIN ir$i r ON a.id = r.id
+         |  WHERE r.id IS NULL),
+         |ie$i AS MATERIALIZED (SELECT e.s, e.t, e.w FROM ie${i - 1} e
+         |  JOIN ia$i x ON e.s = x.id JOIN ia$i y ON e.t = y.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |ie0 AS MATERIALIZED (SELECT least(src, dst) AS s, greatest(src, dst) AS t, count(*) AS w
+       |  FROM edges GROUP BY 1, 2),
+       |ia0 AS MATERIALIZED (SELECT id FROM verts),
+       |im0 AS MATERIALIZED (SELECT id FROM verts WHERE 1 = 0),
+       |$steps
+       |SELECT id FROM im$rounds""".stripMargin
+  }
+
+  /** Mirrors Forest.spanningForest: min-label CC (`ccRounds`, converged) for the
+    * per-component min-id roots, multi-source BFS unrolled `levels` deep, then
+    * parent(v) = min neighbor one level closer. */
+  def spanningForest(ccRounds: Int, levels: Int): String = {
+    val steps = (1 to levels).map { i =>
+      s"""fg$i AS MATERIALIZED (SELECT DISTINCT bi.b AS id FROM ff${i - 1} f JOIN bi ON f.id = bi.a),
+         |ff$i AS MATERIALIZED (SELECT g.id, $i AS dist FROM fg$i g
+         |  LEFT JOIN fs${i - 1} s ON g.id = s.id WHERE s.id IS NULL),
+         |fs$i AS MATERIALIZED (SELECT id, dist FROM fs${i - 1} UNION ALL SELECT id, dist FROM ff$i)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$biCte,
+       |${ccSteps(ccRounds)},
+       |roots AS MATERIALIZED (SELECT id FROM l$ccRounds WHERE id = label),
+       |ff0 AS MATERIALIZED (SELECT id, 0 AS dist FROM roots),
+       |fs0 AS MATERIALIZED (SELECT id, dist FROM ff0),
+       |$steps
+       |SELECT min(bi.a) AS src, d.id AS dst, CAST(d.dist AS BIGINT) AS dist
+       |FROM fs$levels d JOIN bi ON bi.b = d.id
+       |JOIN fs$levels p ON p.id = bi.a AND p.dist = d.dist - 1
+       |GROUP BY d.id, d.dist""".stripMargin
+  }
+
+  /** Mirrors Forest.umsfTriangle(levelCap, roundsPerLevel): descending attribute sweep
+    * (att = min(tri, cap−1) + 1) with `rounds` fixed min-label rounds after each level
+    * joins the active subgraph; an edge is in the UMSF iff its endpoints' labels differ
+    * when its level is tested. */
+  def umsfTriangle(levelCap: Int, rounds: Int): String = {
+    // Each round = propagate (min over active neighbors) + pointer jump
+    // (label := label(label)) — mirrors Forest.umsfTriangle's doubling schedule.
+    def labelRounds(lvl: Int): String = (1 to rounds).map { j =>
+      val prev = if (j == 1) s"u${lvl + 1}_$rounds" else s"u${lvl}_${j - 1}"
+      s"""t${lvl}_$j AS MATERIALIZED (SELECT l.id,
+         |  least(l.label, coalesce(m.ml, l.label)) AS label
+         |  FROM $prev l LEFT JOIN (
+         |    SELECT ab.b AS id, min(x.label) AS ml FROM ub$lvl ab
+         |    JOIN $prev x ON ab.a = x.id GROUP BY ab.b) m ON l.id = m.id),
+         |u${lvl}_$j AS MATERIALIZED (SELECT a.id, b.label
+         |  FROM t${lvl}_$j a JOIN t${lvl}_$j b ON a.label = b.id)""".stripMargin
+    }.mkString(",\n")
+    val lvls = (levelCap to 1 by -1).map { lvl =>
+      val cur = s"u${lvl + 1}_$rounds"
+      val mk =
+        s"""mk$lvl AS MATERIALIZED (SELECT e.src, e.dst, e.att,
+           |  CASE WHEN la.label != lb.label THEN 1 ELSE 0 END AS in_umsf
+           |  FROM ae e JOIN $cur la ON e.src = la.id JOIN $cur lb ON e.dst = lb.id
+           |  WHERE e.att = $lvl)""".stripMargin
+      // Level 1 is the last: its propagation feeds nothing (mirrors Forest.umsfTriangle).
+      if (lvl == 1) mk
+      else
+        s"""$mk,
+           |ub$lvl AS MATERIALIZED (SELECT src AS a, dst AS b FROM ae WHERE att >= $lvl
+           |  UNION ALL SELECT dst, src FROM ae WHERE att >= $lvl),
+           |${labelRounds(lvl)}""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (levelCap to 1 by -1)
+      .map(l => s"SELECT src, dst, att, in_umsf FROM mk$l").mkString("\n  UNION ALL ")
+    s"""$base,
+       |$ejCte,
+       |ae AS MATERIALIZED (SELECT src, dst, least(tri, ${levelCap - 1}) + 1 AS att FROM ej),
+       |u${levelCap + 1}_$rounds AS MATERIALIZED (SELECT id, id AS label FROM verts),
+       |$lvls
+       |SELECT src, dst, CAST(att AS BIGINT) AS att, CAST(in_umsf AS BIGINT) AS in_umsf
+       |FROM ($unionAll)""".stripMargin
+  }
 }

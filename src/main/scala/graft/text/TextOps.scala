@@ -80,6 +80,18 @@ object TextOps {
     docs.select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
 
+  /** BPE-style pre-tokenization: maximal letter runs, digit runs, and single
+    * other-characters — the GPT-2-family pre-tokenizer shape, which is what a BPE
+    * vocab trainer consumes. Same RE2-compatible pattern in the DuckDB twin. */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9]"
+  def bpeTokens(c: Column): Column = regexp_extract_all(c, lit(BpePattern), lit(0))
+
+  /** Corpus frequency of BPE pre-tokens over any string column (urls, text):
+    * one explode + one hash aggregation — partial agg absorbs hub tokens. */
+  def bpeTokenFreq(rows: DataFrame, column: String): DataFrame =
+    rows.select(explode(bpeTokens(col(column))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+
   /** Exact deduplication: cluster by content hash, keep the smallest doc_id as the
     * representative. One hash-partitioned aggregation — at 100 TB this is the classic
     * single-shuffle dedup (hash keys distribute uniformly; no skew handling needed
