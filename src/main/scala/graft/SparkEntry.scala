@@ -328,6 +328,10 @@ object SparkEntry {
       Distances.diameterExact(s,
         g.subgraphFromNodes(g.vertices.filter(col("id") % 7 === 0)), 0L)
     }),
+    // Network-profile battery: one exact-integer summary row (profiling.py analog).
+    "q_graph_profile" -> ((s, dir) =>
+      graft.algo.Profile.run(s, graph(s, dir))),
+
     // --- matching / independent set / spanning forests (§2.9 family) ---
     // Local-max (Preis) matching, 15 fixed rounds (drains well before that at sf0.01;
     // spec asserts maximality on fixtures); strict (w DESC, src, dst) total order.
@@ -452,6 +456,7 @@ object SparkEntry {
     "q_subgraph"         -> OracleSql.subgraph7,
     "q_top_closeness"    -> OracleSql.topCloseness(7, 25, 28),
     "q_plm"              -> OracleSql.plm(6, 2),
+    "q_graph_profile"    -> OracleSql.graphProfile(12),
     "q_matching"         -> OracleSql.localMaxMatching(15),
     "q_luby"             -> OracleSql.luby(12, 42L),
     "q_spanning_forest"  -> OracleSql.spanningForest(12, 20),

@@ -1426,6 +1426,36 @@ object OracleSql {
        |  sum(CASE WHEN stable THEN 1 ELSE 0 END)::double / count(*) AS stable_frac
        |FROM st GROUP BY label""".stripMargin
 
+  /** Mirrors Profile.run: one exact-integer network summary row (profiling battery). */
+  def graphProfile(ccRounds: Int): String =
+    s"""$base,
+       |$biCte,
+       |${ccSteps(ccRounds)},
+       |od AS MATERIALIZED (SELECT src AS id, count(*) AS od FROM edges GROUP BY src),
+       |idg AS MATERIALIZED (SELECT dst AS id, count(*) AS idg FROM edges GROUP BY dst),
+       |dg AS MATERIALIZED (SELECT v.id, coalesce(od.od, 0) AS od, coalesce(idg.idg, 0) AS idg
+       |  FROM verts v LEFT JOIN od ON v.id = od.id LEFT JOIN idg ON v.id = idg.id),
+       |ds AS MATERIALIZED (SELECT CAST(max(od) AS BIGINT) AS max_out_deg,
+       |    CAST(max(idg) AS BIGINT) AS max_in_deg,
+       |    CAST(sum(CASE WHEN od = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dangling,
+       |    CAST(sum(CASE WHEN od = 0 AND idg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS isolated
+       |  FROM dg),
+       |rp AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS reciprocal_pairs
+       |  FROM edges e JOIN edges r ON e.src = r.dst AND e.dst = r.src
+       |  WHERE e.src < e.dst),
+       |cp AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n_components,
+       |    CAST(max(sz) AS BIGINT) AS max_component
+       |  FROM (SELECT label, count(*) AS sz FROM l$ccRounds GROUP BY label)),
+       |mu AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m_und
+       |  FROM (SELECT DISTINCT least(src, dst), greatest(src, dst) FROM edges)),
+       |nm AS MATERIALIZED (SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n,
+       |    CAST(count(*) AS BIGINT) AS m FROM edges)
+       |SELECT nm.n, nm.m, mu.m_und,
+       |  nm.m::double / (nm.n::double * (nm.n - 1)::double) AS density,
+       |  ds.max_out_deg, ds.max_in_deg, ds.dangling, ds.isolated,
+       |  rp.reciprocal_pairs, cp.n_components, cp.max_component
+       |FROM nm, mu, ds, rp, cp""".stripMargin
+
   /** Mirrors Matching.localMaxMatching: `rounds` rounds of mutual-dominant-edge
     * matching under the strict total order (w DESC, src, dst),
     * w = 1 + (src+dst) % 5. */

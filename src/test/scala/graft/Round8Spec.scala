@@ -112,6 +112,26 @@ class Round8Spec extends AnyFunSuite {
     byQ.foreach { case (q, rs) => assert(rs == (1L to 5L), s"query $q ranks $rs") }
   }
 
+  test("dynamic BA event stream folds back to the static graph; prefixes are valid") {
+    import graft.streaming.DynamicGenerators
+    val g = graft.synth.Generators.barabasiAlbert(spark, k = 3, n = 200, seed = 7)
+    val ev = DynamicGenerators.dynamicBarabasiAlbert(spark, k = 3, n = 200, seed = 7)
+    // Full replay == the static edge set.
+    val folded = DynamicGenerators.prefixEdges(ev, Long.MaxValue)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val static0 = g.edges.select("src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(folded == static0, "replaying all events must rebuild the generator's graph")
+    // A prefix only contains edges among already-arrived nodes, and grows monotonically.
+    val half = DynamicGenerators.prefixEdges(ev, 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(half.subsetOf(static0) && half.nonEmpty && half.size < static0.size)
+    val arrived = ev.filter(col("etype") === "an" && col("t") <= 100)
+      .select("u").collect().map(_.getLong(0)).toSet
+    assert(half.forall { case (s, d) => arrived(s) && arrived(d) },
+      "prefix edges must touch only arrived nodes")
+  }
+
   test("bpe pre-tokenizer: letter runs, digit runs, single punctuation") {
     import spark.implicits._
     val rows = Seq("https://example.org/p00001234").toDF("url")
