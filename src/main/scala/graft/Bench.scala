@@ -50,12 +50,15 @@ object Bench {
     * noisy-neighbor phases, observed 4.1M vs 7.1M eps at 32 cores minutes apart)
     * would otherwise dominate a short sample. */
   private def scaleIters(cores: Int, cpus: Int): Int =
-    if (cores >= cpus) 16 else if (cores > cpus / 8) 12 else 6
+    if (cores >= cpus) 16 else if (cores > cpus / 8) 12 else 5
   /** Warm-up iterations per leg: a fresh child JVM pays a near-constant C2/codegen
     * compile wall-clock, negligible inside a minutes-long 2-core leg but 25-45% of a
     * wide leg's measured phase at 3 warm-up iterations (measured: 8-core eps 5.5M
-    * cold vs ~7.0M warm). */
-  private def warmIters(cores: Int): Int = math.min(12, math.max(3, cores))
+    * cold vs ~7.0M warm). Sized ~cores/2: narrow legs have long iterations that
+    * absorb the compile cost, wide legs need more warm rounds — and the whole bench
+    * must fit the driver's run window (the first round-3 recording took 93 min;
+    * these budgets + the 50M scale graph bring it to ~55). */
+  private def warmIters(cores: Int): Int = math.min(10, math.max(2, cores / 2 + 1))
 
   private def session(cores: Int, partitions: Int = 0): SparkSession = {
     // AQE off for the benchmark sessions: the iterative loops rely on stable
@@ -189,11 +192,11 @@ object Bench {
   private def scalingEvidence(sfDir: String, cpus: Int, m: Long): String = {
     val nCores = math.max(1, cpus / 4)
     val lowCores = math.max(1, cpus / 16)
-    // Target ~60M edges for the scaling runs: iterations must cost seconds of real
+    // Target ~50M edges for the scaling runs: iterations must cost seconds of real
     // compute or the ratio measures the per-iteration driver floor (BENCH.md; at
     // 30M the 8-core leg's floor share alone cost ~0.1 of efficiency_low).
     val replicate = sys.env.get("SPARK_GRAFT_REPLICATE").map(_.toLong)
-      .getOrElse(math.max(1L, 60000000L / math.max(1L, m)))
+      .getOrElse(math.max(1L, 50000000L / math.max(1L, m)))
     val (dir, scaleM) = buildScaleGraph(sfDir, cpus, replicate)
 
     val waitBudget = new java.util.concurrent.atomic.AtomicLong(240000L)
@@ -227,10 +230,10 @@ object Bench {
     // gate protocol's absolute eps at 32 cores). One leg per width — this row carries
     // the absolute-throughput-vs-baseline story; the gate ratios above keep the
     // constant-granularity protocol.
-    val peak = legs.map { cores =>
+    // Peak row at the two wide widths only (the absolute-throughput story; the
+    // low leg adds ~5 min of wall for no extra information). Half-length legs.
+    val peak = Seq(nCores, cpus).map { cores =>
       awaitQuietBox(waitBudget)
-      // Half-length legs: this row carries the absolute-throughput story only; the
-      // gate ratios above keep the full-length constant-granularity protocol.
       pagerankThroughput(dir, cores, math.max(6, scaleIters(cores, cpus) / 2),
         warmIters(cores), partMult = 1)
     }
@@ -268,9 +271,8 @@ object Bench {
       s""""efficiency_low_runs":${jarr(effLowRuns)},"efficiency_runs":${jarr(effRuns)},""" +
       s""""efficiency_low":$effLow,"efficiency":$eff,""" +
       s""""foreign_cpu_cores":${jarr(loads.result())},""" +
-      s""""peak":{"partitions":"1x cores","eps_low":${peak(0)},"eps_n":${peak(1)},""" +
-      s""""eps_4n":${peak(2)},"efficiency_low":${peak(1) / (4.0 * peak(0))},""" +
-      s""""efficiency":${peak(2) / (4.0 * peak(1))}},""" +
+      s""""peak":{"partitions":"1x cores","eps_n":${peak(0)},""" +
+      s""""eps_4n":${peak(1)},"efficiency":${peak(1) / (4.0 * peak(0))}},""" +
       s""""process_ceiling":$ceilJson,""" +
       s""""efficiency_low_vs_stream_ceiling":${effLow / streamEffLow},""" +
       s""""efficiency_vs_stream_ceiling":${eff / streamEff}}"""
@@ -304,21 +306,27 @@ object Bench {
     val (_, annSecs) = timed(Embeddings.bruteTopK(emb).count())
     spark.stop()
 
-    val scaleJson =
-      if (sys.env.get("SPARK_GRAFT_NO_SCALING").contains("1")) "null"
-      else scalingEvidence(sfDir, cpus, m)
-
     val queries = Seq(
       "build_graph" -> buildSecs, "pagerank_conv" -> prSecs, "components" -> ccSecs,
       "plp5" -> plpSecs, "triangles" -> triSecs, "dedup_exact" -> dedupSecs,
       "minhash_lsh" -> mhSecs, "ann_topk" -> annSecs)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
 
-    println(
+    def line(scaling: String): String =
       s"""{"metric":"pagerank_edges_per_iter_per_sec","value":$prEps,"unit":"edges/s",""" +
         s""""queries":$queries,"sf":"$sfDir","m":$m,"n":${g.n},""" +
         s""""pagerank_iterations":$prIters,"pagerank_secs":$prSecs,""" +
         s""""cc_rounds":${cc.rounds},"triangles":$tri,""" +
-        s""""cores":$cpus,"scaling":$scaleJson}""")
+        s""""cores":$cpus,"scaling":$scaling}"""
+
+    // Insurance line: the headline results hit stdout BEFORE the ~40-min scaling
+    // phase, so a truncated run (driver window, crash) still records them; a complete
+    // run prints the full line LAST, which is the one a tail-parser picks up.
+    println(line(""""pending""""))
+
+    val scaleJson =
+      if (sys.env.get("SPARK_GRAFT_NO_SCALING").contains("1")) "null"
+      else scalingEvidence(sfDir, cpus, m)
+    println(line(scaleJson))
   }
 }

@@ -351,6 +351,12 @@ object SparkEntry {
     "q_umsf" -> ((s, dir) =>
       graft.algo.Forest.umsfTriangle(s, graph(s, dir), levelCap = 6, roundsPerLevel = 16)),
 
+    // Parallel agglomerative clusterer: 3 fixed levels of modularity-scored
+    // local-max matching + contraction (the reference's PAC with the parallel
+    // matcher sibling); integer-exact scoring, unrolled DuckDB twin.
+    "q_pac" -> ((s, dir) =>
+      graft.algo.Agglomerative.runFixed(s, graph(s, dir), levels = 3, matchRounds = 10)),
+
     // Deterministic multilevel Louvain, fixed schedule (6 rounds x 2 levels) so the
     // DuckDB twin can unroll the identical recursion; integer-exact gain compares.
     // The adaptive PLM.run is the production path (PlmSpec covers it).
@@ -458,6 +464,7 @@ object SparkEntry {
     "q_plm"              -> OracleSql.plm(6, 2),
     "q_graph_profile"    -> OracleSql.graphProfile(12),
     "q_matching"         -> OracleSql.localMaxMatching(15),
+    "q_pac"              -> OracleSql.pac(3, 10),
     "q_luby"             -> OracleSql.luby(12, 42L),
     "q_spanning_forest"  -> OracleSql.spanningForest(12, 20),
     "q_umsf"             -> OracleSql.umsfTriangle(6, 16),

@@ -35,10 +35,16 @@ object Matching {
   /** `rounds` fixed local-max rounds over the canonical undirected edge set.
     * Returns the matched pairs (src, dst, w), src < dst. On graphs where the process
     * drains within `rounds` (spec-checked) this IS the LocalMaxMatcher matching. */
-  def localMaxMatching(spark: SparkSession, g: LinkGraph, rounds: Int): DataFrame = {
-    var rem = g.canonicalUndirected
-      .select(col("src"), col("dst"), syntheticWeight.as("w"))
-      .cutLineage
+  def localMaxMatching(spark: SparkSession, g: LinkGraph, rounds: Int): DataFrame =
+    matchEdges(
+      g.canonicalUndirected.select(col("src"), col("dst"), syntheticWeight.as("w")),
+      rounds)
+
+  /** The general local-max rounds over ANY weighted edge set (src, dst, w) with
+    * src < dst — also the matching engine inside the agglomerative clusterer, where
+    * w is the integer modularity score. */
+  def matchEdges(edges: DataFrame, rounds: Int): DataFrame = {
+    var rem = edges.cutLineage
     var acc = rem.filter(lit(false)) // empty, typed (src, dst, w)
     var r = 0
     var drained = false

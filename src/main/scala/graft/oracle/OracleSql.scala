@@ -1456,30 +1456,71 @@ object OracleSql {
        |  rp.reciprocal_pairs, cp.n_components, cp.max_component
        |FROM nm, mu, ds, rp, cp""".stripMargin
 
+  /** Local-max matching round CTEs over `${p}r0(src,dst,w)`: after `rounds` rounds,
+    * `${p}a$rounds` holds the matched pairs. Shared by the matching oracle and the
+    * agglomerative clusterer's per-level matchings. */
+  private def matchSteps(p: String, rounds: Int): String = (1 to rounds).map { i =>
+    s"""${p}b$i AS MATERIALIZED (SELECT x, src, dst FROM (
+       |  SELECT x, src, dst, row_number() OVER (PARTITION BY x ORDER BY w DESC, src, dst) AS rn
+       |  FROM (SELECT src AS x, src, dst, w FROM ${p}r${i - 1}
+       |        UNION ALL SELECT dst, src, dst, w FROM ${p}r${i - 1})) WHERE rn = 1),
+       |${p}t$i AS MATERIALIZED (SELECT r.src, r.dst, r.w FROM ${p}r${i - 1} r
+       |  JOIN ${p}b$i a ON a.x = r.src AND a.src = r.src AND a.dst = r.dst
+       |  JOIN ${p}b$i b ON b.x = r.dst AND b.src = r.src AND b.dst = r.dst),
+       |${p}n$i AS MATERIALIZED (SELECT src AS id FROM ${p}t$i UNION SELECT dst FROM ${p}t$i),
+       |${p}r$i AS MATERIALIZED (SELECT r.src, r.dst, r.w FROM ${p}r${i - 1} r
+       |  LEFT JOIN ${p}n$i na ON r.src = na.id LEFT JOIN ${p}n$i nb ON r.dst = nb.id
+       |  WHERE na.id IS NULL AND nb.id IS NULL),
+       |${p}a$i AS MATERIALIZED (SELECT src, dst, w FROM ${p}a${i - 1} UNION ALL SELECT src, dst, w FROM ${p}t$i)""".stripMargin
+  }.mkString(",\n")
+
   /** Mirrors Matching.localMaxMatching: `rounds` rounds of mutual-dominant-edge
     * matching under the strict total order (w DESC, src, dst),
     * w = 1 + (src+dst) % 5. */
-  def localMaxMatching(rounds: Int): String = {
-    val steps = (1 to rounds).map { i =>
-      s"""mb$i AS MATERIALIZED (SELECT x, src, dst FROM (
-         |  SELECT x, src, dst, row_number() OVER (PARTITION BY x ORDER BY w DESC, src, dst) AS rn
-         |  FROM (SELECT src AS x, src, dst, w FROM mr${i - 1}
-         |        UNION ALL SELECT dst, src, dst, w FROM mr${i - 1})) WHERE rn = 1),
-         |mt$i AS MATERIALIZED (SELECT r.src, r.dst, r.w FROM mr${i - 1} r
-         |  JOIN mb$i a ON a.x = r.src AND a.src = r.src AND a.dst = r.dst
-         |  JOIN mb$i b ON b.x = r.dst AND b.src = r.src AND b.dst = r.dst),
-         |mn$i AS MATERIALIZED (SELECT src AS id FROM mt$i UNION SELECT dst FROM mt$i),
-         |mr$i AS MATERIALIZED (SELECT r.src, r.dst, r.w FROM mr${i - 1} r
-         |  LEFT JOIN mn$i na ON r.src = na.id LEFT JOIN mn$i nb ON r.dst = nb.id
-         |  WHERE na.id IS NULL AND nb.id IS NULL),
-         |ma$i AS MATERIALIZED (SELECT src, dst, w FROM ma${i - 1} UNION ALL SELECT src, dst, w FROM mt$i)""".stripMargin
-    }.mkString(",\n")
+  def localMaxMatching(rounds: Int): String =
     s"""$base,
        |mr0 AS MATERIALIZED (SELECT src, dst, 1 + (src + dst) % 5 AS w FROM (
        |  SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst FROM edges)),
        |ma0 AS MATERIALIZED (SELECT src, dst, w FROM mr0 WHERE 1 = 0),
-       |$steps
+       |${matchSteps("m", rounds)}
        |SELECT src, dst, CAST(w AS BIGINT) AS w FROM ma$rounds""".stripMargin
+
+  /** Mirrors Agglomerative.runFixed: `levels` agglomeration levels, each =
+    * cleared-denominator modularity scoring (2·W·w − vol·vol, self-loops in vol
+    * twice) + `matchRounds` local-max rounds + matched-pair contraction to the min
+    * endpoint. Output (id, label) on the original vertex set. */
+  def pac(levels: Int, matchRounds: Int): String = {
+    val lvls = (1 to levels).map { l =>
+      val p = s"g${l}"
+      s"""${p}w AS MATERIALIZED (SELECT sum(w) AS tw FROM ge${l - 1}),
+         |${p}v AS MATERIALIZED (SELECT id, sum(wc) AS vol FROM (
+         |  SELECT s AS id, CASE WHEN s = t THEN 2*w ELSE w END AS wc FROM ge${l - 1}
+         |  UNION ALL SELECT t, w FROM ge${l - 1} WHERE s != t) GROUP BY id),
+         |${p}r0 AS MATERIALIZED (SELECT src, dst, w FROM (
+         |  SELECT e.s AS src, e.t AS dst,
+         |    2*(SELECT tw FROM ${p}w)*e.w - vs.vol*vt.vol AS w
+         |  FROM ge${l - 1} e JOIN ${p}v vs ON e.s = vs.id JOIN ${p}v vt ON e.t = vt.id
+         |  WHERE e.s != e.t) WHERE w > 0),
+         |${p}a0 AS MATERIALIZED (SELECT src, dst, w FROM ${p}r0 WHERE 1 = 0),
+         |${matchSteps(p, matchRounds)},
+         |${p}m AS MATERIALIZED (
+         |  SELECT src AS c, least(src, dst) AS nc FROM ${p}a$matchRounds
+         |  UNION ALL SELECT dst, least(src, dst) FROM ${p}a$matchRounds),
+         |gl$l AS MATERIALIZED (SELECT x.id, coalesce(m.nc, x.label) AS label
+         |  FROM gl${l - 1} x LEFT JOIN ${p}m m ON x.label = m.c),
+         |ge$l AS MATERIALIZED (SELECT least(cs, ct) AS s, greatest(cs, ct) AS t,
+         |    CAST(sum(w) AS BIGINT) AS w
+         |  FROM (SELECT coalesce(ms.nc, e.s) AS cs, coalesce(mt2.nc, e.t) AS ct, e.w
+         |        FROM ge${l - 1} e LEFT JOIN ${p}m ms ON e.s = ms.c
+         |        LEFT JOIN ${p}m mt2 ON e.t = mt2.c)
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |ge0 AS MATERIALIZED (SELECT least(src, dst) AS s, greatest(src, dst) AS t,
+       |  CAST(count(*) AS BIGINT) AS w FROM edges GROUP BY 1, 2),
+       |gl0 AS MATERIALIZED (SELECT id, id AS label FROM verts),
+       |$lvls
+       |SELECT id, label FROM gl$levels""".stripMargin
   }
 
   /** Mirrors IndependentSet.lubyFixed: `rounds` Luby rounds with the deterministic
