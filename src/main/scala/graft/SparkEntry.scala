@@ -93,6 +93,50 @@ object SparkEntry {
       Measures.nmi(s,
         LabelPropagation.fixedRounds(s, g, 5), LabelPropagation.fixedRounds(s, g, 10))
     }),
+    "q_jaccard_measure" -> ((s, dir) => {
+      val g = graph(s, dir)
+      Measures.jaccardMeasure(s,
+        LabelPropagation.fixedRounds(s, g, 5), LabelPropagation.fixedRounds(s, g, 10))
+    }),
+    "q_graph_rand" -> ((s, dir) => {
+      val g = graph(s, dir)
+      Measures.graphStructuralRand(s, g,
+        LabelPropagation.fixedRounds(s, g, 5), LabelPropagation.fixedRounds(s, g, 10))
+    }),
+    "q_partition_intersection" -> ((s, dir) => {
+      val g = graph(s, dir)
+      Measures.partitionIntersection(s,
+        LabelPropagation.fixedRounds(s, g, 5), LabelPropagation.fixedRounds(s, g, 10))
+    }),
+    // Cover = PLP(10) ∪ an id%64 slicing shifted past the PLP label space.
+    "q_cover_hub_dominance" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val cover = LabelPropagation.fixedRounds(s, g, 10)
+        .unionByName(g.vertices.select(col("id"),
+          (lit(10000000L) + col("id") % 64L).as("label")))
+      Measures.coverHubDominance(s, g, cover)
+    }),
+    // Edit script between the graph and its deterministic mutation (drop %13, bump
+    // weight %17, add the 0-star to id%997==0).
+    "q_graph_difference" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val e1 = g.canonicalUndirected
+      val e2 = e1.filter((col("src") + col("dst")) % 13L =!= 0L)
+        .select(col("src"), col("dst"),
+          when((col("src") + col("dst")) % 17L === 0L, col("weight") + 1.0)
+            .otherwise(col("weight")).as("weight"))
+        .unionByName(g.vertices.filter(col("id") % 997L === 0L && col("id") =!= 0L)
+          .select(lit(0L).as("src"), col("id").as("dst"), lit(1.0).as("weight")))
+        .groupBy("src", "dst").agg(max("weight").as("weight"))
+      graft.streaming.GraphEvents.graphDifference(e1, e2)
+    }),
+    // Deterministic synchronous SEIR census over the contact graph.
+    "q_seir" -> ((s, dir) =>
+      graft.algo.Epidemic.seir(s, graph(s, dir), tMax = 10, transP = 0.3,
+        eTime = 2, iTime = 3, zero = 0L)),
+    "q_approx_closeness" -> ((s, dir) =>
+      Distances.approxCloseness(s, graph(s, dir), mod = 100L, maxLevels = 15)),
+    "q_gce" -> ((s, dir) => graft.algo.Scd.gce(s, graph(s, dir), seed = 0L, maxSteps = 15)),
     "q_diameter_est" -> ((s, dir) => Distances.diameterTwoSweep(s, graph(s, dir))),
     "q_link_pred" -> ((s, dir) =>
       graft.algo.LinkPrediction.scores(s, graph(s, dir), uMod = 50L)),
@@ -161,6 +205,19 @@ object SparkEntry {
     "q_gen_rmat" -> ((s, _) =>
       graft.synth.Generators.rmat(s, 12, 8, 42L).edges
         .select(col("src"), col("dst"))),
+    "q_gen_ring" -> ((s, _) =>
+      graft.synth.Generators.regularRingLattice(s, 4000L, 6).edges
+        .select(col("src"), col("dst"))),
+    // Geometric generator: grid-doubling exact NN + cell-ring spatial join; the
+    // oracle replays the O(n^2) definition brute-force.
+    "q_gen_mocnik" -> ((s, _) =>
+      graft.synth.Generators.mocnik(s, 2000L, 3, 42L).edges
+        .select(col("src"), col("dst"))),
+    // Preferential-attachment-by-edge generator; the oracle replays the identical
+    // pointer chase as a recursive CTE over the same draw formula.
+    "q_gen_dm" -> ((s, _) =>
+      graft.synth.Generators.dorogovtsevMendes(s, 3000L, 42L).edges
+        .select(col("src"), col("dst"))),
     "q_group_closeness" -> ((s, dir) =>
       graft.algo.GroupCentrality.groupCloseness(s, graph(s, dir), k = 4,
         poolSize = 16, maxLevels = 15)),
@@ -214,6 +271,46 @@ object SparkEntry {
         .select(col("src"), col("dst"), col("burnt"))),
     "q_bfs_hops"      -> ((s, dir) => Distances.bfsHops(s, graph(s, dir), 0L)),
     "q_eccentricity"  -> ((s, dir) => Distances.eccentricity(s, graph(s, dir), 0L)),
+    // Directed / reverse BFS over the raw directed edge table (ReverseBFS.cpp analog).
+    "q_bfs_directed"  -> ((s, dir) => Distances.bfsHopsDirected(s, graph(s, dir), 0L)),
+    "q_bfs_reverse"   -> ((s, dir) =>
+      Distances.bfsHopsDirected(s, graph(s, dir), 0L, reverse = true)),
+    // Volume battery: avg ball size at radius 1..5 from the %100 source sample,
+    // all radii from ONE capped multi-source BFS.
+    "q_volume"        -> ((s, dir) =>
+      Distances.volume(s, graph(s, dir), rmax = 5, mod = 100L)),
+    // Hop plot: cumulative connected-pair fraction per hop from the ANF sketches.
+    "q_hop_plot"      -> ((s, dir) =>
+      graft.algo.Anf.hopPlot(s, graph(s, dir), maxHops = 15)),
+    "q_laplacian"     -> ((s, dir) => Centralities.laplacianCentrality(s, graph(s, dir))),
+    "q_local_coverage" -> ((s, dir) => {
+      val g = graph(s, dir)
+      Centralities.localPartitionCoverage(s, g, LabelPropagation.fixedRounds(s, g, 10))
+    }),
+    // Adamic-Adar edge distance (common-neighbor inverse-log weight per existing edge).
+    "q_adamic_adar"   -> ((s, dir) => EdgeScores.adamicAdarDistance(s, graph(s, dir))),
+    // Sampled-BFS neighborhood-function estimate (the heuristic sibling of the ANF row).
+    "q_nf_heuristic"  -> ((s, dir) =>
+      Distances.neighborhoodFunctionHeuristic(s, graph(s, dir), maxHops = 10, mod = 100L)),
+    // DynBFS: warm-repair after a deterministic insert batch (star 0 -> id%997==0);
+    // must equal the cold BFS on the updated graph (the oracle computes the cold side).
+    "q_dyn_bfs" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val prev = Distances.bfsHops(s, g, 0L)
+      val added = g.vertices.filter(col("id") % 997 === 0 && col("id") =!= 0L)
+        .select(lit(0L).as("src"), col("id").as("dst"))
+      Distances.bfsHopsWarm(s, g, prev, added)
+    }),
+    // All simple directed paths 0 -> 1 within 5 hops (reverse-BFS-pruned frontier).
+    "q_simple_paths" -> ((s, dir) =>
+      Distances.allSimplePaths(s, graph(s, dir), source = 0L, target = 1L, cutoff = 5)),
+    // Exact top-k HARMONIC closeness with UB pruning, on the %7 subgraph (same
+    // tractability split as q_top_closeness; the operator runs on the full graph).
+    "q_top_harmonic" -> ((s, dir) => {
+      val g = graph(s, dir)
+      TopCloseness.harmonic(s,
+        g.subgraphFromNodes(g.vertices.filter(col("id") % 7 === 0)), k = 25)
+    }),
     "q_edge_jaccard"  -> ((s, dir) => EdgeScores.jaccardEdgeScore(s, graph(s, dir))),
     "q_sparsify_tri"  -> ((s, dir) =>
       EdgeScores.globalThresholdFilter(
@@ -350,6 +447,11 @@ object SparkEntry {
     // production path propagates each level to convergence).
     "q_umsf" -> ((s, dir) =>
       graft.algo.Forest.umsfTriangle(s, graph(s, dir), levelCap = 6, roundsPerLevel = 16)),
+    // RandomMaximumSpanningForest (Borůvka over the deterministic total edge order).
+    // No SQL-expressible oracle (Kruskal is a sequential sweep) — driver records the
+    // rows-only check; Round11Spec replays brute Kruskal and asserts exact equality.
+    "q_msf_random" -> ((s, dir) =>
+      graft.algo.Forest.randomMsf(s, graph(s, dir), seed = 42L)),
 
     // Parallel agglomerative clusterer: 3 fixed levels of modularity-scored
     // local-max matching + contraction (the reference's PAC with the parallel
@@ -411,6 +513,14 @@ object SparkEntry {
     "q_rand_index"       -> OracleSql.randIndex(5, 10),
     "q_adjusted_rand"    -> OracleSql.adjustedRand(5, 10),
     "q_nmi"              -> OracleSql.nmi(5, 10),
+    "q_jaccard_measure"  -> OracleSql.jaccardMeasure(5, 10),
+    "q_graph_rand"       -> OracleSql.graphStructuralRand(5, 10),
+    "q_partition_intersection" -> OracleSql.partitionIntersection(5, 10),
+    "q_cover_hub_dominance" -> OracleSql.coverHubDominance(10, 64L, 10000000L),
+    "q_graph_difference" -> OracleSql.graphDifference(13L, 17L, 997L),
+    "q_seir"             -> OracleSql.seir(10, 0.3, 2, 3, 0L),
+    "q_approx_closeness" -> OracleSql.approxCloseness(100L, 15),
+    "q_gce"              -> OracleSql.gce(0L, 15),
     "q_diameter_est"     -> OracleSql.diameterTwoSweep(15),
     "q_link_pred"        -> OracleSql.linkPrediction(50L),
     "q_anf"              -> OracleSql.anfHops(15),
@@ -434,6 +544,20 @@ object SparkEntry {
     "q_random_edge"      -> OracleSql.randomEdge(42L),
     "q_bfs_hops"         -> OracleSql.bfsHops(0L, 15),
     "q_eccentricity"     -> OracleSql.eccentricity(0L, 15),
+    "q_bfs_directed"     -> OracleSql.bfsDirected(0L, 40, reverse = false),
+    "q_bfs_reverse"      -> OracleSql.bfsDirected(0L, 40, reverse = true),
+    "q_volume"           -> OracleSql.volume(5, 100L),
+    "q_hop_plot"         -> OracleSql.hopPlot(15),
+    "q_laplacian"        -> OracleSql.laplacian,
+    "q_local_coverage"   -> OracleSql.localPartitionCoverage(10),
+    "q_adamic_adar"      -> OracleSql.adamicAdarDistance,
+    "q_gen_ring"         -> OracleSql.generatorRing(4000L, 6),
+    "q_gen_mocnik"       -> OracleSql.generatorMocnik(2000L, 3, 42L),
+    "q_gen_dm"           -> OracleSql.generatorDm(3000L, 42L),
+    "q_nf_heuristic"     -> OracleSql.nfHeuristic(10, 100L),
+    "q_dyn_bfs"          -> OracleSql.dynBfs(0L, 15, 997L),
+    "q_simple_paths"     -> OracleSql.allSimplePaths(0L, 1L, 5),
+    "q_top_harmonic"     -> OracleSql.topHarmonic(7, 25, 28),
     "q_edge_jaccard"     -> OracleSql.edgeJaccard,
     "q_sparsify_tri"     -> OracleSql.sparsifyTri,
     "q_assortativity"    -> OracleSql.assortativity,

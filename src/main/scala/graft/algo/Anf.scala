@@ -185,6 +185,22 @@ object Anf {
         (col("nf_scaled").cast("double") / (1L << 20).toDouble).as("nf"))
   }
 
+  /** Hop plot (/root/reference/networkit/cpp/distance/HopPlotApproximation.h:20-35,
+    * after Palmer/Gibbons/Faloutsos' ANF): pairs (d, g(d)) where g(d) is the fraction
+    * of connected node pairs whose shortest path is <= d, approximated as
+    * nf(d)/nf(maxHops) over the same exact-integer FM sketches as
+    * [[neighborhoodFunction]] (maxHops must exceed the effective diameter so the
+    * denominator is the connected-pair total). Output (hop, nf_scaled, fraction). */
+  def hopPlot(spark: SparkSession, g: LinkGraph, maxHops: Int,
+              seed: Long = 42L): DataFrame = {
+    val nf = neighborhoodFunction(spark, g, maxHops, seed).select("hop", "nf_scaled")
+    val den = nf.filter(col("hop") === maxHops.toLong)
+      .select(col("nf_scaled").as("den"))
+    nf.crossJoin(den)
+      .select(col("hop"), col("nf_scaled"),
+        (col("nf_scaled").cast("double") / col("den").cast("double")).as("fraction"))
+  }
+
   /** Effective diameter at `ratio` (default .9, the reference default). */
   def effectiveDiameter(spark: SparkSession, g: LinkGraph, ratio: Double = 0.9,
                         seed: Long = 42L, maxHops: Int = 64): Result = {

@@ -188,6 +188,47 @@ object Centralities {
           .otherwise(col("higher").cast("double") / col("deg")).as("sfigality"))
   }
 
+  /** LaplacianCentrality (/root/reference/networkit/cpp/centrality/LaplacianCentrality.cpp:16-43):
+    * the drop in Laplacian energy when node u is removed,
+    * lap(u) = wd(u)^2 + Σ_{v∈N(u)} w_uv * (w_uv + 2*wd(v)) over the weighted
+    * undirected view (weightedDegree = sum of incident merged weights). Two degree
+    * joins + one aggregation — exact integer arithmetic end to end (merged weights are
+    * integral), so the cross-engine compare is bit-exact. Isolated vertices get 0. */
+  def laplacianCentrality(spark: SparkSession, g: LinkGraph): DataFrame = {
+    val bi = g.bidirected.select(col("src"), col("dst"), col("weight").cast("long").as("w"))
+    val wdeg = bi.groupBy(col("src").as("id")).agg(sum("w").as("wd"))
+    val nbrSum = bi
+      .join(wdeg.select(col("id").as("dst"), col("wd").as("wdv")), "dst")
+      .groupBy(col("src").as("id"))
+      .agg(sum(col("w") * (col("w") + lit(2L) * col("wdv"))).as("nsum"))
+    g.vertices
+      .join(wdeg, Seq("id"), "left")
+      .join(nbrSum, Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("wd"), lit(0L)) * coalesce(col("wd"), lit(0L)) +
+          coalesce(col("nsum"), lit(0L))).as("lap"))
+  }
+
+  /** LocalPartitionCoverage (/root/reference/networkit/cpp/centrality/LocalPartitionCoverage.cpp:11-29):
+    * per node, the weighted fraction of its neighbors sharing its partition label.
+    * One label join per endpoint + one aggregation; exact integer numerator/denominator
+    * plus the one double ratio (0 for isolated nodes, as the reference). */
+  def localPartitionCoverage(spark: SparkSession, g: LinkGraph, partition: DataFrame): DataFrame = {
+    val bi = g.bidirected.select(col("src"), col("dst"), col("weight").cast("long").as("w"))
+    val agg = bi
+      .join(partition.select(col("id").as("src"), col("label").as("ls")), "src")
+      .join(partition.select(col("id").as("dst"), col("label").as("ld")), "dst")
+      .groupBy(col("src").as("id"))
+      .agg(sum(when(col("ls") === col("ld"), col("w")).otherwise(0L)).as("same_w"),
+        sum(col("w")).as("deg_w"))
+    g.vertices.join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("same_w"), lit(0L)).as("same_w"),
+        coalesce(col("deg_w"), lit(0L)).as("deg_w"),
+        when(coalesce(col("same_w"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("same_w").cast("double") / col("deg_w")).as("coverage"))
+  }
+
   /** Degree assortativity over the undirected graph (benchmark kernel set,
     * /root/reference/benchmark/nk.py — DegreeAssortativity): Pearson correlation of
     * endpoint degrees over the bidirected edge list. One row of exact integer sums +

@@ -143,4 +143,207 @@ object Distances {
     * a filtered source table. Unreached pairs are absent (the reference stores +inf). */
   def apsp(spark: SparkSession, g: LinkGraph, sources: DataFrame): DataFrame =
     Betweenness.msBfs(spark, g, sources)._1.select("s", "id", "dist")
+
+  /** ApproxCloseness (/root/reference/networkit/cpp/centrality/ApproxCloseness.cpp —
+    * the sampling estimator role; the estimate is the classic Eppstein–Wang form):
+    * from k sampled BFS sources, ĉ(v) = k·(n−1) / (n·Σ_{s∈S} d(s,v)). The reference
+    * samples uniformly at random; the deterministic twin uses the fixed sample
+    * id % mod == 0, all sources in ONE batched multi-source BFS. Nodes no sampled
+    * source reaches get estimate 0 (the reference skips other components entirely).
+    * Output (id, sum_dist, cnt_src, closeness_est) — exact integers + one fixed
+    * double expression. */
+  def approxCloseness(spark: SparkSession, g: LinkGraph, mod: Long,
+                      maxLevels: Int = 40): DataFrame = {
+    val sources = g.vertices.filter(col("id") % mod === 0)
+    val k = sources.count()
+    val state = Betweenness.msBfs(spark, g, sources, maxLevels)._1
+    val perTarget = state.groupBy("id")
+      .agg(sum("dist").as("sum_dist"), count(lit(1)).as("cnt_src"))
+    g.vertices.join(perTarget, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("sum_dist"), lit(0L)).as("sum_dist"),
+        coalesce(col("cnt_src"), lit(0L)).as("cnt_src"))
+      .withColumn("closeness_est",
+        when(col("sum_dist") > 0L,
+          (lit(k) * lit(g.n - 1L)).cast("double") /
+            (lit(g.n) * col("sum_dist")).cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Volume (/root/reference/networkit/cpp/distance/Volume.cpp:40-72): for each radius
+    * r in 1..rmax, the average number of nodes within hop distance <= r of a sample
+    * node (the node itself included). The reference samples random nodes; the
+    * deterministic twin uses the fixed source set id % mod == 0, and all radii come
+    * from ONE batched multi-source BFS capped at rmax levels (not one BFS per sample).
+    * Output (r, within, volume): exact pair counts + the one double average. */
+  def volume(spark: SparkSession, g: LinkGraph, rmax: Int, mod: Long): DataFrame = {
+    import spark.implicits._
+    val sources = g.vertices.filter(col("id") % mod === 0)
+    val nSources = sources.count()
+    val (state, _) = Betweenness.msBfs(spark, g, sources, maxLevels = rmax)
+    val byDist = state.groupBy("dist").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val rows = (1 to rmax).map { r =>
+      val within = (0L to r.toLong).map(d => byDist.getOrElse(d, 0L)).sum
+      (r.toLong, within)
+    }
+    rows.toDF("r", "within")
+      .select(col("r"), col("within"),
+        (col("within").cast("double") / nSources.toDouble).as("volume"))
+  }
+
+  /** NeighborhoodFunctionHeuristic
+    * (/root/reference/networkit/cpp/distance/NeighborhoodFunctionHeuristic.cpp:35-100):
+    * estimate NF(h) from s sampled BFS runs scaled by n/s. The reference samples
+    * uniformly or degree-split and runs one BFS per sample; the deterministic twin
+    * takes the fixed sample id % mod == 0 and runs ALL samples in ONE batched
+    * multi-source BFS. nf_est(h) = pairs(<=h) * n // s (exact integer floor), where
+    * pairs counts (source, node) at 1 <= dist <= h. Output (hop, pairs, nf_est). */
+  def neighborhoodFunctionHeuristic(spark: SparkSession, g: LinkGraph, maxHops: Int,
+                                    mod: Long): DataFrame = {
+    import spark.implicits._
+    val sources = g.vertices.filter(col("id") % mod === 0)
+    val nSources = sources.count()
+    val (state, _) = Betweenness.msBfs(spark, g, sources, maxLevels = maxHops)
+    val byDist = state.filter(col("dist") > 0).groupBy("dist").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val rows = (1 to maxHops).map { h =>
+      (h.toLong, (1L to h.toLong).map(d => byDist.getOrElse(d, 0L)).sum)
+    }
+    rows.toDF("hop", "pairs")
+      .select(col("hop"), col("pairs"),
+        expr(s"pairs * ${g.n} div $nSources").as("nf_est"))
+  }
+
+  /** DynBFS insert repair (/root/reference/networkit/cpp/distance/DynBFS.cpp:32-90):
+    * warm-start hop distances after an edge-insert batch. Inserts only DECREASE
+    * distances, so the repair seeds a frontier with the endpoints whose distance
+    * improves through an inserted edge and relaxes level-synchronously from there —
+    * per-round work ∝ the affected cone, not the graph. `prev` is (id, dist) with -1
+    * for unreachable (mirrored to +inf internally). Result equals a cold BFS on the
+    * updated graph (Round10Spec asserts equality). */
+  def bfsHopsWarm(spark: SparkSession, g: LinkGraph, prev: DataFrame,
+                  added: DataFrame): DataFrame = {
+    val inf = Long.MaxValue / 4
+    val addBi = added.select(col("src"), col("dst"))
+      .union(added.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bi = g.bidirected.select("src", "dst").union(addBi)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    bi.count()
+    var dist = prev.select(col("id"),
+      when(col("dist") < 0L, lit(inf)).otherwise(col("dist")).as("dist")).cutLineage
+    // Seed: improvements available through an inserted edge.
+    var frontier = addBi
+      .join(dist.select(col("id").as("src"), col("dist").as("ds")), "src")
+      .join(dist.select(col("id").as("dst"), col("dist").as("dd")), "dst")
+      .filter(col("ds") + 1L < col("dd"))
+      .select(col("dst").as("id"), (col("ds") + 1L).as("nd"))
+      .groupBy("id").agg(min("nd").as("nd"))
+      .cutLineage
+    while (frontier.count() > 0) {
+      dist = dist
+        .join(frontier.withColumnRenamed("nd", "better"), Seq("id"), "left")
+        .select(col("id"), least(col("dist"), coalesce(col("better"), col("dist"))).as("dist"))
+        .cutLineage
+      frontier = bi
+        .join(frontier.select(col("id").as("src"), col("nd")), "src")
+        .select(col("dst").as("id"), (col("nd") + 1L).as("nd"))
+        .groupBy("id").agg(min("nd").as("nd"))
+        .join(dist, Seq("id"))
+        .filter(col("nd") < col("dist"))
+        .select("id", "nd")
+        .cutLineage
+    }
+    addBi.unpersist(); bi.unpersist()
+    dist.select(col("id"),
+      when(col("dist") >= inf, lit(-1L)).otherwise(col("dist")).as("dist"))
+  }
+
+  /** AffectedNodes (/root/reference/networkit/cpp/distance/AffectedNodes.cpp:20-60):
+    * the nodes whose hop distance changed under an edge-update batch — the diff of
+    * the warm-repaired distances against the previous solution. */
+  def affectedNodes(prev: DataFrame, updated: DataFrame): DataFrame =
+    prev.select(col("id"), col("dist").as("old_dist"))
+      .join(updated.select(col("id"), col("dist").as("new_dist")), "id")
+      .filter(col("old_dist") =!= col("new_dist"))
+
+  /** AllSimplePaths (/root/reference/networkit/cpp/distance/AllSimplePaths.h:22-60,
+    * AllSimplePaths.cpp:30-90): every simple directed path source -> target with at
+    * most `cutoff` edges. The reference prunes its DFS with a backward reachability
+    * pass; the distributed shape keeps exactly that idea — partial paths extend as
+    * array columns over the directed edge table, and a partial path of length L
+    * survives only if the reverse-BFS distance from its head to the target is
+    * <= cutoff - L (so dead branches never join again). Path count is worst-case
+    * exponential (inherent to the operator); the pruning bounds the frontier to paths
+    * that can still complete. Output (path_str, len) per path. */
+  def allSimplePaths(spark: SparkSession, g: LinkGraph, source: Long, target: Long,
+                     cutoff: Int): DataFrame = {
+    import spark.implicits._
+    require(cutoff >= 1 && source != target)
+    val distT = bfsHopsDirected(spark, g, target, reverse = true)
+      .filter(col("dist") >= 0L)
+      .select(col("id").as("head"), col("dist").as("dt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dir = g.edges.select("src", "dst").distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    dir.count()
+    var frontier = Seq((Array(source), source)).toDF("path", "head")
+      .join(distT, Seq("head"), "left_semi")
+    var done = spark.emptyDataset[(String, Long)].toDF("path_str", "len")
+    for (l <- 1 to cutoff) {
+      val ext = frontier
+        .join(dir.withColumnRenamed("src", "head"), "head")
+        .filter(!array_contains(col("path"), col("dst")))
+        .select(concat(col("path"), array(col("dst"))).as("path"), col("dst").as("head"))
+        .cutLineage
+      done = done.union(
+        ext.filter(col("head") === target)
+          .select(concat_ws("->",
+            transform(col("path"), x => x.cast("string"))).as("path_str"),
+            lit(l.toLong).as("len")))
+        .cutLineage
+      frontier =
+        if (l == cutoff) ext.filter(lit(false))
+        else ext.filter(col("head") =!= target)
+          .join(distT, Seq("head")).filter(col("dt") <= (cutoff - l).toLong)
+          .select("path", "head").cutLineage
+    }
+    distT.unpersist(); dir.unpersist()
+    done
+  }
+
+  /** Directed BFS from `source` following out-edges, or in-edges when `reverse`
+    * (/root/reference/networkit/cpp/distance/ReverseBFS.cpp — the reverse variant;
+    * the forward one is BFS.cpp run on a directed graph). Same level-synchronous
+    * frontier harness as [[bfsHops]], over the directed edge table instead of the
+    * bidirected view. Unreachable vertices get -1. Output (id, dist). */
+  def bfsHopsDirected(spark: SparkSession, g: LinkGraph, source: Long,
+                      reverse: Boolean = false): DataFrame = {
+    val dir0 = g.edges.select("src", "dst")
+    val dir = (if (reverse) dir0.select(col("dst").as("src"), col("src").as("dst"))
+               else dir0).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    dir.count()
+    var visited = g.vertices.filter(col("id") === source)
+      .select(col("id"), lit(0L).as("dist")).cutLineage
+    var frontier = visited
+    var level = 1L
+    var more = frontier.count() > 0
+    while (more) {
+      val next = dir.join(frontier.withColumnRenamed("id", "src").select("src"), "src")
+        .select(col("dst").as("id")).distinct()
+        .join(visited.select("id"), Seq("id"), "left_anti")
+        .select(col("id"), lit(level).as("dist"))
+        .cutLineage
+      more = next.count() > 0
+      if (more) {
+        visited = visited.union(next).cutLineage
+        frontier = next
+        level += 1
+      }
+    }
+    dir.unpersist()
+    g.vertices.join(visited, Seq("id"), "left")
+      .select(col("id"), coalesce(col("dist"), lit(-1L)).as("dist"))
+  }
 }

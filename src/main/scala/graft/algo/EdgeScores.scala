@@ -337,4 +337,41 @@ object EdgeScores {
     und.join(best, Seq("src", "dst"), "left")
       .select(col("src"), col("dst"), coalesce(col("score"), lit(0.0)).as("score"))
   }
+
+  /** AdamicAdarDistance (/root/reference/networkit/cpp/distance/AdamicAdarDistance.cpp:17-58):
+    * per existing undirected edge (u,v), aad = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w)); the
+    * node distance is 1/aad. The reference iterates triangles; here each triangle from
+    * the degree-oriented corner join contributes one term to each of its three edges.
+    * Terms are pre-scaled to integers (round(1e9/ln(deg))) so the per-edge sum is
+    * order-independent and the cross-engine compare exact (a raw double sum would hash
+    * differently per partitioning); every corner is in a triangle so deg >= 2 and
+    * ln(deg) > 0. Edges in no triangle: aad=0, dist = -1 sentinel (reference: +inf).
+    * Output (src, dst, aad_scaled, dist) per canonical undirected edge. */
+  def adamicAdarDistance(spark: SparkSession, g: LinkGraph): DataFrame = {
+    val scale = 1000000000L
+    // Triangle corners always have deg >= 2; degree-1 nodes would hit ln(1)=0.
+    val deg = g.undirectedDegrees.filter(col("deg") >= 2)
+    val term = round(lit(scale.toDouble) / log(col("deg").cast("double"))).cast("long")
+    val tri = Triangles.triangleCorners(Triangles.oriented(g))
+    // Each triangle (a,b,c): edge(a,b) += t(c); edge(a,c) += t(b); edge(b,c) += t(a).
+    val contrib = tri
+      .join(deg.select(col("id").as("a"), term.as("ta")), "a")
+      .join(deg.select(col("id").as("b"), term.as("tb")), "b")
+      .join(deg.select(col("id").as("c"), term.as("tc")), "c")
+      .select(explode(array(
+        struct(least(col("a"), col("b")).as("src"), greatest(col("a"), col("b")).as("dst"),
+          col("tc").as("t")),
+        struct(least(col("a"), col("c")).as("src"), greatest(col("a"), col("c")).as("dst"),
+          col("tb").as("t")),
+        struct(least(col("b"), col("c")).as("src"), greatest(col("b"), col("c")).as("dst"),
+          col("ta").as("t")))).as("e"))
+      .groupBy(col("e.src").as("src"), col("e.dst").as("dst"))
+      .agg(sum("e.t").as("aad_scaled"))
+    g.canonicalUndirected.select("src", "dst")
+      .join(contrib, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"),
+        coalesce(col("aad_scaled"), lit(0L)).as("aad_scaled"),
+        when(coalesce(col("aad_scaled"), lit(0L)) === 0L, lit(-1.0))
+          .otherwise(lit(scale.toDouble) / col("aad_scaled").cast("double")).as("dist"))
+  }
 }

@@ -140,4 +140,92 @@ object Forest {
     scored.unpersist()
     out
   }
+
+  /** RandomMaximumSpanningForest / KruskalMSF
+    * (/root/reference/networkit/cpp/graph/RandomMaximumSpanningForest.cpp:14-90,
+    * KruskalMSF.cpp): the unique maximum spanning forest under a TOTAL edge order —
+    * deterministic pseudo-random draw, ties broken by (src, dst) — so the result is
+    * exactly what the reference's sequential Kruskal sweep produces with the same
+    * order (Round12Spec replays brute Kruskal and asserts set equality).
+    *
+    * Re-architecture: Kruskal's sorted sweep with union-find is inherently
+    * sequential; the distributed shape is BORŮVKA — each round every component hooks
+    * its maximum incident cross edge (distinct weights ⇒ no cycles except mutual
+    * pairs, resolved to the smaller label), components contract by pointer-jumping,
+    * and the picked edges join the forest. O(log n) rounds, each one m-row labeled
+    * join + a component-level argmax (`max(struct)` — order-independent), which is
+    * the textbook MSF plan at 10^12 edges.
+    *
+    * Returns forest edges (src, dst, draw). */
+  def randomMsf(spark: SparkSession, g: LinkGraph, seed: Long = 42L,
+                maxRounds: Int = 40): DataFrame = {
+    import graft.synth.GraphSpec.lcg
+    val x = s"(src*1000003 + dst*97 + $seed)"
+    val drawExpr = s"(((${lcg(x)} * ${lcg(s"($x) + 1000003")}) div 65536) % ${graft.synth.GraphSpec.M})"
+    val edges = g.canonicalUndirected.select(col("src"), col("dst"))
+      .withColumn("draw", expr(drawExpr))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+
+    var labels = g.vertices.select(col("id"), col("id").as("label")).cutLineage
+    var forest = edges.filter(lit(false)) // empty, typed (src, dst, draw)
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val cross = edges
+        .join(labels.select(col("id").as("src"), col("label").as("ls")), "src")
+        .join(labels.select(col("id").as("dst"), col("label").as("ld")), "dst")
+        .filter(col("ls") =!= col("ld"))
+        .cutLineage
+      done = cross.limit(1).count() == 0
+      if (!done) {
+        // Per component: the maximum incident cross edge (total order draw, src, dst).
+        val inc = cross.select(col("ls").as("c"),
+            struct(col("draw"), col("src"), col("dst"), col("ld").as("oc")).as("pick"))
+          .union(cross.select(col("ld").as("c"),
+            struct(col("draw"), col("src"), col("dst"), col("ls").as("oc")).as("pick")))
+        val picked = inc.groupBy("c").agg(max("pick").as("pick"))
+          .select(col("c"), col("pick.draw").as("draw"), col("pick.src").as("src"),
+            col("pick.dst").as("dst"), col("pick.oc").as("oc"))
+          .cutLineage
+        val prevForest = forest
+        forest = forest.union(picked.select("src", "dst", "draw").distinct()).cutLineage
+        prevForest.releaseState()
+        // Hook: parent(c) = oc, except a mutual pair's smaller label roots itself
+        // (the globally-max edge between two hooked components is picked by BOTH).
+        val mutual = picked.select(col("c"), col("oc"))
+          .join(picked.select(col("c").as("oc"), col("oc").as("back")), "oc")
+          .filter(col("back") === col("c"))
+          .select(col("c"), col("oc"))
+        var parent = picked.select(col("c"), col("oc").as("p"))
+          .join(mutual.select(col("c"), lit(true).as("is_mut")), Seq("c"), "left")
+          .select(col("c"),
+            when(col("is_mut") && col("c") < col("p"), col("c"))
+              .otherwise(col("p")).as("p"))
+          .cutLineage
+        // Pointer-jump to the roots (doubling ⇒ logarithmic in hook-tree depth).
+        var jumping = true
+        while (jumping) {
+          val jumped = parent.as("a")
+            .join(parent.select(col("c").as("pc"), col("p").as("pp")).as("b"),
+              col("a.p") === col("pc"), "left")
+            .select(col("a.c").as("c"), coalesce(col("pp"), col("a.p")).as("p"))
+            .cutLineage
+          jumping = jumped.join(parent.withColumnRenamed("p", "old"), "c")
+            .filter(col("p") =!= col("old")).limit(1).count() > 0
+          parent.releaseState()
+          parent = jumped
+        }
+        val prevLabels = labels
+        labels = labels.join(parent.withColumnRenamed("c", "label"), Seq("label"), "left")
+          .select(col("id"), coalesce(col("p"), col("label")).as("label"))
+          .cutLineage
+        prevLabels.releaseState(); cross.releaseState(); picked.releaseState()
+        parent.releaseState()
+      }
+      round += 1
+    }
+    edges.unpersist()
+    forest
+  }
 }

@@ -142,6 +142,85 @@ object Measures {
       (col("n_clusters") === 1L).as("is_one"))
   }
 
+  /** Jaccard dissimilarity between two partitions
+    * (community/JaccardMeasure.cpp:15-70): over the same pair counts as randIndex,
+    * s00 = C(n,2) + s_both − s_a − s_b and jaccard = 1 − 2·s11 / (n(n−1) − 2·s00)
+    * (0 when the divisor is 0 — both partitions all-singletons). Exact integers into
+    * one fixed double expression. */
+  def jaccardMeasure(spark: SparkSession, a: DataFrame, b: DataFrame): DataFrame =
+    randIndex(spark, a, b).select(
+      col("n"), col("s_both"), col("s_a"), col("s_b"),
+      when(expr("n*(n-1) - 2*(n*(n-1) div 2 + s_both - s_a - s_b)") <= 0L, lit(0.0))
+        .otherwise(lit(1.0) - (lit(2L) * col("s_both")).cast("double") /
+          expr("n*(n-1) - 2*(n*(n-1) div 2 + s_both - s_a - s_b)"))
+        .as("jaccard"))
+
+  /** Graph-structural Rand dissimilarity
+    * (community/GraphStructuralRandMeasure.cpp:14-40): over the undirected edge set,
+    * e11 = edges whose endpoints agree in BOTH partitions, e00 = edges whose endpoints
+    * disagree in both; rand_g = 1 − (e11+e00)/m. One labeled-edge pass, exact
+    * integers. */
+  def graphStructuralRand(spark: SparkSession, g: LinkGraph,
+      a: DataFrame, b: DataFrame): DataFrame = {
+    val la = a.select(col("id"), col("label").as("l1"))
+    val lb = b.select(col("id"), col("label").as("l2"))
+    g.canonicalUndirected
+      .join(la.select(col("id").as("src"), col("l1").as("a_src")), "src")
+      .join(la.select(col("id").as("dst"), col("l1").as("a_dst")), "dst")
+      .join(lb.select(col("id").as("src"), col("l2").as("b_src")), "src")
+      .join(lb.select(col("id").as("dst"), col("l2").as("b_dst")), "dst")
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("a_src") === col("a_dst") && col("b_src") === col("b_dst"), 1L)
+          .otherwise(0L)).as("e11"),
+        sum(when(col("a_src") =!= col("a_dst") && col("b_src") =!= col("b_dst"), 1L)
+          .otherwise(0L)).as("e00"))
+      .select(col("m"), col("e11"), col("e00"),
+        (lit(1.0) - (col("e11") + col("e00")).cast("double") / col("m")).as("rand_g"))
+  }
+
+  /** PartitionIntersection (community/PartitionIntersection.cpp:5-15): the coarsest
+    * partition refining both inputs — each distinct (label_a, label_b) pair becomes one
+    * subset, compacted to dense ids in (la, lb) order (the reference's
+    * `s·ub(eta)+eta[u]` then `compact()` yields exactly this order). Output (id, label).
+    * The pair→rank dictionary is label-cardinality-sized and distributed
+    * (Layout.zipWithRankBy — no global window). */
+  def partitionIntersection(spark: SparkSession, a: DataFrame, b: DataFrame): DataFrame = {
+    val joined = a.select(col("id"), col("label").as("la"))
+      .join(b.select(col("id"), col("label").as("lb")), "id")
+    val dict = graft.layout.Layout.zipWithRankBy(
+      joined.select("la", "lb").distinct(), Seq(col("la"), col("lb")), "label")
+    // Layout ownership contract: materialize the (small) result, then release the
+    // pair dictionary's blocks — the output stays correct either way (ranks are a
+    // pure function of the data), this just avoids the session-lifetime cache leak.
+    val out = joined.join(dict, Seq("la", "lb")).select(col("id"), col("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    dict.unpersist()
+    out
+  }
+
+  /** CoverHubDominance (community/CoverHubDominance.cpp:11-80) over an exploded
+    * membership table `cover(id, label)` (a node may carry several labels): per
+    * cluster, dominance = max over members of the member's internal degree (neighbors
+    * sharing that cluster) / (clusterSize − 1); size-1 clusters get dominance 1.
+    * Output one row per cluster (label, size, max_int_deg, dominance). Internal
+    * degrees come from one bidirected-edge ⋈ membership ⋈ membership join — the same
+    * labeled-edge shape as modularity, hash-partitioned on the cluster key. */
+  def coverHubDominance(spark: SparkSession, g: LinkGraph, cover: DataFrame): DataFrame = {
+    val sizes = cover.groupBy("label").agg(count(lit(1)).as("size"))
+    val maxInt = g.bidirected.select(col("src"), col("dst"))
+      .join(cover.select(col("id").as("src"), col("label")), "src")
+      .join(cover.select(col("id").as("dst"), col("label")), Seq("dst", "label"))
+      .groupBy("src", "label").agg(count(lit(1)).as("int_deg"))
+      .groupBy("label").agg(max("int_deg").as("max_int_deg"))
+    sizes.join(maxInt, Seq("label"), "left")
+      .select(col("label"), col("size"),
+        coalesce(col("max_int_deg"), lit(0L)).as("max_int_deg"))
+      .withColumn("dominance",
+        when(col("size") <= 1L, lit(1.0))
+          .otherwise(col("max_int_deg").cast("double") / (col("size") - 1L)))
+  }
+
   /** Normalized mutual information between two partitions
     * (community/NMIDistance.cpp:19-131): MI = Σ_cells (n_ij/n)·log2(n_ij·n/(a_i·b_j)),
     * H = −Σ p·log2 p, NMI = 2·MI/(H_a+H_b), NMID = 1 − NMI. The log sums are the one

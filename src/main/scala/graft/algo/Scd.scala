@@ -143,4 +143,69 @@ object Scd {
     sw.unpersist()
     out
   }
+
+  /** GCE — greedy community expansion from a seed, "M" objective
+    * (/root/reference/networkit/cpp/scd/GCE.cpp:43-200): grow C one node per step,
+    * always taking the shell node maximizing M' = intWeight' / extWeight', stopping
+    * when no addition improves M. Adding shell node v with degInt(v) = neighbors in C
+    * and degExt(v) = neighbors outside: int' = int + degInt, ext' = ext − degInt +
+    * degExt. The reference walks one node's neighborhood at a time off a hash map and
+    * breaks ties by map iteration order; here each step computes ALL shell degrees in
+    * one frontier-restricted join (edges into C, grouped by the outside endpoint) and
+    * ties break deterministically (min id). The M-comparison is exact-integer
+    * cross-multiplication — valid while vol(C)² < 2^63, always true for the local
+    * communities GCE targets. Always runs exactly `maxSteps` unrolled steps (no-op
+    * steps once no candidate improves — the oracle's fixed schedule). Output
+    * (id, ord, deg_int): join order + internal degree at join time (seed: ord=0). */
+  def gce(spark: SparkSession, g: LinkGraph, seed: Long, maxSteps: Int = 20): DataFrame = {
+    import spark.implicits._
+    val bi = g.bidirected.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = bi.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seedDeg = deg.filter(col("id") === seed).select("deg").collect()
+    require(seedDeg.nonEmpty, s"seed $seed is isolated or absent — GCE undefined")
+    var members = Seq((seed, 0L, 0L)).toDF("id", "ord", "deg_int").cutLineage
+    var intW = 0L
+    var extW = seedDeg.head.getLong(0)
+    var step = 1
+    var stuck = false
+    while (step <= maxSteps && !stuck && extW > 0L) {
+      // Shell degrees: edges whose dst is in C, grouped by the src endpoint outside C.
+      val shell = bi
+        .join(broadcast(members.select(col("id").as("dst"))), "dst")
+        .join(members.select(col("id").as("src")), Seq("src"), "left_anti")
+        .groupBy(col("src").as("id")).agg(count(lit(1)).as("di"))
+        .join(deg, "id")
+        .select(col("id"), col("di"), (col("deg") - col("di")).as("dx"),
+          (lit(extW) - col("di") + (col("deg") - col("di"))).as("ext2"))
+      // Strict improvement: ext2 == 0 (whole component absorbed — treat as +inf) or
+      // (int+di)·ext > int·ext2; argmax of M' by cross-multiplied comparison.
+      val cands = shell
+        .filter(col("ext2") === 0L ||
+          (lit(intW) + col("di")) * lit(extW) > lit(intW) * col("ext2"))
+        .select(col("id"), col("di"), col("ext2"))
+        .collect() // shell of a local community: bounded by vol(C)
+      if (cands.isEmpty) stuck = true
+      else {
+        // Defined selection order (the oracle replays it exactly): floor-scaled
+        // M'·10^12 descending, ties min id; ext2 = 0 ranks above everything.
+        val best = cands.minBy { r =>
+          val di = r.getAs[Long]("di"); val ext2 = r.getAs[Long]("ext2")
+          val key = if (ext2 == 0L) BigInt(-1) << 100
+                    else -(BigInt(intW + di) * 1000000000000L / ext2)
+          (key, r.getAs[Long]("id"))
+        }
+        val bid = best.getAs[Long]("id"); val di = best.getAs[Long]("di")
+        intW += di
+        extW = best.getAs[Long]("ext2")
+        val prev = members
+        members = members
+          .union(Seq((bid, step.toLong, di)).toDF("id", "ord", "deg_int")).cutLineage
+        prev.releaseState()
+      }
+      step += 1
+    }
+    bi.unpersist(); deg.unpersist()
+    members
+  }
 }

@@ -108,4 +108,83 @@ object TopCloseness {
         when(col("sumdist") > 0L, lit(1.0) / col("sumdist").cast("double"))
           .otherwise(lit(0.0)).as("closeness"))
   }
+
+  /** Harmonic-closeness scale: even, and large enough that SCALE // dist separates
+    * real score differences at any plausible diameter. */
+  private val HScale = 1000000000000L
+
+  /** Top-k HARMONIC closeness
+    * (/root/reference/networkit/cpp/centrality/TopHarmonicCloseness.cpp:20-160,
+    * Bergamini et al., ALENEX16): same batched-msBFS inversion as [[run]], with the
+    * harmonic upper bound — deg(v) neighbors contribute 1 each at distance 1 and the
+    * other R(v)-1-deg(v) nodes of v's component at most 1/2 each:
+    *   ub_scaled(v) = deg(v)*S + (R-1-deg(v))*(S/2)  >=  h_scaled(v) = Σ_u S // d(v,u).
+    * All compares are exact integers, so the top-k set and order are
+    * engine-independent. Candidates run best-bound-first in msBFS batches; stop when
+    * the k-th exact score strictly beats every remaining bound. Ranking: h_scaled
+    * desc, id asc; isolated nodes (h=0) fill trailing slots by id. */
+  def harmonic(spark: SparkSession, g: LinkGraph, k: Int, batch: Int = 256): DataFrame = {
+    require(k > 0)
+    val comps = ConnectedComponents.run(spark, g).labels
+    val sizes = comps.groupBy(col("label")).agg(count(lit(1)).as("csize"))
+    val und = g.canonicalUndirected
+    val deg = und.select(col("src").as("id")).union(und.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val cand = g.vertices
+      .join(deg, Seq("id"), "left")
+      .join(comps, Seq("id"))
+      .join(sizes, Seq("label"))
+      .select(col("id"),
+        (coalesce(col("deg"), lit(0L)) * HScale +
+          (col("csize") - 1L - coalesce(col("deg"), lit(0L))) * (HScale / 2L)).as("ub"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    cand.count()
+
+    // (id, reached, h_scaled), ranked best-first: h desc, id asc.
+    val top = ArrayBuffer.empty[(Long, Long, Long)]
+    def sortTop(): Unit = {
+      val s = top.sortBy { case (id, _, h) => (-h, id) }
+      top.clear(); top ++= s.take(k)
+    }
+
+    var processed = cand.filter(lit(false)).select("id")
+    var done = false
+    while (!done) {
+      val pick = cand.join(processed, Seq("id"), "left_anti")
+        .filter(col("ub") > 0L)
+        .orderBy(col("ub").desc, col("id").asc).limit(batch)
+        .select("id").persist(StorageLevel.MEMORY_AND_DISK)
+      if (pick.count() == 0L) done = true
+      else {
+        val (state, _) = Betweenness.msBfs(spark, g, pick)
+        val res = state.groupBy(col("s"))
+          .agg((count(lit(1)) - 1L).as("reached"),
+            sum(when(col("dist") > 0L, expr(s"$HScale div dist")).otherwise(0L)).as("h"))
+          .collect()
+        res.foreach(r => top += ((r.getLong(0), r.getLong(1), r.getLong(2))))
+        sortTop()
+        processed = processed.union(pick.select("id"))
+        if (top.size >= k) {
+          val kthH = top(k - 1)._3
+          val maxRemaining = cand.join(processed, Seq("id"), "left_anti")
+            .filter(col("ub") > 0L)
+            .agg(max("ub")).collect()(0)
+          // Strict: a remaining bound equal to the k-th score could still displace it
+          // on the id tie-break, so only a strictly smaller bound certifies.
+          if (maxRemaining.isNullAt(0) || maxRemaining.getLong(0) < kthH) done = true
+        }
+      }
+    }
+
+    val fill =
+      if (top.size >= k) Nil
+      else cand.filter(col("ub") === 0L).orderBy(col("id").asc)
+        .limit(k - top.size).collect().map(r => (r.getLong(0), 0L, 0L)).toSeq
+    cand.unpersist()
+
+    import spark.implicits._
+    (top.toSeq ++ fill).toDF("id", "reached", "h_scaled")
+      .select(col("id"), col("reached"), col("h_scaled"),
+        (col("h_scaled").cast("double") / HScale.toDouble).as("harmonic"))
+  }
 }

@@ -1625,4 +1625,436 @@ object OracleSql {
        |SELECT src, dst, CAST(att AS BIGINT) AS att, CAST(in_umsf AS BIGINT) AS in_umsf
        |FROM ($unionAll)""".stripMargin
   }
+
+  /** Laplacian centrality (mirrors Centralities.laplacianCentrality): exact-integer
+    * lap(u) = wd(u)^2 + sum_{v in N(u)} w*(w + 2*wd(v)) over merged undirected weights. */
+  def laplacian: String =
+    s"""$base,
+       |lund AS MATERIALIZED (SELECT least(src, dst) AS s, greatest(src, dst) AS t, count(*) AS w
+       |  FROM edges GROUP BY 1, 2),
+       |lbi AS MATERIALIZED (SELECT s AS a, t AS b, w FROM lund UNION ALL SELECT t, s, w FROM lund),
+       |wd AS MATERIALIZED (SELECT a AS id, sum(w) AS wd FROM lbi GROUP BY a),
+       |nsm AS MATERIALIZED (SELECT lbi.a AS id, sum(lbi.w * (lbi.w + 2 * nb.wd)) AS nsum
+       |  FROM lbi JOIN wd nb ON lbi.b = nb.id GROUP BY lbi.a)
+       |SELECT v.id,
+       |  CAST(coalesce(wd.wd, 0) * coalesce(wd.wd, 0) + coalesce(nsm.nsum, 0) AS BIGINT) AS lap
+       |FROM verts v LEFT JOIN wd ON v.id = wd.id LEFT JOIN nsm ON v.id = nsm.id""".stripMargin
+
+  /** Local partition coverage over PLP labels at `rounds` (mirrors
+    * Centralities.localPartitionCoverage): weighted same-label neighbor fraction. */
+  def localPartitionCoverage(rounds: Int): String =
+    s"""$base,
+       |${plpSteps(rounds)},
+       |cov AS MATERIALIZED (SELECT plpbi.a AS id,
+       |  sum(CASE WHEN ls.label = ld.label THEN plpbi.w ELSE 0 END) AS same_w,
+       |  sum(plpbi.w) AS deg_w
+       |  FROM plpbi JOIN p$rounds ls ON plpbi.a = ls.id JOIN p$rounds ld ON plpbi.b = ld.id
+       |  GROUP BY plpbi.a)
+       |SELECT v.id, CAST(coalesce(c.same_w, 0) AS BIGINT) AS same_w,
+       |  CAST(coalesce(c.deg_w, 0) AS BIGINT) AS deg_w,
+       |  CASE WHEN coalesce(c.same_w, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+       |       ELSE c.same_w::double / c.deg_w END AS coverage
+       |FROM verts v LEFT JOIN cov c ON v.id = c.id""".stripMargin
+
+  /** Volume rows (r, within, volume) for r in 1..rmax over sources id % mod == 0
+    * (mirrors Distances.volume's batched capped multi-source BFS). */
+  def volume(rmax: Int, mod: Long): String =
+    s"""$base,
+       |$biCte,
+       |${msBfsCtes(mod, rmax)},
+       |nsrc AS MATERIALIZED (SELECT count(*) AS c FROM verts WHERE id % $mod = 0),
+       |bd AS MATERIALIZED (SELECT dist, count(*) AS c FROM st$rmax GROUP BY dist),
+       |rr AS MATERIALIZED (SELECT unnest(generate_series(1, $rmax)) AS r)
+       |SELECT CAST(rr.r AS BIGINT) AS r,
+       |  CAST(coalesce(sum(CASE WHEN bd.dist <= rr.r THEN bd.c ELSE 0 END), 0) AS BIGINT) AS within,
+       |  coalesce(sum(CASE WHEN bd.dist <= rr.r THEN bd.c ELSE 0 END), 0)::double
+       |    / (SELECT c FROM nsrc)::double AS volume
+       |FROM rr CROSS JOIN bd GROUP BY rr.r""".stripMargin
+
+  /** Directed BFS from `source` over out-edges (or in-edges when `reverse`), `rounds`
+    * unrolled relaxations past the directed eccentricity (mirrors
+    * Distances.bfsHopsDirected); unreachable nodes -1. */
+  def bfsDirected(source: Long, rounds: Int, reverse: Boolean): String = {
+    val inf = 999999L
+    val adj = if (reverse) "SELECT DISTINCT dst AS a, src AS b FROM edges"
+              else "SELECT DISTINCT src AS a, dst AS b FROM edges"
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT d.id, least(d.dist, coalesce(m.md, d.dist)) AS dist
+         |  FROM d${i - 1} d LEFT JOIN (
+         |    SELECT db.b AS id, min(x.dist) + 1 AS md FROM db JOIN d${i - 1} x ON db.a = x.id
+         |    GROUP BY db.b) m ON d.id = m.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |db AS MATERIALIZED ($adj),
+       |d0 AS MATERIALIZED (SELECT id, CASE WHEN id = $source THEN 0 ELSE $inf END AS dist FROM verts),
+       |$steps
+       |SELECT id, CAST(CASE WHEN dist >= $inf THEN -1 ELSE dist END AS BIGINT) AS dist
+       |FROM d$rounds""".stripMargin
+  }
+
+  /** Adamic-Adar edge distance (mirrors EdgeScores.adamicAdarDistance): per undirected
+    * edge the scaled-integer sum of round(1e9/ln(deg(w))) over common neighbors w
+    * (each triangle contributes its third corner's term to all three edges), and the
+    * reciprocal distance; edges in no triangle get aad=0 / dist=-1. */
+  def adamicAdarDistance: String =
+    s"""$base,
+       |$triCte,
+       |ti AS MATERIALIZED (SELECT rk.r, rk.id, CAST(round(CAST(1000000000 AS DOUBLE) / ln(dg.d)) AS BIGINT) AS t
+       |  FROM rk JOIN dg ON rk.id = dg.id WHERE dg.d >= 2),
+       |tids AS MATERIALIZED (SELECT ta.id AS a, tb.id AS b, tc.id AS c,
+       |    ta.t AS ta, tb.t AS tb, tc.t AS tc
+       |  FROM tri JOIN ti ta ON tri.a = ta.r JOIN ti tb ON tri.b = tb.r JOIN ti tc ON tri.c = tc.r),
+       |contrib AS MATERIALIZED (
+       |  SELECT least(a, b) AS src, greatest(a, b) AS dst, tc AS t FROM tids
+       |  UNION ALL SELECT least(a, c), greatest(a, c), tb FROM tids
+       |  UNION ALL SELECT least(b, c), greatest(b, c), ta FROM tids),
+       |cs AS MATERIALIZED (SELECT src, dst, sum(t) AS aad FROM contrib GROUP BY src, dst)
+       |SELECT u.s AS src, u.t AS dst, CAST(coalesce(cs.aad, 0) AS BIGINT) AS aad_scaled,
+       |  CASE WHEN coalesce(cs.aad, 0) = 0 THEN CAST(-1.0 AS DOUBLE)
+       |       ELSE CAST(1000000000 AS DOUBLE) / cs.aad::double END AS dist
+       |FROM und u LEFT JOIN cs ON u.s = cs.src AND u.t = cs.dst""".stripMargin
+
+  /** Regular ring lattice formula replay (mirrors Generators.regularRingLattice). */
+  def generatorRing(n: Long, k: Int): String = {
+    val half = k / 2
+    s"""WITH t AS (SELECT g AS id FROM generate_series(0, ${n * half - 1}) s(g))
+       |SELECT DISTINCT (id // $half) AS src,
+       |  ((id // $half) + id % $half + 1) % $n AS dst
+       |FROM t WHERE (id // $half) != ((id // $half) + id % $half + 1) % $n""".stripMargin
+  }
+
+  /** Mocnik (dim=2) brute-force replay (mirrors Generators.mocnik — the engine's
+    * grid-doubling NN + ring join must produce exactly the O(n²) definition). */
+  def generatorMocnik(n: Long, k: Int, seed: Long): String = {
+    val Q = 1L << 20
+    val H = Q / 2
+    val x = s"(${genDraw(s"c*2 + $seed*50021")} // 128) % $Q"
+    val y = s"(${genDraw(s"c*2 + 1 + $seed*50021")} // 128) % $Q"
+    s"""WITH cand AS (SELECT g AS c FROM generate_series(0, ${2 * n - 1}) s(g)),
+       |p0 AS MATERIALIZED (SELECT c, $x AS x, $y AS y FROM cand),
+       |acc AS MATERIALIZED (SELECT c, x, y, row_number() OVER (ORDER BY c) - 1 AS id
+       |  FROM p0 WHERE (x - $H)*(x - $H) + (y - $H)*(y - $H) < ${H * H}),
+       |pts AS MATERIALIZED (SELECT id, x, y FROM acc WHERE id < $n),
+       |d2 AS MATERIALIZED (SELECT a.id AS i, b.id AS j,
+       |  (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y) AS d2
+       |  FROM pts a JOIN pts b ON a.id != b.id),
+       |dmin AS MATERIALIZED (SELECT i, min(d2) AS m FROM d2 GROUP BY i)
+       |SELECT d2.i AS src, d2.j AS dst FROM d2 JOIN dmin ON d2.i = dmin.i
+       |WHERE d2.d2 <= ${k.toLong * k} * dmin.m""".stripMargin
+  }
+
+  /** Dorogovtsev–Mendes formula replay (mirrors Generators.dorogovtsevMendes):
+    * the engine's iterated column-arithmetic pointer chase becomes a recursive CTE
+    * over the identical draw formula. A row (j, src, want, q) is terminal when
+    * q < 3 (base triangle lookup) or want = 1 (newer endpoint = creating node);
+    * otherwise it re-enters at edge q's own pick. The chase index strictly
+    * decreases, so the recursion terminates. */
+  def generatorDm(n: Long, seed: Long): String = {
+    def p(t: String) = s"(${genDraw(s"($t)*31 + $seed*1299709")} % (2*($t) - 3))"
+    s"""WITH RECURSIVE chase(j, src, want, q) AS (
+       |  SELECT g AS j, 3 + (g - 3) // 2 AS src, (g - 3) % 2 AS want,
+       |    ${p("3 + (g - 3) // 2")} AS q
+       |  FROM generate_series(3, ${2 * n - 4}) s(g)
+       |  UNION ALL
+       |  SELECT j, src, (q - 3) % 2 AS want, ${p("3 + (q - 3) // 2")} AS q
+       |  FROM chase WHERE want = 0 AND q >= 3
+       |),
+       |resolved AS (
+       |  SELECT j, src,
+       |    CASE WHEN q < 3 THEN
+       |      CASE WHEN want = 0
+       |        THEN (CASE q WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 0 END)
+       |        ELSE (CASE q WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 2 END) END
+       |    ELSE 3 + (q - 3) // 2 END AS dst
+       |  FROM chase WHERE want = 1 OR q < 3
+       |)
+       |SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM (
+       |  SELECT 0 AS src, 1 AS dst UNION ALL SELECT 1, 2 UNION ALL SELECT 2, 0
+       |  UNION ALL SELECT src, dst FROM resolved)""".stripMargin
+  }
+
+  /** Sampled-BFS neighborhood-function estimate (mirrors
+    * Distances.neighborhoodFunctionHeuristic): pairs(<=h) * n // s over sources
+    * id % mod == 0, one batched multi-source BFS. */
+  def nfHeuristic(hops: Int, mod: Long): String =
+    s"""$base,
+       |$biCte,
+       |${msBfsCtes(mod, hops)},
+       |bd AS MATERIALIZED (SELECT dist, count(*) AS c FROM st$hops WHERE dist > 0 GROUP BY dist),
+       |nsrc AS MATERIALIZED (SELECT count(*) AS s FROM verts WHERE id % $mod = 0),
+       |rr AS MATERIALIZED (SELECT unnest(generate_series(1, $hops)) AS h),
+       |agg AS MATERIALIZED (SELECT rr.h,
+       |  coalesce(sum(CASE WHEN bd.dist <= rr.h THEN bd.c ELSE 0 END), 0) AS pairs
+       |  FROM rr CROSS JOIN bd GROUP BY rr.h)
+       |SELECT CAST(h AS BIGINT) AS hop, CAST(pairs AS BIGINT) AS pairs,
+       |  CAST(pairs * (SELECT n FROM nn) // (SELECT s FROM nsrc) AS BIGINT) AS nf_est
+       |FROM agg""".stripMargin
+
+  /** Top-k harmonic closeness on the id % mod subgraph (mirrors
+    * TopCloseness.harmonic): exact all-source BFS, h_scaled = Σ S // dist,
+    * rank (h desc, id asc). */
+  def topHarmonic(mod: Long, k: Int, levels: Int, scale: Long = 1000000000000L): String = {
+    val steps = (1 to levels).map { i =>
+      s"""tg$i AS MATERIALIZED (SELECT DISTINCT f.s, sbi.b AS id
+         |  FROM tf${i - 1} f JOIN sbi ON f.id = sbi.a),
+         |tf$i AS MATERIALIZED (SELECT m.s, m.id, $i AS dist FROM tg$i m
+         |  LEFT JOIN ts${i - 1} x ON m.s = x.s AND m.id = x.id WHERE x.s IS NULL),
+         |ts$i AS MATERIALIZED (SELECT * FROM ts${i - 1} UNION ALL SELECT * FROM tf$i)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |sv AS MATERIALIZED (SELECT id FROM verts WHERE id % $mod = 0),
+       |se AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges WHERE src % $mod = 0 AND dst % $mod = 0),
+       |sbi AS MATERIALIZED (SELECT a, b FROM se UNION SELECT b, a FROM se),
+       |tf0 AS MATERIALIZED (SELECT id AS s, id, 0 AS dist FROM sv),
+       |ts0 AS MATERIALIZED (SELECT * FROM tf0),
+       |$steps
+       |SELECT id, reached, h_scaled, h_scaled::double / ${scale.toDouble} AS harmonic
+       |FROM (SELECT s AS id, CAST(count(*) - 1 AS BIGINT) AS reached,
+       |        CAST(sum(CASE WHEN dist > 0 THEN $scale // dist ELSE 0 END) AS BIGINT) AS h_scaled
+       |      FROM ts$levels GROUP BY s)
+       |ORDER BY h_scaled DESC, id ASC LIMIT $k""".stripMargin
+  }
+
+  /** Cold BFS over the graph PLUS the deterministic insert batch
+    * (star edges source -> id % addMod == 0) — the oracle for the warm-repair path
+    * (mirrors Distances.bfsHopsWarm seeded from Distances.bfsHops(source)). */
+  def dynBfs(source: Long, rounds: Int, addMod: Long): String = {
+    val inf = 999999L
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT d.id, least(d.dist, coalesce(m.md, d.dist)) AS dist
+         |  FROM d${i - 1} d LEFT JOIN (
+         |    SELECT dbi.b AS id, min(x.dist) + 1 AS md FROM dbi JOIN d${i - 1} x ON dbi.a = x.id
+         |    GROUP BY dbi.b) m ON d.id = m.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |adde AS MATERIALIZED (SELECT $source AS a, id AS b FROM verts
+       |  WHERE id % $addMod = 0 AND id != $source),
+       |dbi AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges
+       |  UNION SELECT dst, src FROM edges
+       |  UNION SELECT a, b FROM adde UNION SELECT b, a FROM adde),
+       |d0 AS MATERIALIZED (SELECT id, CASE WHEN id = $source THEN 0 ELSE $inf END AS dist FROM verts),
+       |$steps
+       |SELECT id, CAST(CASE WHEN dist >= $inf THEN -1 ELSE dist END AS BIGINT) AS dist
+       |FROM d$rounds""".stripMargin
+  }
+
+  /** All simple directed paths source -> target with <= cutoff edges (mirrors
+    * Distances.allSimplePaths; the engine's reverse-BFS pruning only trims dead
+    * branches, so plain enumeration yields the identical path set). */
+  def allSimplePaths(source: Long, target: Long, cutoff: Int): String = {
+    val steps = (1 to cutoff).map { i =>
+      s"""sp$i AS MATERIALIZED (SELECT list_append(p.path, e.dst) AS path, e.dst AS head
+         |  FROM sp${i - 1} p JOIN de e ON p.head = e.src
+         |  WHERE p.head != $target AND NOT list_contains(p.path, e.dst))""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to cutoff).map(i =>
+      s"SELECT array_to_string(path, '->') AS path_str, CAST($i AS BIGINT) AS len " +
+        s"FROM sp$i WHERE head = $target").mkString("\n  UNION ALL ")
+    s"""$base,
+       |de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+       |sp0 AS MATERIALIZED (SELECT [CAST($source AS BIGINT)] AS path,
+       |  CAST($source AS BIGINT) AS head),
+       |$steps
+       |$unions""".stripMargin
+  }
+
+  /** Hop plot (mirrors Anf.hopPlot): the neighborhood function rows plus the fraction
+    * nf(h)/nf(maxHops) — exact-integer FM sketches, one IEEE division. */
+  def hopPlot(hops: Int, seed: Long = 42L, k: Int = 8): String = {
+    val estCase = graft.algo.Anf.EstC.zipWithIndex.map { case (c, r) =>
+      s"WHEN $r THEN (CAST(1 AS BIGINT) << CAST(b // $k AS INT)) * $c"
+    }.mkString(s"CASE b % $k ", " ", " END")
+    val perHop = (1 to hops).map { h =>
+      s"""SELECT $h AS hop, sum($estCase) AS nf_scaled FROM
+         |  (SELECT (${anfSumB("mk" + h, k)}) AS b FROM mk$h)""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""$base,
+       |$biCte,
+       |${anfMaskCtes(hops, seed, k)},
+       |nfq AS MATERIALIZED ($perHop),
+       |dnq AS MATERIALIZED (SELECT nf_scaled AS den FROM nfq WHERE hop = $hops)
+       |SELECT CAST(hop AS BIGINT) AS hop, CAST(nf_scaled AS BIGINT) AS nf_scaled,
+       |  nf_scaled::double / dnq.den::double AS fraction
+       |FROM nfq CROSS JOIN dnq""".stripMargin
+  }
+
+  /** Shared pair-count CTEs between PLP at `ra` and `rb` rounds (randIndex family). */
+  private def pairCountCtes(ra: Int, rb: Int): String =
+    s"""cont AS MATERIALIZED (SELECT x.label AS la, y.label AS lb, count(*) AS nij
+       |  FROM p$ra x JOIN p$rb y ON x.id = y.id GROUP BY 1, 2),
+       |sb AS MATERIALIZED (SELECT sum(nij*(nij-1)//2) AS s_both FROM cont),
+       |sa AS MATERIALIZED (SELECT sum(ai*(ai-1)//2) AS s_a FROM (SELECT sum(nij) AS ai FROM cont GROUP BY la)),
+       |sc AS MATERIALIZED (SELECT sum(bj*(bj-1)//2) AS s_b FROM (SELECT sum(nij) AS bj FROM cont GROUP BY lb)),
+       |nn2 AS MATERIALIZED (SELECT count(*) AS n FROM verts)""".stripMargin
+
+  /** Mirrors Measures.jaccardMeasure between PLP at `ra` and `rb` rounds. */
+  def jaccardMeasure(ra: Int, rb: Int): String =
+    s"""$base,
+       |$biCte,
+       |${plpSteps(rb)},
+       |${pairCountCtes(ra, rb)}
+       |SELECT CAST(n AS BIGINT) AS n, CAST(s_both AS BIGINT) AS s_both,
+       |  CAST(s_a AS BIGINT) AS s_a, CAST(s_b AS BIGINT) AS s_b,
+       |  CASE WHEN n*(n-1) - 2*(n*(n-1)//2 + s_both - s_a - s_b) <= 0 THEN 0.0
+       |    ELSE 1.0 - CAST(2*s_both AS DOUBLE) /
+       |      (n*(n-1) - 2*(n*(n-1)//2 + s_both - s_a - s_b)) END AS jaccard
+       |FROM nn2 CROSS JOIN sb CROSS JOIN sa CROSS JOIN sc""".stripMargin
+
+  /** Mirrors Measures.graphStructuralRand between PLP at `ra` and `rb` rounds: e11/e00
+    * over the canonical undirected edge set. */
+  def graphStructuralRand(ra: Int, rb: Int): String =
+    s"""$base,
+       |$biCte,
+       |${plpSteps(rb)}
+       |SELECT CAST(count(*) AS BIGINT) AS m,
+       |  CAST(sum(CASE WHEN a1.label = a2.label AND b1.label = b2.label THEN 1 ELSE 0 END) AS BIGINT) AS e11,
+       |  CAST(sum(CASE WHEN a1.label <> a2.label AND b1.label <> b2.label THEN 1 ELSE 0 END) AS BIGINT) AS e00,
+       |  1.0 - CAST(sum(CASE WHEN a1.label = a2.label AND b1.label = b2.label THEN 1 ELSE 0 END) +
+       |             sum(CASE WHEN a1.label <> a2.label AND b1.label <> b2.label THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / count(*) AS rand_g
+       |FROM plpund e
+       |JOIN p$ra a1 ON e.s = a1.id JOIN p$ra a2 ON e.t = a2.id
+       |JOIN p$rb b1 ON e.s = b1.id JOIN p$rb b2 ON e.t = b2.id""".stripMargin
+
+  /** Mirrors Measures.partitionIntersection between PLP at `ra` and `rb` rounds:
+    * dense rank of the (la, lb) pair in (la, lb) order. */
+  def partitionIntersection(ra: Int, rb: Int): String =
+    s"""$base,
+       |$biCte,
+       |${plpSteps(rb)}
+       |SELECT x.id, CAST(dense_rank() OVER (ORDER BY x.label, y.label) - 1 AS BIGINT) AS label
+       |FROM p$ra x JOIN p$rb y ON x.id = y.id""".stripMargin
+
+  /** Mirrors Measures.coverHubDominance over the cover PLP(rounds) ∪ (id % modK +
+    * offset): per cluster (label, size, max_int_deg, dominance). */
+  def coverHubDominance(rounds: Int, modK: Long, offset: Long): String =
+    s"""$base,
+       |$biCte,
+       |${plpSteps(rounds)},
+       |cov AS MATERIALIZED (SELECT id, label FROM p$rounds
+       |  UNION ALL SELECT id, $offset + id % $modK AS label FROM verts),
+       |sizes AS MATERIALIZED (SELECT label, count(*) AS size FROM cov GROUP BY label),
+       |mi AS MATERIALIZED (SELECT label, max(di) AS max_int_deg FROM (
+       |  SELECT bi.a, cu.label, count(*) AS di
+       |  FROM bi JOIN cov cu ON bi.a = cu.id JOIN cov cv ON bi.b = cv.id AND cu.label = cv.label
+       |  GROUP BY bi.a, cu.label) GROUP BY label)
+       |SELECT s.label, CAST(s.size AS BIGINT) AS size,
+       |  CAST(coalesce(mi.max_int_deg, 0) AS BIGINT) AS max_int_deg,
+       |  CASE WHEN s.size <= 1 THEN 1.0
+       |    ELSE CAST(coalesce(mi.max_int_deg, 0) AS DOUBLE) / (s.size - 1) END AS dominance
+       |FROM sizes s LEFT JOIN mi ON s.label = mi.label""".stripMargin
+
+  /** Mirrors GraphEvents.graphDifference between the canonical undirected graph and
+    * its deterministic mutation (drop (src+dst)%13==0, bump weight where %17==0, add
+    * the 0→(id%997==0) star). */
+  def graphDifference(dropMod: Long, bumpMod: Long, starMod: Long): String =
+    s"""$base,
+       |plpund AS MATERIALIZED (SELECT least(src, dst) AS s, greatest(src, dst) AS t, count(*) AS w
+       |  FROM edges GROUP BY 1, 2),
+       |e1 AS MATERIALIZED (SELECT s AS src, t AS dst, CAST(w AS DOUBLE) AS weight FROM plpund),
+       |e2 AS MATERIALIZED (SELECT src, dst, max(weight) AS weight FROM (
+       |  SELECT src, dst,
+       |    CASE WHEN (src + dst) % $bumpMod = 0 THEN weight + 1 ELSE weight END AS weight
+       |  FROM e1 WHERE (src + dst) % $dropMod <> 0
+       |  UNION ALL
+       |  SELECT CAST(0 AS BIGINT) AS src, id AS dst, 1.0 AS weight FROM verts
+       |  WHERE id % $starMod = 0 AND id <> 0) GROUP BY src, dst)
+       |SELECT 're' AS etype, a.src AS u, a.dst AS v, 0.0 AS w
+       |  FROM e1 a LEFT JOIN e2 b ON a.src = b.src AND a.dst = b.dst WHERE b.src IS NULL
+       |UNION ALL
+       |SELECT 'ae', b.src, b.dst, b.weight
+       |  FROM e2 b LEFT JOIN e1 a ON a.src = b.src AND a.dst = b.dst WHERE a.src IS NULL
+       |UNION ALL
+       |SELECT 'ce', a.src, a.dst, b.weight
+       |  FROM e1 a JOIN e2 b ON a.src = b.src AND a.dst = b.dst WHERE a.weight <> b.weight""".stripMargin
+
+  /** Mirrors Epidemic.seir: `tMax` unrolled synchronous steps of the deterministic
+    * SEIR process, census rows (t, n_s, n_e, n_i, n_r) for t = 0..tMax. */
+  def seir(tMax: Int, transP: Double, eTime: Int, iTime: Int, zero: Long,
+           seed: Long = 42L): String = {
+    val thr = graft.algo.Epidemic.threshold(transP)
+    val steps = (1 to tMax).map { t =>
+      s"""ct$t AS MATERIALIZED (SELECT DISTINCT bi.b AS id FROM bi
+         |  JOIN s${t - 1} us ON bi.a = us.id AND us.state = 2
+         |  JOIN s${t - 1} vs ON bi.b = vs.id AND vs.state = 0
+         |  WHERE ${graft.algo.Epidemic.drawSql("bi.b", "bi.a", t.toString, seed, duck = true)} < $thr),
+         |s$t AS MATERIALIZED (SELECT p.id,
+         |  CASE WHEN p.state = 0 AND c.id IS NOT NULL THEN 1
+         |       WHEN p.state = 1 AND $t - p.ts >= $eTime THEN 2
+         |       WHEN p.state = 2 AND $t - p.ts >= $iTime THEN 3
+         |       ELSE p.state END AS state,
+         |  CASE WHEN (p.state = 0 AND c.id IS NOT NULL)
+         |         OR (p.state = 1 AND $t - p.ts >= $eTime)
+         |         OR (p.state = 2 AND $t - p.ts >= $iTime)
+         |       THEN CAST($t AS BIGINT) ELSE p.ts END AS ts
+         |  FROM s${t - 1} p LEFT JOIN ct$t c ON p.id = c.id)""".stripMargin
+    }.mkString(",\n")
+    val census = (0 to tMax).map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS t,
+         |  CAST(sum(CASE WHEN state = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_s,
+         |  CAST(sum(CASE WHEN state = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_e,
+         |  CAST(sum(CASE WHEN state = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_i,
+         |  CAST(sum(CASE WHEN state = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_r FROM s$t""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""$base,
+       |$biCte,
+       |s0 AS MATERIALIZED (SELECT id,
+       |  CASE WHEN id = $zero THEN 2 ELSE 0 END AS state, CAST(0 AS BIGINT) AS ts FROM verts),
+       |$steps
+       |$census""".stripMargin
+  }
+
+  /** Mirrors Distances.approxCloseness: Eppstein–Wang estimate from the id%mod==0
+    * sample, `levels` unrolled msBFS levels. */
+  def approxCloseness(mod: Long, levels: Int): String =
+    s"""$base,
+       |$biCte,
+       |${msBfsCtes(mod, levels)},
+       |aggt AS MATERIALIZED (SELECT id, sum(dist) AS sum_dist, count(*) AS cnt_src
+       |  FROM st$levels GROUP BY id),
+       |kk AS MATERIALIZED (SELECT count(*) AS k FROM verts WHERE id % $mod = 0)
+       |SELECT v.id, CAST(coalesce(a.sum_dist, 0) AS BIGINT) AS sum_dist,
+       |  CAST(coalesce(a.cnt_src, 0) AS BIGINT) AS cnt_src,
+       |  CASE WHEN coalesce(a.sum_dist, 0) > 0
+       |    THEN CAST((SELECT k FROM kk) * ((SELECT n FROM nn) - 1) AS DOUBLE) /
+       |         CAST((SELECT n FROM nn) * a.sum_dist AS DOUBLE)
+       |    ELSE 0.0 END AS closeness_est
+       |FROM verts v LEFT JOIN aggt a ON v.id = a.id""".stripMargin
+
+  /** Mirrors Scd.gce: `steps` unrolled greedy expansion steps from `seed`, objective
+    * M via exact cross-multiplied comparison, selection by floor-scaled M'·10^12
+    * descending then id. */
+  def gce(seed: Long, steps: Int): String = {
+    val stepCtes = (1 to steps).map { i =>
+      s"""sh$i AS MATERIALIZED (SELECT bi.a AS id, count(*) AS di FROM bi
+         |  JOIN m${i - 1} mm ON bi.b = mm.id
+         |  LEFT JOIN m${i - 1} ex ON bi.a = ex.id WHERE ex.id IS NULL GROUP BY bi.a),
+         |cand$i AS MATERIALIZED (SELECT s.id, s.di,
+         |    (SELECT extw FROM q${i - 1}) - s.di + (d.deg - s.di) AS ext2
+         |  FROM sh$i s JOIN degt d ON s.id = d.id
+         |  WHERE ((SELECT extw FROM q${i - 1}) - s.di + (d.deg - s.di)) = 0
+         |     OR ((SELECT intw FROM q${i - 1}) + s.di) * (SELECT extw FROM q${i - 1}) >
+         |        (SELECT intw FROM q${i - 1}) * ((SELECT extw FROM q${i - 1}) - s.di + (d.deg - s.di))),
+         |b$i AS MATERIALIZED (SELECT id, di, ext2 FROM cand$i
+         |  ORDER BY (CASE WHEN ext2 = 0 THEN 1 ELSE 0 END) DESC,
+         |    (CASE WHEN ext2 = 0 THEN 0
+         |          ELSE (((SELECT intw FROM q${i - 1}) + di) * 1000000000000 // ext2) END) DESC,
+         |    id ASC LIMIT 1),
+         |m$i AS MATERIALIZED (SELECT id, ord, deg_int FROM m${i - 1}
+         |  UNION ALL SELECT id, CAST($i AS BIGINT), di FROM b$i),
+         |q$i AS MATERIALIZED (SELECT
+         |  q.intw + coalesce((SELECT di FROM b$i), 0) AS intw,
+         |  coalesce((SELECT ext2 FROM b$i), q.extw) AS extw FROM q${i - 1} q)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$biCte,
+       |degt AS MATERIALIZED (SELECT a AS id, count(*) AS deg FROM bi GROUP BY a),
+       |m0 AS MATERIALIZED (SELECT CAST($seed AS BIGINT) AS id, CAST(0 AS BIGINT) AS ord,
+       |  CAST(0 AS BIGINT) AS deg_int),
+       |q0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS intw,
+       |  (SELECT deg FROM degt WHERE id = $seed) AS extw),
+       |$stepCtes
+       |SELECT id, ord, deg_int FROM m$steps""".stripMargin
+  }
 }

@@ -51,6 +51,31 @@ object GraphEvents {
       .join(removes, Seq("src", "dst"), "left_anti")
   }
 
+  /** GraphDifference (dynamics/GraphDifference.cpp:20-120): the edit script turning
+    * edge table `e1` into `e2`, as GraphEvent rows replayable by [[applyBatch]] —
+    * `re` = edges of e1 absent from e2, `ae` = edges of e2 absent from e1 (w = new
+    * weight), `ce` = present in both with different weight (w = e2's weight). The
+    * reference emits removals before additions; here the `etype` column carries that
+    * ordering ("re" < "ae"/"ce" replay order is applyBatch's set semantics anyway).
+    * Node events are out of scope (fixed vertex universe). Inputs are canonical
+    * undirected (src ≤ dst) weighted edge tables; three hash-partitioned joins on
+    * (src, dst), no shuffle wider than the symmetric difference. */
+  def graphDifference(e1: DataFrame, e2: DataFrame): DataFrame = {
+    val a = e1.select(col("src"), col("dst"), col("weight").as("w1"))
+    val b = e2.select(col("src"), col("dst"), col("weight").as("w2"))
+    val removals = a.join(b, Seq("src", "dst"), "left_anti")
+      .select(lit("re").as("etype"), col("src").as("u"), col("dst").as("v"),
+        lit(0.0).as("w"))
+    val additions = b.join(a, Seq("src", "dst"), "left_anti")
+      .select(lit("ae").as("etype"), col("src").as("u"), col("dst").as("v"),
+        col("w2").as("w"))
+    val updates = a.join(b, Seq("src", "dst"))
+      .filter(col("w1") =!= col("w2"))
+      .select(lit("ce").as("etype"), col("src").as("u"), col("dst").as("v"),
+        col("w2").as("w"))
+    removals.unionByName(additions).unionByName(updates)
+  }
+
   /** Streaming event-rate monitor: windowed per-type counts with an event-time
     * watermark (late events beyond the delay are dropped — the streaming-native
     * generalization of the reference's TIME_STEP batching). */

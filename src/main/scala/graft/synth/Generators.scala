@@ -448,4 +448,168 @@ object Generators {
     nodeIvals.unpersist(); gAgg.unpersist(); cum.unpersist()
     e
   }
+
+  /** MocnikGeneratorBasic, dim=2
+    * (/root/reference/networkit/cpp/generators/MocnikGeneratorBasic.cpp:43-90): n
+    * points uniform in the ball B½(center); DIRECTED edge i→j iff
+    * dist(i,j) <= k * min_{l≠i} dist(i,l). Deterministic twin: fixed-point integer
+    * coordinates on a Q=2^20 grid from the (seed,index) draw; the rejection loop
+    * becomes "first n accepted candidates by candidate index" (distributed rank);
+    * ball test and both distance comparisons run in exact int64 SQUARED space —
+    * bit-identical in DuckDB's brute-force replay (floats appear nowhere in a
+    * comparison).
+    *
+    * Distributed shape (the 100-TB design point; the reference is O(n²) pairs):
+    *   - nearest neighbor via GRID DOUBLING: bucket points into cells sized so the
+    *     expected occupancy is ~1, join each unresolved point's 3×3 cell
+    *     neighborhood; a candidate min d² <= (cell side)² is CERTIFIED exact (any
+    *     point outside the neighborhood is farther than one cell side), the rest
+    *     escalate to a 2× coarser level. Expected one or two levels; every join is
+    *     cell-key-partitioned, nothing quadratic.
+    *   - edges: each point explodes to the (2r+1)² cells inside its own certified
+    *     radius r = ceil(k·dmin/cell)+1 (k is small and dmin ~ one cell side, so r is
+    *     a small constant), joins points on cell, filters the exact predicate. */
+  def mocnik(spark: SparkSession, n: Long, k: Int, seed: Long = 42L): LinkGraph = {
+    require(k >= 2)
+    val Q = 1L << 20
+    val H = Q / 2
+    val cand = spark.range(2 * n).select(col("id").as("c"),
+      expr(s"(${draw(s"id*2 + $seed*50021")} div 128) % $Q").as("x"),
+      expr(s"(${draw(s"id*2 + 1 + $seed*50021")} div 128) % $Q").as("y"))
+    val accepted = cand
+      .filter(expr(s"(x - $H)*(x - $H) + (y - $H)*(y - $H) < ${H * H}"))
+    val pts = graft.layout.Layout.zipWithRank(accepted, "c", "id")
+      .filter(col("id") < n).select("id", "x", "y")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPts = pts.count() // == n for any sane n (acceptance rate ~pi/4 over 2n draws)
+
+    val baseCell = math.max(1L, Q / math.max(1L, math.ceil(math.sqrt(nPts.toDouble)).toLong))
+    def withCell(df: DataFrame, cs: Long): DataFrame =
+      df.withColumn("cell", expr(s"(x div $cs) * 4194304 + (y div $cs)"))
+
+    // Grid-doubling exact nearest neighbor: (id, d2min).
+    var unresolved = pts
+    var best: DataFrame = pts.filter(lit(false))
+      .select(col("id"), lit(0L).as("d2min"))
+    var cs = baseCell
+    while (unresolved.count() > 0) {
+      val bucketed = withCell(pts, cs)
+        .select(col("id").as("jid"), col("x").as("jx"), col("y").as("jy"), col("cell"))
+      val probes = withCell(unresolved, cs)
+        .select(col("id"), col("x"), col("y"),
+          explode(expr("sequence(-1, 1)")).as("dx"), col("cell"))
+        .select(col("id"), col("x"), col("y"),
+          (col("cell") + col("dx") * 4194304L).as("cell0"),
+          explode(expr("sequence(-1, 1)")).as("dy"))
+        .select(col("id"), col("x"), col("y"), (col("cell0") + col("dy")).as("cell"))
+      val mnd = probes.join(bucketed, "cell")
+        .filter(col("jid") =!= col("id"))
+        .select(col("id"),
+          ((col("x") - col("jx")) * (col("x") - col("jx")) +
+            (col("y") - col("jy")) * (col("y") - col("jy"))).as("d2"))
+        .groupBy("id").agg(min("d2").as("d2min"))
+      // Certified iff no point outside the 3x3 neighborhood can be closer.
+      val resolved = mnd.filter(col("d2min") <= cs * cs).cutLineage
+      best = best.union(resolved).cutLineage
+      unresolved = unresolved.join(resolved.select("id"), Seq("id"), "left_anti").cutLineage
+      cs = math.min(Q, cs * 2)
+    }
+
+    // Edge phase: per-point certified cell radius, explode ring, exact filter.
+    val src = pts.join(best, "id")
+      .withColumn("r",
+        (ceil(lit(k.toDouble) * sqrt(col("d2min").cast("double")) / baseCell.toDouble) + 1L)
+          .cast("long"))
+    val probes = src
+      .select(col("id"), col("x"), col("y"), col("d2min"),
+        expr(s"x div $baseCell").as("cx"), expr(s"y div $baseCell").as("cy"),
+        explode(expr("sequence(-r, r)")).as("dx"), col("r"))
+      .select(col("id"), col("x"), col("y"), col("d2min"),
+        (col("cx") + col("dx")).as("cx"), col("cy"),
+        explode(expr("sequence(-r, r)")).as("dy"))
+      .select(col("id"), col("x"), col("y"), col("d2min"),
+        (col("cx") * 4194304L + col("cy") + col("dy")).as("cell"))
+    val bucketed = withCell(pts, baseCell)
+      .select(col("id").as("jid"), col("x").as("jx"), col("y").as("jy"), col("cell"))
+    val edges = probes.join(bucketed, "cell")
+      .filter(col("jid") =!= col("id"))
+      .filter(((col("x") - col("jx")) * (col("x") - col("jx")) +
+        (col("y") - col("jy")) * (col("y") - col("jy"))) <= lit(k.toLong * k) * col("d2min"))
+      .select(col("id").as("src"), col("jid").as("dst")).distinct()
+      .withColumn("weight", lit(1.0))
+    val g = LinkGraph.fromEdges(spark, edges, Some(pts.select("id")))
+    g.edges.count()
+    pts.unpersist()
+    g
+  }
+
+  /** Regular ring lattice (/root/reference/networkit/cpp/generators/RegularRingLatticeGenerator.cpp:14-33):
+    * node i connects to its k/2 clockwise neighbors — the Watts–Strogatz β=0 lattice
+    * as its own generator. Pure index arithmetic, no draws, no shuffle until layout. */
+  def regularRingLattice(spark: SparkSession, n: Long, k: Int): LinkGraph = {
+    require(k >= 2 && k % 2 == 0, "k must be even and >= 2")
+    val half = k / 2
+    val edges = spark.range(n * half)
+      .select(expr(s"id div $half").as("src"),
+        expr(s"(id div $half + id % $half + 1) % $n").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .withColumn("weight", lit(1.0))
+    LinkGraph.fromEdges(spark, edges, Some(spark.range(n).select(col("id"))))
+  }
+
+  /** Dorogovtsev–Mendes
+    * (/root/reference/networkit/cpp/generators/DorogovtsevMendesGenerator.cpp:20-41):
+    * start from a triangle; each new node t picks a uniform existing edge and links to
+    * BOTH its endpoints. The reference's sequential `G.randomEdge()` loop becomes the
+    * same pointer-chasing shape as [[barabasiAlbert]]: node t's pick
+    * p(t) = draw(t) % (2t−3) is a closed-form edge index, an edge's NEWER endpoint is
+    * closed-form (its creating node), and only the inherited older endpoint chases
+    * through earlier picks — a chain that strictly decreases the edge index, resolved
+    * by iterated column arithmetic (no joins at all in the chase). The DuckDB twin
+    * replays the identical chase as a recursive CTE. */
+  def dorogovtsevMendes(spark: SparkSession, n: Long, seed: Long = 42L): LinkGraph = {
+    require(n >= 3)
+    import org.apache.spark.storage.StorageLevel
+    val triangle = Seq((0L, 1L), (1L, 2L), (2L, 0L))
+    // Edge j >= 3 belongs to node t = 3 + (j-3) div 2, slot (j-3)%2; both slots chase
+    // node t's pick p = draw(t) % (2t-3). want: 0 = older endpoint (lo), 1 = newer (hi).
+    val pSql = s"(${draw(s"t*31 + $seed*1299709")} % (2*t - 3))"
+    var unresolved = spark.range(2L * (n - 3L)).select(
+        (col("id") + 3L).as("j"),
+        (lit(3L) + expr("id div 2")).as("t"),
+        pmod(col("id"), lit(2L)).cast("int").as("want"))
+      .withColumn("q", expr(pSql))
+      .select(col("j"), col("t").as("src"), col("want"), col("q"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var resolved: DataFrame = unresolved.filter(lit(false))
+      .select(col("j"), col("src"), col("q").as("dst"))
+    var left = unresolved.count()
+    while (left > 0) {
+      // Terminal cases: base-triangle edges (q < 3) via the lo/hi lookup; want=hi on a
+      // later edge resolves to its creating node 3 + (q-3) div 2.
+      val marked = unresolved.withColumn("dst",
+        when(col("q") < 3L,
+          when(col("want") === 0, element_at(array(lit(0L), lit(1L), lit(0L)), col("q").cast("int") + 1))
+            .otherwise(element_at(array(lit(1L), lit(2L), lit(2L)), col("q").cast("int") + 1)))
+          .when(col("want") === 1, lit(3L) + expr("(q - 3) div 2")))
+      resolved = resolved.union(
+        marked.filter(col("dst").isNotNull).select("j", "src", "dst"))
+      // Chase: want=lo on edge q >= 3 re-enters at q's own pick.
+      val next = marked.filter(col("dst").isNull)
+        .select(col("j"), col("src"),
+          pmod(col("q") - 3L, lit(2L)).cast("int").as("want"),
+          expr("3 + (q - 3) div 2").as("t"))
+        .withColumn("q", expr(pSql))
+        .select(col("j"), col("src"), col("want"), col("q"))
+        .cutLineage
+      left = next.count()
+      unresolved = next
+    }
+    import spark.implicits._
+    val edges = triangle.toDF("src", "dst")
+      .unionByName(resolved.select(col("src"), col("dst")))
+      .withColumn("weight", lit(1.0))
+    LinkGraph.fromEdges(spark, edges, Some(spark.range(n).select(col("id"))))
+  }
 }
