@@ -54,6 +54,11 @@ object SparkEntry {
     "q_plp" -> ((s, dir) =>
       LabelPropagation.fixedRounds(s, graph(s, dir), rounds = 10)),
 
+    // Degree-ordered LP: low-degree buckets update first within each sweep
+    // (bucketed Gauss-Seidel re-expression of the sequential degree-ordered sweep).
+    "q_lp_degree_ordered" -> ((s, dir) =>
+      LabelPropagation.degreeOrderedFixed(s, graph(s, dir), sweeps = 3, buckets = 4)),
+
     "q_triangles_global" -> ((s, dir) => {
       import s.implicits._
       Seq(Triangles.globalCount(s, graph(s, dir))).toDF("triangles")
@@ -504,6 +509,7 @@ object SparkEntry {
     "q_pagerank_fixed"   -> OracleSql.pagerankFixed(20),
     "q_components"       -> OracleSql.components(12),
     "q_plp"              -> OracleSql.plp(10),
+    "q_lp_degree_ordered" -> OracleSql.lpDegreeOrdered(3, 4),
     "q_triangles_global" -> OracleSql.trianglesGlobal,
     "q_triangles_node"   -> OracleSql.trianglesPerNode,
     "q_lcc"              -> OracleSql.lcc,

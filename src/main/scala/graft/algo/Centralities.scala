@@ -123,9 +123,30 @@ object Centralities {
 
   def katz(spark: SparkSession, g: LinkGraph, alpha: Double = 5e-4, beta: Double = 0.1,
            tol: Double = 1e-8, maxIter: Int = 500): DataFrame = {
+    val (x, len, _) = katzCore(spark, g, alpha, beta, tol, maxIter, None)
+    x.select(col("id"), (col("score") / len).as("score"))
+  }
+
+  /** Katz affine power iteration, warm-startable — the DynKatzCentrality path
+    * (/root/reference/networkit/cpp/centrality/DynKatzCentrality.cpp: dynamic
+    * centralities re-converge from the previous solution after an edge delta
+    * instead of from scratch). The recurrence x' = αWᵀ(1+x) + β is a contraction,
+    * so any start converges; a start at the previous fixed point converges in a
+    * couple of iterations even after a local graph delta. `warmStart` takes the
+    * UNNORMALIZED previous vector (katzCore's own output); vertices absent from it
+    * (newly added) get the cold prior. Returns (unnormalized scores, l2 len,
+    * iterations) — iterations is the spec's warm ≪ cold evidence. */
+  def katzCore(spark: SparkSession, g: LinkGraph, alpha: Double, beta: Double,
+               tol: Double, maxIter: Int,
+               warmStart: Option[DataFrame]): (DataFrame, Double, Int) = {
     val inEdges = g.edges.persist(StorageLevel.MEMORY_AND_DISK)
     inEdges.count()
-    var x = g.vertices.select(col("id"), lit(1.0).as("score")).cutLineage
+    var x = (warmStart match {
+      case Some(w) => g.vertices
+        .join(w.select(col("id"), col("score").as("ws")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("ws"), lit(1.0)).as("score"))
+      case None => g.vertices.select(col("id"), lit(1.0).as("score"))
+    }).cutLineage
     var len = 0.0; var oldLen = Double.MaxValue; var iter = 0
     while (math.abs(len - oldLen) > tol && iter < maxIter) {
       oldLen = len
@@ -141,7 +162,7 @@ object Centralities {
       iter += 1
     }
     inEdges.unpersist()
-    x.select(col("id"), (col("score") / len).as("score"))
+    (x, len, iter)
   }
 
   /** Fixed-point Katz-style recurrence for the oracle gate: exact integer state,

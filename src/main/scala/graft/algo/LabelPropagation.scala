@@ -98,4 +98,45 @@ object LabelPropagation {
       .zipWithRank(labels.select(col("label")).distinct(), "label", "clabel")
     labels.join(distinctLabels, "label").select(col("id"), col("clabel").as("label"))
   }
+
+  /** LPDegreeOrdered (/root/reference/networkit/cpp/community/LPDegreeOrdered.cpp:18-86):
+    * label propagation where lower-degree nodes update BEFORE higher-degree nodes in
+    * each sweep. The reference's strictly sequential degree-ordered sweep becomes
+    * `buckets` synchronous sub-rounds per sweep: sub-round b updates ONLY the nodes in
+    * degree bucket b (ascending — bucket = min(buckets−1, ⌊log₂ deg⌋), integer-exact
+    * via binary-string length in both engines), reading labels that already include
+    * this sweep's lower-bucket moves — degree-ordered Gauss–Seidel at bucket
+    * granularity, deterministic and partitioning-independent. Heaviest-label /
+    * smallest-id tie-break and isolated-node behavior are PLP's. Each sub-round's
+    * frequency shuffle is restricted (left-semi) to edges INTO the active bucket, so a
+    * full sweep costs one m-row exchange total — the same per-sweep cost as PLP. */
+  def degreeOrderedFixed(spark: SparkSession, g: LinkGraph, sweeps: Int,
+                         buckets: Int = 4): DataFrame = {
+    val bi = g.bidirected.persist(StorageLevel.MEMORY_AND_DISK)
+    bi.count()
+    val bkt = bi.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .select(col("id"),
+        least(lit(buckets - 1L), (length(bin(col("deg"))) - 1).cast("long")).as("bkt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    bkt.count()
+    var labels = g.vertices.select(col("id"), col("id").as("label")).cutLineage
+    for (_ <- 0 until sweeps; b <- 0 until buckets) {
+      val active = bi.join(
+        bkt.filter(col("bkt") === b).select(col("id").as("dst")), Seq("dst"), "left_semi")
+      val freq = active
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst"), col("label"))
+        .agg(sum("weight").as("w"))
+      val best = graft.layout.Layout.saltedArgMax(freq, Seq("dst"),
+          struct(col("w"), (-col("label")).as("nl")), col("label"), salts = 32)
+        .select(col("dst").as("id"), (-col("top.nl")).as("cand"))
+      val prev = labels
+      labels = labels.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("cand"), col("label")).as("label"))
+        .cutLineage
+      prev.releaseState()
+    }
+    bi.unpersist(); bkt.unpersist()
+    labels
+  }
 }

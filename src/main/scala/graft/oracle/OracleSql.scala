@@ -101,6 +101,34 @@ object OracleSql {
        |${plpSteps(rounds)}
        |SELECT id, label FROM p$rounds""".stripMargin
 
+  /** LPDegreeOrdered, fixed degree-bucketed Gauss–Seidel sweeps (mirrors
+    * LabelPropagation.degreeOrderedFixed): sub-step (s,b) updates only bucket-b
+    * nodes (bucket = min(buckets−1, ⌊log₂ deg⌋) via binary-string length — integer-
+    * exact in both engines), reading labels including this sweep's earlier buckets. */
+  def lpDegreeOrdered(sweeps: Int, buckets: Int): String = {
+    val steps = (for (s <- 0 until sweeps; b <- 0 until buckets) yield {
+      val t = s * buckets + b + 1
+      s"""dord$t AS MATERIALIZED (SELECT v.id, coalesce(c.cand, v.label) AS label
+         |  FROM dord${t - 1} v LEFT JOIN (
+         |    SELECT id, cand FROM (
+         |      SELECT plpbi.b AS id, x.label AS cand,
+         |             row_number() OVER (PARTITION BY plpbi.b ORDER BY sum(plpbi.w) DESC, x.label ASC) AS rn
+         |      FROM plpbi JOIN dord${t - 1} x ON plpbi.a = x.id
+         |      WHERE plpbi.b IN (SELECT id FROM dbkt WHERE bkt = $b)
+         |      GROUP BY plpbi.b, x.label) t
+         |    WHERE rn = 1) c ON v.id = c.id)""".stripMargin
+    }).mkString(",\n")
+    s"""$base,
+       |plpund AS MATERIALIZED (SELECT least(src, dst) AS s, greatest(src, dst) AS t, count(*) AS w
+       |  FROM edges GROUP BY 1, 2),
+       |plpbi AS MATERIALIZED (SELECT s AS a, t AS b, w FROM plpund UNION ALL SELECT t, s, w FROM plpund),
+       |dbkt AS MATERIALIZED (SELECT a AS id, least($buckets - 1, length(bin(count(*))) - 1) AS bkt
+       |  FROM plpbi GROUP BY a),
+       |dord0 AS MATERIALIZED (SELECT id, id AS label FROM verts),
+       |$steps
+       |SELECT id, label FROM dord${sweeps * buckets}""".stripMargin
+  }
+
   /** Canonical undirected edge set with merged antiparallel weight (mirrors
     * LinkGraph.canonicalUndirected: w = number of directed edges between the pair) +
     * weighted undirected degrees. */
