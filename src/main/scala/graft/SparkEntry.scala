@@ -330,6 +330,19 @@ object SparkEntry {
       val g = graph(s, dir)
       Betweenness.fixedPoint(s, g, g.vertices.filter(col("id") % 1000 === 0))
     }),
+    // DynBetweenness: incremental affected-source update after a star insert batch;
+    // the oracle computes the COLD Brandes on the mutated graph — equality proves
+    // the warm path.
+    "q_dyn_betweenness" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val added = g.vertices.filter(col("id") % 997 === 0 && col("id") =!= 0L)
+        .select(lit(0L).as("src"), col("id").as("dst"), lit(1.0).as("weight"))
+      val gNew = graft.model.LinkGraph.fromEdges(s,
+        g.edges.unionByName(added).groupBy("src", "dst")
+          .agg(max("weight").as("weight")), Some(g.vertices))
+      Betweenness.warmInsertFixed(s, g, gNew,
+        g.vertices.filter(col("id") % 1000 === 0), added.select("src", "dst"))._1
+    }),
     "q_closeness" -> ((s, dir) => {
       val g = graph(s, dir)
       Betweenness.closenessHarmonic(s, g, g.vertices.filter(col("id") % 1000 === 0))
@@ -570,6 +583,7 @@ object SparkEntry {
     "q_katz_fixed"       -> OracleSql.katzFixed(10),
     "q_eigen_fixed"      -> OracleSql.eigenvectorFixed(10),
     "q_betweenness_fixed" -> OracleSql.betweennessFixed(1000, 15),
+    "q_dyn_betweenness"  -> OracleSql.betweennessFixedDyn(1000, 15, 997),
     "q_closeness"        -> OracleSql.closenessHarmonic(1000, 15),
     "q_apsp"             -> OracleSql.apsp(100, 15),
     "q_sfigality"        -> OracleSql.sfigality,

@@ -135,6 +135,53 @@ object Betweenness {
     out
   }
 
+  /** DynBetweenness / DynApproxBetweenness path
+    * (/root/reference/networkit/cpp/centrality/DynBetweenness.cpp:30-160,
+    * DynApproxBetweenness.cpp): incremental update after an undirected edge-insert
+    * batch, re-expressed at affected-SOURCE granularity (the distributed analog of the
+    * reference's affected-vertex updates). A source s is affected iff some inserted
+    * edge (u,v) has dist_s(u) ≠ dist_s(v) — an equal-level edge creates no new
+    * shortest path from s, and a both-unreachable edge touches nothing; detection is
+    * ONE |S|×|batch| join against the previous forward state. Per-source dependency
+    * sums are additive and the scaled-integer recursion is per-source independent, so
+    *   newBc = oldBc − part(A, G_old) + part(A, G_new)
+    * is EXACT — bit-equal to the cold recompute on G_new (Round13Spec asserts
+    * equality; `q_dyn_betweenness` proves it against the cold DuckDB twin). Work is
+    * proportional to |A| re-swept sources instead of |S|.
+    *
+    * `oldBc`/`oldState` accept a previous solution (the streaming path); when None
+    * they are computed here. Returns (newBc, affectedCount). */
+  def warmInsertFixed(spark: SparkSession, gOld: LinkGraph, gNew: LinkGraph,
+                      sources: DataFrame, added: DataFrame, scale: Long = 10000L,
+                      oldBc: Option[DataFrame] = None,
+                      oldState: Option[DataFrame] = None): (DataFrame, Long) = {
+    val st = oldState.getOrElse(msBfs(spark, gOld, sources)._1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    st.count()
+    val und = added.select("src", "dst")
+      .union(added.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val prevBc = oldBc.getOrElse(fixedPoint(spark, gOld, sources, scale))
+    val affected = sources.select(col("id").as("s")).crossJoin(und)
+      .join(st.select(col("s"), col("id").as("src"), col("dist").as("du")),
+        Seq("s", "src"), "left")
+      .join(st.select(col("s"), col("id").as("dst"), col("dist").as("dv")),
+        Seq("s", "dst"), "left")
+      .filter(!(col("du") <=> col("dv"))) // null-safe: both-null = unaffected
+      .select(col("s").as("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nAff = affected.count()
+    st.unpersist()
+    if (nAff == 0) { affected.unpersist(); return (prevBc, 0L) }
+    val oldPart = fixedPoint(spark, gOld, affected, scale)
+    val newPart = fixedPoint(spark, gNew, affected, scale)
+    val out = prevBc.withColumnRenamed("bc", "b0")
+      .join(oldPart.withColumnRenamed("bc", "bo"), Seq("id"))
+      .join(newPart.withColumnRenamed("bc", "bn"), Seq("id"))
+      .select(col("id"), (col("b0") - col("bo") + col("bn")).as("bc"))
+    affected.unpersist()
+    (out, nAff)
+  }
+
   /** Exact closeness + harmonic closeness OF the source nodes (unnormalized reference
     * semantics: closeness = 1/Σdist over reachable, harmonic = Σ 1/d). All doubles are
     * single divisions of exact integers (harmonic via the LCM(1..16) numerator), so

@@ -552,7 +552,25 @@ object OracleSql {
   /** Sampled-source Brandes betweenness, scaled-integer dependency recursion
     * (mirrors Betweenness.fixedPoint): delta = Σ_w (sigma_v*(scale+delta_w)) // sigma_w
     * swept level by level downward. */
-  def betweennessFixed(mod: Long, levels: Int, scale: Long = 10000L): String = {
+  def betweennessFixed(mod: Long, levels: Int, scale: Long = 10000L): String =
+    betweennessFixedCore(mod, levels, scale, biCte)
+
+  /** Cold Brandes on the MUTATED graph (edges + the 0 → id % addMod == 0 star) —
+    * the oracle for the engine's incremental warmInsertFixed path
+    * (q_dyn_betweenness): the warm update must equal this cold recompute exactly. */
+  def betweennessFixedDyn(mod: Long, levels: Int, addMod: Long,
+                          scale: Long = 10000L): String = {
+    val biDyn =
+      s"""adde AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS a, id AS b FROM verts
+         |  WHERE id % $addMod = 0 AND id != 0),
+         |bi AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges
+         |  UNION SELECT dst, src FROM edges
+         |  UNION SELECT a, b FROM adde UNION SELECT b, a FROM adde)""".stripMargin
+    betweennessFixedCore(mod, levels, scale, biDyn)
+  }
+
+  private def betweennessFixedCore(mod: Long, levels: Int, scale: Long,
+                                   biDef: String): String = {
     val down = (0 until levels).reverse.map { lev =>
       s"""nd$lev AS MATERIALIZED (SELECT p.s, p.id,
          |    sum(p.sigma * ($scale + coalesce(d.delta, 0)) // w.sigma) AS delta
@@ -565,7 +583,7 @@ object OracleSql {
          |d$lev AS MATERIALIZED (SELECT * FROM d${lev + 1} UNION ALL SELECT * FROM nd$lev)""".stripMargin
     }.mkString(",\n")
     s"""$base,
-       |$biCte,
+       |$biDef,
        |${msBfsCtes(mod, levels)},
        |d$levels AS MATERIALIZED (SELECT s, id, CAST(0 AS BIGINT) AS delta FROM st$levels WHERE 1 = 0),
        |$down

@@ -46,6 +46,42 @@ class Round12Spec extends AnyFunSuite {
     coldMat.unpersist()
   }
 
+  test("dynBetweenness: warm insert equals cold recompute; only touched sources re-swept") {
+    import graft.algo.Betweenness
+    // Two disjoint paths: 0-1-2-3 and 10-11-12-13. Insert shortcut (1,3): source 0
+    // is affected (dist 1 vs 3), source 10 sees both endpoints unreachable -> skip.
+    val es = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 13L))
+      .map { case (a, b) => (a, b, 1.0) }
+    val g = LinkGraph.fromEdges(spark, TestSpark.directed(es))
+    val added = Seq((1L, 3L, 1.0)).toDF("src", "dst", "weight")
+    val gNew = LinkGraph.fromEdges(spark, g.edges.unionByName(added), Some(g.vertices))
+    val sources = Seq(0L, 10L).toDF("id")
+    val (warm, nAff) = Betweenness.warmInsertFixed(spark, g, gNew, sources,
+      added.select("src", "dst"))
+    assert(nAff == 1L)
+    val cold = Betweenness.fixedPoint(spark, gNew, sources)
+    val w = warm.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c = cold.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w == c)
+  }
+
+  test("dynBetweenness: sf0.001 star batch, warm == cold bit-exact") {
+    import graft.algo.Betweenness
+    val g = LinkGraph.forSf(spark, "/root/testdata/sf0.001")
+    val added = g.vertices.filter(col("id") % 211 === 7 && col("id") =!= 0L)
+      .select(lit(0L).as("src"), col("id").as("dst"), lit(1.0).as("weight"))
+    val gNew = LinkGraph.fromEdges(spark, g.edges.unionByName(added)
+      .groupBy("src", "dst").agg(max("weight").as("weight")), Some(g.vertices))
+    val sources = g.vertices.filter(col("id") % 100 === 0)
+    val (warm, nAff) = Betweenness.warmInsertFixed(spark, g, gNew, sources,
+      added.select("src", "dst"))
+    assert(nAff >= 1L && nAff <= sources.count())
+    val cold = Betweenness.fixedPoint(spark, gNew, sources)
+    val w = warm.orderBy("id").collect().map(_.getLong(1)).toSeq
+    val c = cold.orderBy("id").collect().map(_.getLong(1)).toSeq
+    assert(w == c)
+  }
+
   test("degree-ordered LP: low-degree nodes move first (path fixture)") {
     // Path 0-1-2: degrees (1,2,1). Sub-round 0 moves the endpoints to label 1;
     // sub-round 1 then sees both neighbors of node 1 at label 1 -> consensus 1.
