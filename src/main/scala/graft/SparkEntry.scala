@@ -452,6 +452,10 @@ object SparkEntry {
     // spec asserts maximality on fixtures); strict (w DESC, src, dst) total order.
     "q_matching" -> ((s, dir) =>
       graft.algo.Matching.localMaxMatching(s, graph(s, dir), rounds = 15)),
+    // GlobalCurveball degree-preserving randomization, 2 global trade rounds;
+    // the oracle replays the identical pairing/ownership/pool-deal arithmetic.
+    "q_curveball" -> ((s, dir) =>
+      graft.algo.Curveball.globalCurveball(s, graph(s, dir), rounds = 2)),
     // Luby MIS, 12 fixed deterministic-LCG rounds (spec asserts independence always,
     // maximality on drained fixtures).
     "q_luby" -> ((s, dir) =>
@@ -608,6 +612,7 @@ object SparkEntry {
     "q_plm"              -> OracleSql.plm(6, 2),
     "q_graph_profile"    -> OracleSql.graphProfile(12),
     "q_matching"         -> OracleSql.localMaxMatching(15),
+    "q_curveball"        -> OracleSql.globalCurveball(2),
     "q_pac"              -> OracleSql.pac(3, 10),
     "q_luby"             -> OracleSql.luby(12, 42L),
     "q_spanning_forest"  -> OracleSql.spanningForest(12, 20),

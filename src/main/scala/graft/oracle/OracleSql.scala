@@ -1789,6 +1789,47 @@ object OracleSql {
        |WHERE d2.d2 <= ${k.toLong * k} * dmin.m""".stripMargin
   }
 
+  /** GlobalCurveball replay (mirrors Curveball.globalCurveball): per round, the
+    * same LCG pairing rank, (key,id) edge ownership, partner-neighborhood freeze,
+    * and pool re-deal by per-element draw — bit-exact unrolled trade rounds. */
+  def globalCurveball(rounds: Int, seed: Long = 42L): String = {
+    val roundCtes = (0 until rounds).map { r =>
+      val kx = genDraw(s"id*13 + ${seed + r}*1000033")
+      val dwx = genDraw(s"pl.w*31 + pl.p*97 + ${seed + r}*999979")
+      s"""k$r AS MATERIALIZED (SELECT id, $kx AS k FROM verts),
+         |rk$r AS MATERIALIZED (SELECT id, k, row_number() OVER (ORDER BY k, id) - 1 AS rnk FROM k$r),
+         |pa$r AS MATERIALIZED (SELECT id, k, rnk // 2 AS p, rnk % 2 AS side FROM rk$r),
+         |pt$r AS MATERIALIZED (SELECT a.id, b.id AS partner FROM pa$r a JOIN pa$r b ON a.p = b.p AND a.side != b.side),
+         |cb$r AS MATERIALIZED (SELECT s AS a, t AS b FROM cu$r UNION ALL SELECT t, s FROM cu$r),
+         |ow$r AS MATERIALIZED (SELECT
+         |    CASE WHEN ks.k < kt.k OR (ks.k = kt.k AND e.s < e.t) THEN e.s ELSE e.t END AS o,
+         |    CASE WHEN ks.k < kt.k OR (ks.k = kt.k AND e.s < e.t) THEN e.t ELSE e.s END AS w
+         |  FROM cu$r e JOIN k$r ks ON e.s = ks.id JOIN k$r kt ON e.t = kt.id),
+         |rw$r AS MATERIALIZED (SELECT ow.o, ow.w, pa.p, pa.side, pt.partner,
+         |    (b.a IS NOT NULL) AS inp
+         |  FROM ow$r ow JOIN pa$r pa ON ow.o = pa.id
+         |  LEFT JOIN pt$r pt ON ow.o = pt.id
+         |  LEFT JOIN cb$r b ON b.a = pt.partner AND b.b = ow.w),
+         |fz$r AS MATERIALIZED (SELECT o, w FROM rw$r WHERE partner IS NULL OR w = partner OR inp),
+         |pl$r AS MATERIALIZED (SELECT p, side, o, partner, w FROM rw$r
+         |  WHERE partner IS NOT NULL AND w != partner AND NOT inp),
+         |c0$r AS MATERIALIZED (SELECT p, sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS c0 FROM pl$r GROUP BY p),
+         |ag$r AS MATERIALIZED (SELECT CASE WHEN rn <= c0 THEN s0 ELSE s1 END AS o, w FROM (
+         |    SELECT pl.w, c.c0,
+         |      CASE WHEN pl.side = 0 THEN pl.o ELSE pl.partner END AS s0,
+         |      CASE WHEN pl.side = 1 THEN pl.o ELSE pl.partner END AS s1,
+         |      row_number() OVER (PARTITION BY pl.p ORDER BY $dwx, pl.w) AS rn
+         |    FROM pl$r pl JOIN c0$r c ON pl.p = c.p)),
+         |cu${r + 1} AS MATERIALIZED (SELECT least(o, w) AS s, greatest(o, w) AS t FROM
+         |  (SELECT o, w FROM fz$r UNION ALL SELECT o, w FROM ag$r))""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |cu0 AS MATERIALIZED (SELECT least(src, dst) AS s, greatest(src, dst) AS t
+       |  FROM edges GROUP BY 1, 2),
+       |$roundCtes
+       |SELECT s AS src, t AS dst FROM cu$rounds""".stripMargin
+  }
+
   /** Dorogovtsev–Mendes formula replay (mirrors Generators.dorogovtsevMendes):
     * the engine's iterated column-arithmetic pointer chase becomes a recursive CTE
     * over the identical draw formula. A row (j, src, want, q) is terminal when

@@ -82,6 +82,34 @@ class Round12Spec extends AnyFunSuite {
     assert(w == c)
   }
 
+  test("globalCurveball: degree sequence preserved, graph stays simple, edges move") {
+    import graft.algo.Curveball
+    val g = LinkGraph.forSf(spark, "/root/testdata/sf0.001")
+    val before = g.canonicalUndirected
+      .select(col("src").as("s"), col("dst").as("t")).persist()
+    val degBefore = before.select(col("s").as("id"))
+      .union(before.select(col("t").as("id")))
+      .groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val after = Curveball.globalCurveball(spark, g, rounds = 3).persist()
+    // Simple: no self-loops, no duplicate undirected edges, same edge count.
+    assert(after.filter(col("src") === col("dst")).count() == 0)
+    assert(after.groupBy("src", "dst").count().filter(col("count") > 1).count() == 0)
+    assert(after.count() == before.count())
+    // Degree sequence preserved EXACTLY per node.
+    val degAfter = after.select(col("src").as("id"))
+      .union(after.select(col("dst").as("id")))
+      .groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(degAfter == degBefore)
+    // The randomization actually moved edges.
+    val moved = after.select(col("src").as("s"), col("dst").as("t"))
+      .exceptAll(before).count()
+    assert(moved > 0, "curveball rounds should change the edge set")
+    // Deterministic: same seed, same result.
+    val again = Curveball.globalCurveball(spark, g, rounds = 3)
+    assert(after.exceptAll(again).count() == 0 && again.exceptAll(after).count() == 0)
+    before.unpersist(); after.unpersist()
+  }
+
   test("degree-ordered LP: low-degree nodes move first (path fixture)") {
     // Path 0-1-2: degrees (1,2,1). Sub-round 0 moves the endpoints to label 1;
     // sub-round 1 then sees both neighbors of node 1 at label 1 -> consensus 1.
