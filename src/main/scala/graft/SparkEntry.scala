@@ -456,6 +456,11 @@ object SparkEntry {
     // the oracle replays the identical pairing/ownership/pool-deal arithmetic.
     "q_curveball" -> ((s, dir) =>
       graft.algo.Curveball.globalCurveball(s, graph(s, dir), rounds = 2)),
+    // Maximal cliques (distributed Bron-Kerbosch over per-min-member neighborhoods).
+    // No SQL oracle (recursive enumeration) - rows-only check; Round13Spec replays
+    // a whole-graph sequential Bron-Kerbosch and asserts set equality.
+    "q_cliques" -> ((s, dir) =>
+      graft.algo.Cliques.maximalCliques(s, graph(s, dir))),
     // Luby MIS, 12 fixed deterministic-LCG rounds (spec asserts independence always,
     // maximality on drained fixtures).
     "q_luby" -> ((s, dir) =>

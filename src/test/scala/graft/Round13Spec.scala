@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.algo.Cliques
+import graft.model.LinkGraph
+
+/** Round-13: distributed maximal cliques vs a sequential whole-graph Bron–Kerbosch. */
+class Round13Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Sequential reference: pivot Bron–Kerbosch over the WHOLE graph. */
+  private def bruteCliques(edges: Seq[(Long, Long)]): Set[List[Long]] = {
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val out = scala.collection.mutable.Set[List[Long]]()
+    def bk(r: Set[Long], p: Set[Long], x: Set[Long]): Unit =
+      if (p.isEmpty && x.isEmpty) { if (r.size >= 2) out += r.toList.sorted }
+      else {
+        val pivot = (p ++ x).maxBy(u => (p & adj(u)).size)
+        var pp = p; var xx = x
+        for (w <- (p -- adj(pivot)).toSeq.sorted) {
+          bk(r + w, pp & adj(w), xx & adj(w)); pp -= w; xx += w
+        }
+      }
+    bk(Set.empty, adj.keySet, Set.empty)
+    out.toSet
+  }
+
+  private def graphOf(edges: Seq[(Long, Long)]): LinkGraph =
+    LinkGraph.fromEdges(spark, TestSpark.directed(edges.map(e => (e._1, e._2, 1.0))))
+
+  private def engineCliques(g: LinkGraph): Set[List[Long]] =
+    Cliques.maximalCliques(spark, g).select("members").collect()
+      .map(_.getSeq[Long](0).toList).toSet
+
+  test("maximal cliques equal whole-graph Bron-Kerbosch on karate") {
+    val got = engineCliques(graphOf(Fixtures.karateEdges))
+    val want = bruteCliques(Fixtures.karateEdges)
+    assert(got == want)
+    // Karate's maximum clique is a 5-clique; sanity-pin the size profile.
+    assert(got.map(_.size).max == 5)
+  }
+
+  test("two K4s sharing a vertex, a pendant, and a disjoint edge") {
+    val k4a = for (i <- 0 to 3; j <- (i + 1) to 3) yield (i.toLong, j.toLong)
+    val k4b = for (i <- 3 to 6; j <- (i + 1) to 6) yield (i.toLong, j.toLong)
+    val edges = (k4a ++ k4b ++ Seq((0L, 7L), (8L, 9L))).distinct
+    val got = engineCliques(graphOf(edges))
+    assert(got == bruteCliques(edges))
+    assert(got.contains(List(0L, 1L, 2L, 3L)) && got.contains(List(3L, 4L, 5L, 6L)))
+    assert(got.contains(List(0L, 7L)) && got.contains(List(8L, 9L)))
+  }
+
+  test("triangle-free graph: maximal cliques are exactly the edges") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)) // 4-cycle
+    val got = engineCliques(graphOf(edges))
+    assert(got == edges.map { case (a, b) => List(a, b).sorted }.toSet)
+  }
+}
