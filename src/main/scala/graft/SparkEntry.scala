@@ -223,6 +223,11 @@ object SparkEntry {
     "q_gen_dm" -> ((s, _) =>
       graft.synth.Generators.dorogovtsevMendes(s, 3000L, 42L).edges
         .select(col("src"), col("dst"))),
+    // Geometric torus generator with dense areas + mutual-kNN degree cap; the
+    // oracle replays the O(n^2) definition brute-force.
+    "q_gen_pubweb" -> ((s, _) =>
+      graft.synth.Generators.pubWeb(s, 1500L, areas = 10, maxNeigh = 8, rDiv = 64)
+        .edges.select(col("src"), col("dst"))),
     "q_group_closeness" -> ((s, dir) =>
       graft.algo.GroupCentrality.groupCloseness(s, graph(s, dir), k = 4,
         poolSize = 16, maxLevels = 15)),
@@ -582,6 +587,7 @@ object SparkEntry {
     "q_gen_ring"         -> OracleSql.generatorRing(4000L, 6),
     "q_gen_mocnik"       -> OracleSql.generatorMocnik(2000L, 3, 42L),
     "q_gen_dm"           -> OracleSql.generatorDm(3000L, 42L),
+    "q_gen_pubweb"       -> OracleSql.generatorPubWeb(1500L, 10, 8, 64),
     "q_nf_heuristic"     -> OracleSql.nfHeuristic(10, 100L),
     "q_dyn_bfs"          -> OracleSql.dynBfs(0L, 15, 997L),
     "q_simple_paths"     -> OracleSql.allSimplePaths(0L, 1L, 5),

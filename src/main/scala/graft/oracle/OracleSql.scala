@@ -1860,6 +1860,28 @@ object OracleSql {
        |  UNION ALL SELECT src, dst FROM resolved)""".stripMargin
   }
 
+  /** PubWeb brute-force replay (mirrors Generators.pubWeb — the engine's cell-ring
+    * torus join + mutual-kNN must produce exactly the O(n²) definition; the shared
+    * pubWebCoordSql fragment guarantees identical positions). */
+  def generatorPubWeb(n: Long, areas: Int, maxNeigh: Int, rDiv: Int,
+                      seed: Long = 42L): String = {
+    val Q = 1L << 20
+    val R = Q / rDiv
+    val cx = graft.synth.Generators.pubWebCoordSql(0, areas, Q, R, seed, duck = true)
+    val cy = graft.synth.Generators.pubWebCoordSql(1, areas, Q, R, seed, duck = true)
+    s"""WITH ids AS (SELECT g AS id FROM generate_series(0, ${n - 1}) s(g)),
+       |pts AS MATERIALIZED (SELECT id, ($cx) AS x, ($cy) AS y FROM ids),
+       |cand AS MATERIALIZED (SELECT a.id AS u, b.id AS v,
+       |    least(abs(a.x - b.x), $Q - abs(a.x - b.x)) * least(abs(a.x - b.x), $Q - abs(a.x - b.x))
+       |    + least(abs(a.y - b.y), $Q - abs(a.y - b.y)) * least(abs(a.y - b.y), $Q - abs(a.y - b.y)) AS d2
+       |  FROM pts a JOIN pts b ON a.id != b.id),
+       |rk AS MATERIALIZED (SELECT u, v FROM (
+       |    SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY d2, v) AS rn
+       |    FROM cand WHERE d2 <= ${R * R}) WHERE rn <= $maxNeigh)
+       |SELECT a.u AS src, a.v AS dst FROM rk a JOIN rk b ON a.u = b.v AND a.v = b.u
+       |WHERE a.u < a.v""".stripMargin
+  }
+
   /** Sampled-BFS neighborhood-function estimate (mirrors
     * Distances.neighborhoodFunctionHeuristic): pairs(<=h) * n // s over sources
     * id % mod == 0, one batched multi-source BFS. */

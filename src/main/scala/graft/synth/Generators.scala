@@ -543,6 +543,81 @@ object Generators {
     g
   }
 
+  /** PubWeb generator (/root/reference/networkit/cpp/generators/PubWebGenerator.cpp:18-160):
+    * n points on the unit TORUS, a fraction clustered into `areas` dense discs, edges
+    * between points within neighborhood radius R subject to a per-node max-degree cap.
+    * The reference inserts eligible edges in scan order with a mutable degree cap
+    * (order-dependent); the deterministic re-expression keeps an edge iff each
+    * endpoint ranks the other within its `maxNeigh` NEAREST in-radius candidates
+    * (mutual-kNN — same radius + cap semantics, order-free, so both engines replay it
+    * exactly). Integer grid coordinates (Q = 2^20), exact integer torus d², rank ties
+    * broken by id.
+    *
+    * Distributed shape: positions are pure (seed, index) arithmetic; the radius join
+    * buckets points into R-sized cells and probes the 3×3 cell ring with torus wrap
+    * (each point meets only its ~9-cell neighborhood, never n²); the rank is a window
+    * per point over its in-radius candidates — group size is the local point density,
+    * the same working set the reference's per-node priority queue holds. */
+  /** PubWeb point coordinate (off 0 = x, 1 = y) as a dialect-aware SQL fragment over
+    * a column `id` — shared verbatim by the engine and the DuckDB oracle. */
+  def pubWebCoordSql(off: Int, areas: Int, Q: Long, R: Long, seed: Long,
+                     duck: Boolean): String = {
+    import GraphSpec.idiv
+    def drw(x: String) = drawSql(x, duck)
+    val aSel = s"(${drw(s"id*7 + $seed*70001")} % ${areas + 3})"
+    val bg = s"((${idiv(drw(s"id*2 + $off + $seed*90001"), "128", duck)}) % $Q)"
+    val ctr = s"((${idiv(drw(s"(($aSel) - 3)*2 + $off + $seed*80021"), "128", duck)}) % $Q)"
+    val dlt = s"(((${idiv(drw(s"id*2 + $off + $seed*60007"), "128", duck)}) % ${2 * R + 1}) - $R)"
+    s"CASE WHEN $aSel < 3 THEN $bg ELSE (($ctr + $dlt + $Q) % $Q) END"
+  }
+
+  def pubWeb(spark: SparkSession, n: Long, areas: Int = 10, maxNeigh: Int = 8,
+             rDiv: Int = 64, seed: Long = 42L): LinkGraph = {
+    require(rDiv >= 4 && (1L << 20) % rDiv == 0, "rDiv must divide the grid")
+    val Q = 1L << 20
+    val R = Q / rDiv
+    val C = rDiv.toLong // cells per axis
+    val pts = spark.range(n)
+      .select(col("id"),
+        expr(pubWebCoordSql(0, areas, Q, R, seed, duck = false)).as("x"),
+        expr(pubWebCoordSql(1, areas, Q, R, seed, duck = false)).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pts.count()
+    val bucketed = pts.select(col("id").as("jid"), col("x").as("jx"), col("y").as("jy"),
+      (expr(s"x div $R") * C + expr(s"y div $R")).as("cell"))
+    val probes = pts
+      .select(col("id"), col("x"), col("y"), expr(s"x div $R").as("cx"),
+        expr(s"y div $R").as("cy"), explode(expr("sequence(-1, 1)")).as("ddx"))
+      .select(col("id"), col("x"), col("y"),
+        pmod(col("cx") + col("ddx"), lit(C)).as("cx"), col("cy"),
+        explode(expr("sequence(-1, 1)")).as("ddy"))
+      .select(col("id"), col("x"), col("y"),
+        (col("cx") * C + pmod(col("cy") + col("ddy"), lit(C))).as("cell"))
+    val d2 = {
+      val adx = abs(col("x") - col("jx")); val ady = abs(col("y") - col("jy"))
+      val dx = least(adx, lit(Q) - adx);   val dy = least(ady, lit(Q) - ady)
+      dx * dx + dy * dy
+    }
+    val cand = probes.join(bucketed, "cell")
+      .filter(col("jid") =!= col("id"))
+      .select(col("id").as("u"), col("jid").as("v"), d2.as("d2"))
+      .filter(col("d2") <= lit(R * R))
+      .distinct() // corner pairs can meet through 2 probe cells on the wrapped torus
+    val ranked = cand.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("u")
+          .orderBy(col("d2"), col("v"))).cast("long"))
+      .filter(col("rn") <= maxNeigh.toLong)
+    val edges = ranked.select(col("u"), col("v"))
+      .join(ranked.select(col("v").as("u"), col("u").as("v")), Seq("u", "v"), "left_semi")
+      .filter(col("u") < col("v"))
+      .select(col("u").as("src"), col("v").as("dst"))
+      .withColumn("weight", lit(1.0))
+    val g = LinkGraph.fromEdges(spark, edges, Some(pts.select("id")))
+    g.edges.count()
+    pts.unpersist()
+    g
+  }
+
   /** Regular ring lattice (/root/reference/networkit/cpp/generators/RegularRingLatticeGenerator.cpp:14-33):
     * node i connects to its k/2 clockwise neighbors — the Watts–Strogatz β=0 lattice
     * as its own generator. Pure index arithmetic, no draws, no shuffle until layout. */

@@ -54,6 +54,31 @@ class Round13Spec extends AnyFunSuite {
     assert(got.contains(List(0L, 7L)) && got.contains(List(8L, 9L)))
   }
 
+  test("pubWeb: degrees capped by maxNeigh, edges within radius, deterministic") {
+    val Q = 1L << 20
+    val R = Q / 64
+    val g = graft.synth.Generators.pubWeb(spark, 800L, areas = 6, maxNeigh = 5)
+    val edges = g.edges.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity).map(_._2.length)
+    assert(deg.max <= 5)
+    // Every edge is within the torus radius (replay the position formula).
+    val pos = spark.range(800L).selectExpr("id",
+        graft.synth.Generators.pubWebCoordSql(0, 6, Q, R, 42L, duck = false) + " AS x",
+        graft.synth.Generators.pubWebCoordSql(1, 6, Q, R, 42L, duck = false) + " AS y")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def d2(a: Long, b: Long): Long = {
+      val dx0 = math.abs(pos(a)._1 - pos(b)._1); val dy0 = math.abs(pos(a)._2 - pos(b)._2)
+      val dx = math.min(dx0, Q - dx0); val dy = math.min(dy0, Q - dy0)
+      dx * dx + dy * dy
+    }
+    assert(edges.forall { case (a, b) => d2(a, b) <= R * R })
+    val again = graft.synth.Generators.pubWeb(spark, 800L, areas = 6, maxNeigh = 5)
+      .edges.select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.toSet == again.toSet)
+  }
+
   test("triangle-free graph: maximal cliques are exactly the edges") {
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)) // 4-cycle
     val got = engineCliques(graphOf(edges))
