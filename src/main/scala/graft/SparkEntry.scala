@@ -352,6 +352,18 @@ object SparkEntry {
       val g = graph(s, dir)
       Betweenness.closenessHarmonic(s, g, g.vertices.filter(col("id") % 1000 === 0))
     }),
+    // DynTopHarmonicCloseness path: repair only the affected maintained rows after
+    // a star insert batch; the oracle recomputes COLD on the mutated graph.
+    "q_dyn_harmonic" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val added = g.vertices.filter(col("id") % 997 === 0 && col("id") =!= 0L)
+        .select(lit(0L).as("src"), col("id").as("dst"), lit(1.0).as("weight"))
+      val gNew = graft.model.LinkGraph.fromEdges(s,
+        g.edges.unionByName(added).groupBy("src", "dst")
+          .agg(max("weight").as("weight")), Some(g.vertices))
+      Betweenness.closenessHarmonicWarm(s, g, gNew,
+        g.vertices.filter(col("id") % 1000 === 0), added.select("src", "dst"))._1
+    }),
     // Sampled-source APSP from the same multi-source BFS harness (100 sources).
     "q_apsp" -> ((s, dir) => {
       val g = graph(s, dir)
@@ -600,6 +612,7 @@ object SparkEntry {
     "q_betweenness_fixed" -> OracleSql.betweennessFixed(1000, 15),
     "q_dyn_betweenness"  -> OracleSql.betweennessFixedDyn(1000, 15, 997),
     "q_closeness"        -> OracleSql.closenessHarmonic(1000, 15),
+    "q_dyn_harmonic"     -> OracleSql.closenessHarmonicDyn(1000, 15, 997),
     "q_apsp"             -> OracleSql.apsp(100, 15),
     "q_sfigality"        -> OracleSql.sfigality,
     "q_algebraic_dist"   -> OracleSql.algebraicDistance(5),

@@ -197,4 +197,44 @@ object Betweenness {
         when(col("sumdist") > 0L, lit(1.0) / col("sumdist")).otherwise(lit(0.0)).as("closeness"),
         (col("hnum").cast("double") / lit(HarmonicLcm.toDouble)).as("harmonic"))
   }
+
+  /** DynTopHarmonicCloseness path
+    * (/root/reference/networkit/cpp/centrality/DynTopHarmonicCloseness.cpp: maintain
+    * exact per-node harmonics across an edge delta and repair only affected nodes).
+    * Unweighted distances change for node x iff some inserted edge (u,v) has
+    * |d_old(x,u) − d_old(x,v)| ≥ 2 (an equal-level or ±1 insert creates no shorter
+    * path), including one-endpoint-unreachable (new reachability); closeness AND
+    * harmonic depend on distances only, so the affected set is exactly that — and it
+    * is detected with ONE multi-source BFS from the BATCH ENDPOINTS on the old graph
+    * (|batch| sources, undirected symmetry gives d(x,e) = d(e,x)). Exact repaired
+    * rows come from one msBfs restricted to affected ∩ maintained sources on the new
+    * graph; every other maintained row is carried over untouched. Bit-equal to the
+    * cold recompute (q_dyn_harmonic cold twin, Round13Spec). Returns
+    * (rows, affectedCount). */
+  def closenessHarmonicWarm(spark: SparkSession, gOld: LinkGraph, gNew: LinkGraph,
+                            sources: DataFrame, added: DataFrame,
+                            oldAll: Option[DataFrame] = None): (DataFrame, Long) = {
+    val old = oldAll.getOrElse(closenessHarmonic(spark, gOld, sources))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    old.count()
+    val endpoints = added.select(col("src").as("id"))
+      .union(added.select(col("dst").as("id"))).distinct()
+    val (st, _) = msBfs(spark, gOld, endpoints)
+    val du = st.select(col("s").as("src"), col("id").as("x"), col("dist").as("du"))
+    val dv = st.select(col("s").as("dst"), col("id").as("x"), col("dist").as("dv"))
+    val affected = sources.select(col("id").as("x"))
+      .crossJoin(added.select("src", "dst"))
+      .join(du, Seq("src", "x"), "left")
+      .join(dv, Seq("dst", "x"), "left")
+      .filter(!(col("du") <=> col("dv")) &&
+        (col("du").isNull || col("dv").isNull ||
+          abs(col("du") - col("dv")) >= 2L))
+      .select(col("x").as("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nAff = affected.count()
+    if (nAff == 0L) { affected.unpersist(); return (old, 0L) }
+    val repaired = closenessHarmonic(spark, gNew, affected)
+    val out = old.join(affected, Seq("id"), "left_anti").unionByName(repaired)
+    (out, nAff)
+  }
 }

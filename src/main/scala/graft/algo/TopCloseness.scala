@@ -2,6 +2,8 @@ package graft.algo
 
 import scala.collection.mutable.ArrayBuffer
 
+import graft.DataFrameLineageOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -81,7 +83,9 @@ object TopCloseness {
           .collect()
         res.foreach(r => top += ((r.getLong(0), r.getLong(1), r.getLong(2))))
         sortTop()
-        processed = processed.union(pick.select("id"))
+        // Same per-batch lineage cut as harmonicCore (plan doubles per batch
+        // without it).
+        processed = processed.union(pick.select("id")).cutLineage
         if (top.size >= k) {
           val kthSumdist = top(k - 1)._3
           val minRemaining = cand.join(processed, Seq("id"), "left_anti")
@@ -148,6 +152,28 @@ object TopCloseness {
     }
 
     var processed = cand.filter(lit(false)).select("id")
+    def processBatch(pick: DataFrame): Unit = {
+      val (state, _) = Betweenness.msBfs(spark, g, pick)
+      val res = state.groupBy(col("s"))
+        .agg((count(lit(1)) - 1L).as("reached"),
+          sum(when(col("dist") > 0L, expr(s"$HScale div dist")).otherwise(0L)).as("h"))
+        .collect()
+      res.foreach(r => top += ((r.getLong(0), r.getLong(1), r.getLong(2))))
+      sortTop()
+      // Lineage cut: processed_{i+1} references processed_i both inside the next
+      // pick's anti-join AND in this union — without a cut the plan DOUBLES per
+      // batch (exponential plan strings once a run needs many batches).
+      processed = processed.union(pick.select("id")).cutLineage
+    }
+    def certified(): Boolean = top.size >= k && {
+      val kthH = top(k - 1)._3
+      val maxRemaining = cand.join(processed, Seq("id"), "left_anti")
+        .filter(col("ub") > 0L)
+        .agg(max("ub")).collect()(0)
+      // Strict: a remaining bound equal to the k-th score could still displace it
+      // on the id tie-break, so only a strictly smaller bound certifies.
+      maxRemaining.isNullAt(0) || maxRemaining.getLong(0) < kthH
+    }
     var done = false
     while (!done) {
       val pick = cand.join(processed, Seq("id"), "left_anti")
@@ -156,23 +182,8 @@ object TopCloseness {
         .select("id").persist(StorageLevel.MEMORY_AND_DISK)
       if (pick.count() == 0L) done = true
       else {
-        val (state, _) = Betweenness.msBfs(spark, g, pick)
-        val res = state.groupBy(col("s"))
-          .agg((count(lit(1)) - 1L).as("reached"),
-            sum(when(col("dist") > 0L, expr(s"$HScale div dist")).otherwise(0L)).as("h"))
-          .collect()
-        res.foreach(r => top += ((r.getLong(0), r.getLong(1), r.getLong(2))))
-        sortTop()
-        processed = processed.union(pick.select("id"))
-        if (top.size >= k) {
-          val kthH = top(k - 1)._3
-          val maxRemaining = cand.join(processed, Seq("id"), "left_anti")
-            .filter(col("ub") > 0L)
-            .agg(max("ub")).collect()(0)
-          // Strict: a remaining bound equal to the k-th score could still displace it
-          // on the id tie-break, so only a strictly smaller bound certifies.
-          if (maxRemaining.isNullAt(0) || maxRemaining.getLong(0) < kthH) done = true
-        }
+        processBatch(pick)
+        done = certified()
       }
     }
 

@@ -764,10 +764,26 @@ object OracleSql {
 
   /** Exact closeness + harmonic of the sampled sources (mirrors
     * Betweenness.closenessHarmonic; LCM(1..16)=720720 keeps 1/d exact). */
-  def closenessHarmonic(mod: Long, levels: Int): String = {
+  def closenessHarmonic(mod: Long, levels: Int): String =
+    closenessHarmonicCore(mod, levels, biCte)
+
+  /** Cold closeness/harmonic on the MUTATED graph (edges + the 0 → id % addMod == 0
+    * star) — the oracle for the engine's incremental closenessHarmonicWarm path
+    * (q_dyn_harmonic): the affected-node repair must equal this cold recompute. */
+  def closenessHarmonicDyn(mod: Long, levels: Int, addMod: Long): String = {
+    val biDyn =
+      s"""adde AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS a, id AS b FROM verts
+         |  WHERE id % $addMod = 0 AND id != 0),
+         |bi AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges
+         |  UNION SELECT dst, src FROM edges
+         |  UNION SELECT a, b FROM adde UNION SELECT b, a FROM adde)""".stripMargin
+    closenessHarmonicCore(mod, levels, biDyn)
+  }
+
+  private def closenessHarmonicCore(mod: Long, levels: Int, biDef: String): String = {
     val L = 720720L
     s"""$base,
-       |$biCte,
+       |$biDef,
        |${msBfsCtes(mod, levels)}
        |SELECT s AS id, CAST(count(*) - 1 AS BIGINT) AS reached,
        |  CAST(sum(dist) AS BIGINT) AS sumdist,

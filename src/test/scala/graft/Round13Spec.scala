@@ -79,6 +79,53 @@ class Round13Spec extends AnyFunSuite {
     assert(edges.toSet == again.toSet)
   }
 
+  test("dyn harmonic repair: affected set is local; warm equals cold (paths fixture)") {
+    import graft.algo.Betweenness
+    // Two disjoint paths 0-1-2-3-4 and 10-11-12: inserting (0,4) shortcuts the first
+    // path EXCEPT its midpoint (d(2,0) = d(2,4) = 2 — equidistant, no distance from
+    // node 2 changes); the second path sees both endpoints unreachable. Affected set
+    // must be exactly {0, 1, 3, 4}.
+    val es = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L))
+      .map { case (a, b) => (a, b, 1.0) }
+    val g = LinkGraph.fromEdges(spark, TestSpark.directed(es))
+    val added = Seq((0L, 4L, 1.0)).toDF("src", "dst", "weight")
+    val gNew = LinkGraph.fromEdges(spark, g.edges.unionByName(added), Some(g.vertices))
+    val all = g.vertices
+    val (warm, nAff) = Betweenness.closenessHarmonicWarm(spark, g, gNew, all,
+      added.select("src", "dst"))
+    assert(nAff == 4L) // {0,1,3,4}: the midpoint and the disjoint path are untouched
+    val cold = Betweenness.closenessHarmonic(spark, gNew, all)
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(snap(warm) == snap(cold))
+  }
+
+  test("dyn harmonic repair: sf0.001 star batch, warm == cold on the sampled set") {
+    import graft.algo.Betweenness
+    val g = LinkGraph.forSf(spark, "/root/testdata/sf0.001")
+    val added = g.vertices.filter(col("id") % 211 === 7 && col("id") =!= 0L)
+      .select(lit(0L).as("src"), col("id").as("dst"), lit(1.0).as("weight"))
+    val gNew = LinkGraph.fromEdges(spark, g.edges.unionByName(added)
+      .groupBy("src", "dst").agg(max("weight").as("weight")), Some(g.vertices))
+    val sources = g.vertices.filter(col("id") % 100 === 0)
+    val (warm, nAff) = Betweenness.closenessHarmonicWarm(spark, g, gNew, sources,
+      added.select("src", "dst"))
+    assert(nAff >= 1L && nAff <= sources.count())
+    val cold = Betweenness.closenessHarmonic(spark, gNew, sources)
+    val w = warm.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val c = cold.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(w == c)
+    // The dyn top-k (reference DynTopHarmonicCloseness surface) is a TakeOrdered
+    // over the repaired rows — assert it against the cold ranking too.
+    val topWarm = warm.orderBy(col("harmonic").desc, col("id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    val topCold = cold.orderBy(col("harmonic").desc, col("id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(topWarm == topCold)
+  }
+
   test("triangle-free graph: maximal cliques are exactly the edges") {
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)) // 4-cycle
     val got = engineCliques(graphOf(edges))
