@@ -393,6 +393,21 @@ object SparkEntry {
     "q_linkpred_eval" -> ((s, dir) =>
       graft.algo.LinkPredEval.run(s, graph(s, dir), trainRatio = 0.9,
         uMod = 50L, numThresholds = 20, seed = 42L)),
+    // --- LinkPredictor index tail (LinkPredIndices) ---
+    "q_linkpred_indices" -> ((s, dir) => {
+      val g = graph(s, dir)
+      graft.algo.LinkPredIndices.indices(s, g,
+        LabelPropagation.fixedRounds(s, g, 5), uMod = 50L)
+    }),
+    "q_missing_links" -> ((s, dir) =>
+      graft.algo.LinkPredIndices.missingLinks(s, graph(s, dir), k = 3, uMod = 100L)),
+    "q_link_threshold" -> ((s, dir) =>
+      graft.algo.LinkPredIndices.byCount(
+        graft.algo.LinkPrediction.scores(s, graph(s, dir), uMod = 50L),
+        "jaccard", 200L)),
+    "q_algebraic_index" -> ((s, dir) =>
+      graft.algo.AlgebraicDistance.pairScores(s, graph(s, dir), iters = 5,
+        seed = 42L, uMod = 50L)),
     // --- partition-evaluation family (PartitionEval; per-community quality rows) ---
     "q_hub_dominance" -> ((s, dir) => {
       val g = graph(s, dir)
@@ -621,6 +636,10 @@ object SparkEntry {
     "q_pr_nibble"        -> OracleSql.prNibbleSweep(0L, 12),
     "q_katz"             -> OracleSql.katz(50L, 200L),
     "q_linkpred_eval"    -> OracleSql.linkpredEval(0.9, 50L, 20, 42L),
+    "q_linkpred_indices" -> OracleSql.linkpredIndices(50L, 5),
+    "q_missing_links"    -> OracleSql.missingLinks(100L, 3),
+    "q_link_threshold"   -> OracleSql.linkThreshold(50L, 200L),
+    "q_algebraic_index"  -> OracleSql.algebraicIndex(5, 50L),
     "q_hub_dominance"    -> OracleSql.hubDominance(10),
     "q_intra_density"    -> OracleSql.intrapartitionDensity(10),
     "q_isolated_cut"     -> OracleSql.isolatedInterpartition(10),

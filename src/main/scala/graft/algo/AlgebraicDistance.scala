@@ -39,10 +39,12 @@ object AlgebraicDistance {
     (lit(A) * ((lit(A) * pmod(x, lit(M)) + C) % M) + C) % M
   }
 
-  /** Per-edge algebraic distance after `iters` smoothing rounds: (src, dst, ad) per
-    * canonical undirected edge, ad = Σ_sys |x(src) − x(dst)| (exact int64). */
-  def edgeScores(spark: SparkSession, g: LinkGraph, iters: Int = 5,
-                 seed: Long = 42L): DataFrame = {
+  /** Converged per-node loads after `iters` smoothing rounds: (id, x0..x{K−1}),
+    * exact int64 — shared by the per-edge score and the per-pair
+    * AlgebraicDistanceIndex (linkprediction/AlgebraicDistanceIndex.cpp:20-46, whose
+    * preprocess() is exactly this smoothing loop). */
+  def loads(spark: SparkSession, g: LinkGraph, iters: Int = 5,
+            seed: Long = 42L): DataFrame = {
     val cols = (0 until K).map(j => s"x$j")
     val bi = g.bidirected.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
     val deg = bi.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
@@ -69,12 +71,44 @@ object AlgebraicDistance {
       x = next
       it += 1
     }
-    val out = g.canonicalUndirected.select("src", "dst")
-      .join(x.select(col("id").as("src") +: cols.map(c => col(c).as(s"s_$c")): _*), "src")
-      .join(x.select(col("id").as("dst") +: cols.map(c => col(c).as(s"d_$c")): _*), "dst")
-      .select(col("src"), col("dst"),
-        cols.map(c => abs(col(s"s_$c") - col(s"d_$c"))).reduce(_ + _).as("ad"))
     bi.unpersist(); deg.unpersist()
-    out
+    x
+  }
+
+  /** L1 load gap between two id columns of `pairs` — the distance kernel shared by
+    * edge scores and pair indices. */
+  private def l1Gap(pairs: DataFrame, x: DataFrame,
+                    left: String, right: String): DataFrame = {
+    val cols = (0 until K).map(j => s"x$j")
+    pairs
+      .join(x.select(col("id").as(left) +: cols.map(c => col(c).as(s"s_$c")): _*), left)
+      .join(x.select(col("id").as(right) +: cols.map(c => col(c).as(s"d_$c")): _*), right)
+      .select(col(left), col(right),
+        cols.map(c => abs(col(s"s_$c") - col(s"d_$c"))).reduce(_ + _).as("ad"))
+  }
+
+  /** Per-edge algebraic distance after `iters` smoothing rounds: (src, dst, ad) per
+    * canonical undirected edge, ad = Σ_sys |x(src) − x(dst)| (exact int64). */
+  def edgeScores(spark: SparkSession, g: LinkGraph, iters: Int = 5,
+                 seed: Long = 42L): DataFrame =
+    l1Gap(g.canonicalUndirected.select("src", "dst"),
+      loads(spark, g, iters, seed), "src", "dst")
+
+  /** AlgebraicDistanceIndex (linkprediction/AlgebraicDistanceIndex.cpp:40-46): the
+    * same converged loads evaluated on arbitrary candidate pairs (u, v) — here the
+    * distance-2 non-adjacent set sharded by `uMod`, matching the other predictors.
+    * Output (u, v, ad). */
+  def pairScores(spark: SparkSession, g: LinkGraph, iters: Int = 5,
+                 seed: Long = 42L, uMod: Long = 1L): DataFrame = {
+    val bi = g.bidirected.select("src", "dst")
+    val wu = bi.select(col("src").as("z"), col("dst").as("u"))
+      .filter(pmod(col("u"), lit(uMod)) === 0L)
+    val wv = bi.select(col("src").as("z"), col("dst").as("v"))
+    val und = g.canonicalUndirected.select(col("src").as("u"), col("dst").as("v"))
+    val pairs = wu.join(wv, "z")
+      .filter(col("u") < col("v"))
+      .select("u", "v").distinct()
+      .join(und, Seq("u", "v"), "left_anti")
+    l1Gap(pairs, loads(spark, g, iters, seed), "u", "v")
   }
 }

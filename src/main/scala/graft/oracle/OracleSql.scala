@@ -869,7 +869,10 @@ object OracleSql {
   /** Algebraic distance (mirrors AlgebraicDistance.edgeScores): K LCG-seeded integer
     * load systems, `iters` unrolled ω=1/2 floor-division smoothing rounds, per-edge L1
     * gap — exact int64 throughout. */
-  def algebraicDistance(iters: Int, seed: Long = 42L): String = {
+  /** Jacobi-smoothed load CTEs shared by the per-edge algebraic distance and the
+    * per-pair AlgebraicDistanceIndex (mirrors AlgebraicDistance.loads). Emits
+    * deg/xs0..xs{iters} and returns (cteBlock, l1ExprFor("a","b")). */
+  private def algebraicLoadCtes(iters: Int, seed: Long): (String, String) = {
     import graft.synth.GraphSpec.lcg
     val K = graft.algo.AlgebraicDistance.K
     val scale = graft.algo.AlgebraicDistance.InitScale
@@ -887,18 +890,102 @@ object OracleSql {
          |  $mix
          |  FROM xs${i - 1} p LEFT JOIN s$i s ON p.id = s.id LEFT JOIN deg d ON p.id = d.id)""".stripMargin
     }.mkString(",\n")
-    val l1 = regs.map(j => s"abs(a.x$j - b.x$j)").mkString(" + ")
+    val ctes =
+      s"""deg AS MATERIALIZED (SELECT a AS id, count(*) AS deg FROM bi GROUP BY a),
+         |xs0 AS MATERIALIZED (SELECT id,
+         |  $initCols
+         |  FROM verts),
+         |$steps""".stripMargin
+    (ctes, regs.map(j => s"abs(a.x$j - b.x$j)").mkString(" + "))
+  }
+
+  def algebraicDistance(iters: Int, seed: Long = 42L): String = {
+    val (ctes, l1) = algebraicLoadCtes(iters, seed)
     s"""$base,
        |$biCte,
-       |deg AS MATERIALIZED (SELECT a AS id, count(*) AS deg FROM bi GROUP BY a),
-       |xs0 AS MATERIALIZED (SELECT id,
-       |  $initCols
-       |  FROM verts),
-       |$steps,
+       |$ctes,
        |undp AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS t FROM edges)
        |SELECT undp.s AS src, undp.t AS dst, CAST($l1 AS BIGINT) AS ad
        |FROM undp JOIN xs$iters a ON undp.s = a.id JOIN xs$iters b ON undp.t = b.id""".stripMargin
   }
+
+  /** AlgebraicDistanceIndex over the distance-2 non-adjacent candidate pairs
+    * (mirrors AlgebraicDistance.pairScores). */
+  def algebraicIndex(iters: Int, uMod: Long, seed: Long = 42L): String = {
+    val (ctes, l1) = algebraicLoadCtes(iters, seed)
+    s"""$base,
+       |$biCte,
+       |$ctes,
+       |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS t FROM edges),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT wu.b AS u, wv.b AS v
+       |  FROM bi wu JOIN bi wv ON wu.a = wv.a
+       |  WHERE wu.b % $uMod = 0 AND wu.b < wv.b),
+       |cand2 AS MATERIALIZED (
+       |  SELECT c.u, c.v FROM cand c LEFT JOIN und e ON e.s = c.u AND e.t = c.v
+       |  WHERE e.s IS NULL)
+       |SELECT c.u, c.v, CAST($l1 AS BIGINT) AS ad
+       |FROM cand2 c JOIN xs$iters a ON c.u = a.id JOIN xs$iters b ON c.v = b.id""".stripMargin
+  }
+
+  /** The LinkPredictor index tail over the distance-2 non-adjacent candidates
+    * (mirrors LinkPredIndices.indices with a `plpRounds`-round PLP partition):
+    * TotalNeighbors / UDegree / VDegree / NeighborhoodDistance / NeighborsMeasure
+    * (= cn + length-3 walks) / SameCommunity / the reference's literal
+    * AdjustedRandIndex formula with b = c = |union|. */
+  def linkpredIndices(uMod: Long, plpRounds: Int): String =
+    s"""$base,
+       |$biCte,
+       |${plpSteps(plpRounds)},
+       |deg AS MATERIALIZED (SELECT a AS id, count(*) AS deg FROM bi GROUP BY a),
+       |w1 AS MATERIALIZED (SELECT b AS u, a AS x FROM bi WHERE b % $uMod = 0),
+       |w2 AS MATERIALIZED (SELECT w1.u, bi.b AS y, count(*) AS w2
+       |  FROM w1 JOIN bi ON w1.x = bi.a GROUP BY 1, 2),
+       |w3 AS MATERIALIZED (SELECT w2.u, bi.b AS v, sum(w2.w2) AS w3
+       |  FROM w2 JOIN bi ON w2.y = bi.a GROUP BY 1, 2),
+       |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS t FROM edges),
+       |cand AS MATERIALIZED (
+       |  SELECT w2.u, w2.y AS v, w2.w2 AS cn FROM w2
+       |  LEFT JOIN und e ON e.s = w2.u AND e.t = w2.y
+       |  WHERE w2.u < w2.y AND e.s IS NULL),
+       |nn2 AS MATERIALIZED (SELECT count(*) AS n FROM verts),
+       |idx AS MATERIALIZED (
+       |  SELECT c.u, c.v, c.cn,
+       |    du.deg + dv.deg - c.cn AS un, du.deg AS u_deg, dv.deg AS v_deg,
+       |    nn2.n - (du.deg + dv.deg - c.cn) AS d,
+       |    coalesce(w3.w3, 0) AS w3,
+       |    CASE WHEN pu.label = pv.label THEN 1 ELSE 0 END AS same_community
+       |  FROM cand c
+       |  JOIN deg du ON c.u = du.id JOIN deg dv ON c.v = dv.id
+       |  LEFT JOIN w3 ON w3.u = c.u AND w3.v = c.v
+       |  JOIN p$plpRounds pu ON c.u = pu.id JOIN p$plpRounds pv ON c.v = pv.id,
+       |  nn2)
+       |SELECT u, v, CAST(cn AS BIGINT) AS cn, CAST(un AS BIGINT) AS total_neighbors,
+       |  CAST(u_deg AS BIGINT) AS u_deg, CAST(v_deg AS BIGINT) AS v_deg,
+       |  round(CAST(cn AS DOUBLE) / sqrt(CAST(u_deg * v_deg AS DOUBLE)), 7)
+       |    AS neighborhood_distance,
+       |  CAST(cn + w3 AS BIGINT) AS neighbors_measure,
+       |  CAST(same_community AS BIGINT) AS same_community,
+       |  CASE WHEN cn*un + cn*un + 2*cn*d + un*un + un*d + un*un + un*d = 0 THEN 0.0
+       |       ELSE round(2.0 * CAST(cn*d - un*un AS DOUBLE) /
+       |            CAST(cn*un + cn*un + 2*cn*d + un*un + un*d + un*un + un*d AS DOUBLE), 7)
+       |  END AS adjusted_rand
+       |FROM idx""".stripMargin
+
+  /** MissingLinksFinder.findAtDistance(k) with sampled u-side (mirrors
+    * LinkPredIndices.missingLinks): pairs at exactly hop-distance k, u < v. */
+  def missingLinks(mod: Long, k: Int): String =
+    s"""$base,
+       |$biCte,
+       |${msBfsCtes(mod, k)}
+       |SELECT s AS u, id AS v FROM st$k WHERE dist = $k AND s < id""".stripMargin
+
+  /** LinkThresholder.byCount over the CN/PA/Jaccard/AA score table (mirrors
+    * LinkPredIndices.byCount on LinkPrediction.scores): top `k` by
+    * (score DESC, u, v). */
+  def linkThreshold(uMod: Long, k: Long): String =
+    s"""SELECT u, v FROM (${linkPrediction(uMod)}) t
+       |ORDER BY jaccard DESC, u, v LIMIT $k""".stripMargin
 
   /** Fixed-point eigenvector (mirrors Centralities.eigenvectorFixedPoint): power
     * iteration with L-infinity normalization, `iters` unrolled rounds — exact integers,
