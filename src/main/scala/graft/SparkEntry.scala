@@ -242,6 +242,12 @@ object SparkEntry {
     "q_kcore3"        -> ((s, dir) => KCore.kCore(s, graph(s, dir), 3)),
     "q_coreness"      -> ((s, dir) => KCore.coreness(s, graph(s, dir))),
     "q_scan_score"    -> ((s, dir) => EdgeScores.scanScore(s, graph(s, dir))),
+    "q_quadrangle"    -> ((s, dir) =>
+      EdgeScores.quadrangleEdgeScore(s, graph(s, dir))),
+    "q_score_normalize" -> ((s, dir) => {
+      val g = graph(s, dir)
+      EdgeScores.normalizeScore(EdgeScores.triangleEdgeScore(s, g), "tri")
+    }),
     "q_chance_tri"    -> ((s, dir) => EdgeScores.chanceCorrectedTriangleScore(s, graph(s, dir))),
     "q_local_sim"     -> ((s, dir) => EdgeScores.localSimilarityScore(s, graph(s, dir))),
     "q_sparsify_size" -> ((s, dir) =>
@@ -598,6 +604,8 @@ object SparkEntry {
     "q_kcore3"           -> OracleSql.kcore(3, 20),
     "q_coreness"         -> OracleSql.coreness(16, 35),
     "q_scan_score"       -> OracleSql.scanScore,
+    "q_quadrangle"       -> OracleSql.quadrangleScore,
+    "q_score_normalize"  -> OracleSql.scoreNormalize,
     "q_chance_tri"       -> OracleSql.chanceCorrectedTri,
     "q_local_sim"        -> OracleSql.localSimilarity,
     "q_sparsify_size"    -> OracleSql.sparsifySizeScan(0.2),

@@ -347,6 +347,96 @@ object EdgeScores {
     * differently per partitioning); every corner is in a triangle so deg >= 2 and
     * ln(deg) > 0. Edges in no triangle: aad=0, dist = -1 sentinel (reference: +inf).
     * Output (src, dst, aad_scaled, dist) per canonical undirected edge. */
+  /** ChibaNishizekiQuadrangleEdgeScore (edgescores/ChibaNishizekiQuadrangleEdgeScore
+    * .cpp:22-100): per-edge 4-cycle count. The reference's marker sweep counts, for
+    * edge (u,v), the pairs (x, w) with x ~ u, w ~ v, x ~ w minus the degenerate walks
+    * — algebraically: quad(u,v) = walks₃(u,v) − deg(u) − deg(v) + 1 (the x = v walks
+    * contribute deg(v), the w = u walks deg(u), and (x,w) = (v,u) is in both).
+    * Verified against the reference's own GTest fixtures (4-cycle: all 1s; the
+    * 7-node graph: edges (0,1)/(0,3) = 2).
+    *
+    * Spark shape: walks₂ are aggregated FIRST (one wedge groupBy — map-side combine
+    * absorbs the fan-in), then one edge join + re-aggregation; per-edge quadrangle
+    * work is inherently Σ deg² wedges — the same envelope as the reference's bucket
+    * loop. `maxWedgeDeg` (default unbounded) drops wedge centers above a degree cap:
+    * the standard hub guard when a web-scale corpus has 10⁵⁺-degree hubs whose
+    * quadrangle counts are dominated by boilerplate anyway (capped mode is an
+    * approximation — the degenerate-walk subtraction still uses full degrees).
+    * Output (src, dst, quad) per canonical undirected edge. */
+  def quadrangleEdgeScore(spark: SparkSession, g: LinkGraph,
+                          maxWedgeDeg: Long = Long.MaxValue): DataFrame = {
+    val bi = g.bidirected.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = bi.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val wedgeSide =
+      if (maxWedgeDeg == Long.MaxValue) bi
+      else bi.join(deg.filter(col("deg") <= maxWedgeDeg)
+        .select(col("id").as("src")), "src")
+    // walks₂(a, b) = |{x : x~a, x~b}| for ALL ordered pairs, a = b included (the
+    // degenerate subtraction needs the full walk count).
+    val w2 = wedgeSide.select(col("src").as("x"), col("dst").as("a"))
+      .join(wedgeSide.select(col("src").as("x"), col("dst").as("b")), "x")
+      .groupBy("a", "b").agg(count(lit(1)).as("w2"))
+    // walks₃(u, v) = Σ_{w~v} walks₂(u, w), evaluated on the edge set ONLY: the
+    // candidate rows are semi-joined against the canonical edges BEFORE the
+    // aggregation — without it this would materialize every distance-≤3 pair.
+    // One orientation (a < v) suffices: walks₃ is symmetric.
+    val w3 = w2.join(bi.select(col("src").as("b"), col("dst").as("v")), "b")
+      .filter(col("a") < col("v"))
+      .join(g.canonicalUndirected.select(col("src").as("a"), col("dst").as("v")),
+        Seq("a", "v"), "left_semi")
+      .groupBy(col("a").as("u"), col("v")).agg(sum("w2").as("w3"))
+    val out = g.canonicalUndirected.select("src", "dst")
+      .join(w3.select(col("u").as("src"), col("v").as("dst"), col("w3")), Seq("src", "dst"), "left")
+      .join(deg.select(col("id").as("src"), col("deg").as("du")), "src")
+      .join(deg.select(col("id").as("dst"), col("deg").as("dv")), "dst")
+      .select(col("src"), col("dst"),
+        (coalesce(col("w3"), lit(0L)) - col("du") - col("dv") + 1L).as("quad"))
+    out
+  }
+
+  /** EdgeScoreNormalizer (edgescores/EdgeScoreNormalizer.cpp:10-38): min-max map of a
+    * score column onto [lower, upper] (invert flips the direction) — two aggregates +
+    * one projection, no per-edge state. Rounded to 7 decimals for cross-engine
+    * parity. Input/output (src, dst, <scoreCol>) → (src, dst, normalized). */
+  def normalizeScore(scored: DataFrame, scoreCol: String, invert: Boolean = false,
+                     lower: Double = 0.0, upper: Double = 1.0): DataFrame = {
+    val row = scored.agg(min(col(scoreCol)).cast("double"),
+      max(col(scoreCol)).cast("double")).head()
+    val (mn, mx) = (row.getDouble(0), row.getDouble(1))
+    val factor0 = (upper - lower) / (mx - mn)
+    val (factor, offset) =
+      if (invert) (-factor0, upper + mn * factor0)
+      else (factor0, lower - mn * factor0)
+    scored.select(col("src"), col("dst"),
+      round(lit(factor) * col(scoreCol).cast("double") + lit(offset), 7)
+        .as("normalized"))
+  }
+
+  /** EdgeScoreBlender (edgescores/EdgeScoreBlender.cpp:15-27): per edge, pick
+    * `score1` where `selection` else `score0` — inputs are (src, dst, score) frames
+    * plus a boolean-column frame, output (src, dst, score). */
+  def blendScores(score0: DataFrame, score1: DataFrame, selection: DataFrame): DataFrame =
+    score0.withColumnRenamed(score0.columns(2), "s0")
+      .join(score1.select(col("src"), col("dst"),
+        col(score1.columns(2)).as("s1")), Seq("src", "dst"))
+      .join(selection.select(col("src"), col("dst"),
+        col(selection.columns(2)).as("sel")), Seq("src", "dst"))
+      .select(col("src"), col("dst"),
+        when(col("sel"), col("s1")).otherwise(col("s0")).as("score"))
+
+  /** EdgeScoreAsWeight (edgescores/EdgeScoreAsWeight.cpp:16-36): re-weight the graph
+    * with offset + factor·score (or score², `squared`) — returns a new LinkGraph over
+    * the same vertices. */
+  def scoreAsWeight(spark: SparkSession, g: LinkGraph, scored: DataFrame,
+                    scoreCol: String, squared: Boolean = false,
+                    offset: Double = 1.0, factor: Double = 1.0): LinkGraph = {
+    val s = col(scoreCol).cast("double")
+    val w = if (squared) lit(offset) + lit(factor) * s * s
+            else lit(offset) + lit(factor) * s
+    LinkGraph.fromEdges(spark,
+      scored.select(col("src"), col("dst"), w.as("weight")), Some(g.vertices))
+  }
+
   def adamicAdarDistance(spark: SparkSession, g: LinkGraph): DataFrame = {
     val scale = 1000000000L
     // Triangle corners always have deg >= 2; degree-1 nodes would hit ln(1)=0.

@@ -390,6 +390,37 @@ object OracleSql {
        |  FROM o LEFT JOIN pe ON o.a = pe.x AND o.b = pe.y
        |  JOIN rk ra ON o.a = ra.r JOIN rk rb ON o.b = rb.r)""".stripMargin
 
+  /** ChibaNishizekiQuadrangleEdgeScore (mirrors EdgeScores.quadrangleEdgeScore):
+    * quad(u,v) = walks₃(u,v) − deg(u) − deg(v) + 1 per canonical undirected edge. */
+  def quadrangleScore: String =
+    s"""$base,
+       |$biCte,
+       |qdeg AS MATERIALIZED (SELECT a AS id, count(*) AS deg FROM bi GROUP BY a),
+       |qw2 AS MATERIALIZED (SELECT w1.b AS a, w2.b AS b, count(*) AS w2
+       |  FROM bi w1 JOIN bi w2 ON w1.a = w2.a GROUP BY 1, 2),
+       |qund AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS t FROM edges),
+       |qw3 AS MATERIALIZED (SELECT q.a AS u, bi.b AS v, sum(q.w2) AS w3
+       |  FROM qw2 q JOIN bi ON q.b = bi.a
+       |  JOIN qund e ON e.s = q.a AND e.t = bi.b
+       |  WHERE q.a < bi.b GROUP BY 1, 2)
+       |SELECT e.s AS src, e.t AS dst,
+       |  CAST(coalesce(w3.w3, 0) - du.deg - dv.deg + 1 AS BIGINT) AS quad
+       |FROM qund e LEFT JOIN qw3 w3 ON e.s = w3.u AND e.t = w3.v
+       |JOIN qdeg du ON e.s = du.id JOIN qdeg dv ON e.t = dv.id""".stripMargin
+
+  /** EdgeScoreNormalizer over the per-edge triangle score (mirrors
+    * EdgeScores.normalizeScore(triangleEdgeScore, "tri"), lower=0 upper=1): the
+    * factor/offset doubles are recomputed with the same expression shapes so the
+    * IEEE results agree bit-for-bit. */
+  def scoreNormalize: String =
+    s"""$base,
+       |$ejCte,
+       |mm AS MATERIALIZED (SELECT CAST(min(tri) AS DOUBLE) AS mn, CAST(max(tri) AS DOUBLE) AS mx FROM ej)
+       |SELECT ej.src, ej.dst,
+       |  round(((1.0 - 0.0) / (mm.mx - mm.mn)) * CAST(ej.tri AS DOUBLE)
+       |    + (0.0 - mm.mn * ((1.0 - 0.0) / (mm.mx - mm.mn))), 7) AS normalized
+       |FROM ej, mm""".stripMargin
+
   /** Mirrors EdgeScores.scanScore. */
   def scanScore: String =
     s"""$base,
