@@ -103,6 +103,33 @@ object SparkEntry {
       Measures.jaccardMeasure(s,
         LabelPropagation.fixedRounds(s, g, 5), LabelPropagation.fixedRounds(s, g, 10))
     }),
+    "q_node_rand" -> ((s, dir) => {
+      val g = graph(s, dir)
+      Measures.nodeStructuralRand(s,
+        LabelPropagation.fixedRounds(s, g, 5), LabelPropagation.fixedRounds(s, g, 10))
+    }),
+    "q_sampled_node_rand" -> ((s, dir) => {
+      val g = graph(s, dir)
+      Measures.sampledNodeStructuralRand(s, g,
+        LabelPropagation.fixedRounds(s, g, 5), LabelPropagation.fixedRounds(s, g, 10),
+        samples = 2000, seed = 42L)
+    }),
+    "q_sampled_graph_rand" -> ((s, dir) => {
+      val g = graph(s, dir)
+      Measures.sampledGraphStructuralRand(s, g,
+        LabelPropagation.fixedRounds(s, g, 5), LabelPropagation.fixedRounds(s, g, 10),
+        samples = 2000, seed = 42L)
+    }),
+    "q_hash_overlap" -> ((s, dir) => {
+      val g = graph(s, dir)
+      graft.algo.Overlap.hashingOverlapper(s, Seq(
+        LabelPropagation.fixedRounds(s, g, 5), LabelPropagation.fixedRounds(s, g, 10)))
+    }),
+    "q_dynamic_nmi" -> ((s, dir) => {
+      val g = graph(s, dir)
+      Measures.dynamicNmiDistance(s,
+        LabelPropagation.fixedRounds(s, g, 5), LabelPropagation.fixedRounds(s, g, 10))
+    }),
     "q_graph_rand" -> ((s, dir) => {
       val g = graph(s, dir)
       Measures.graphStructuralRand(s, g,
@@ -580,6 +607,11 @@ object SparkEntry {
     "q_adjusted_rand"    -> OracleSql.adjustedRand(5, 10),
     "q_nmi"              -> OracleSql.nmi(5, 10),
     "q_jaccard_measure"  -> OracleSql.jaccardMeasure(5, 10),
+    "q_node_rand"        -> OracleSql.nodeRand(5, 10),
+    "q_sampled_node_rand" -> OracleSql.sampledNodeRand(5, 10, 2000, 42L),
+    "q_sampled_graph_rand" -> OracleSql.sampledGraphRand(5, 10, 2000, 42L),
+    "q_hash_overlap"     -> OracleSql.hashOverlap(5, 10),
+    "q_dynamic_nmi"      -> OracleSql.dynamicNmi(5, 10),
     "q_graph_rand"       -> OracleSql.graphStructuralRand(5, 10),
     "q_partition_intersection" -> OracleSql.partitionIntersection(5, 10),
     "q_cover_hub_dominance" -> OracleSql.coverHubDominance(10, 64L, 10000000L),

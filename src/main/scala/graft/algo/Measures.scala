@@ -226,6 +226,93 @@ object Measures {
     * H = −Σ p·log2 p, NMI = 2·MI/(H_a+H_b), NMID = 1 − NMI. The log sums are the one
     * place the oracle surface is not exact-integer (reassociation noise ~1e-15), so the
     * output columns are rounded to 7 decimals on BOTH engines. */
+  /** Node-structural Rand DISSIMILARITY (community/NodeStructuralRandMeasure.cpp:
+    * 14-60): 1 − 2A/(n(n−1)) with A = C(n,2) + 2·Σ_I C(s_I,2) − Σ_ζ C(s,2) − Σ_η
+    * C(s,2) — the same pair counts as [[randIndex]] (sumIntersection = s_both),
+    * reported as a distance. Exact integers + one double division. */
+  def nodeStructuralRand(spark: SparkSession, a: DataFrame, b: DataFrame): DataFrame =
+    randIndex(spark, a, b).select(
+      col("n"), col("s_both"), col("s_a"), col("s_b"),
+      (lit(1.0) -
+        (lit(2L) * (expr("n*(n-1) div 2") + lit(2L) * col("s_both")
+          - col("s_a") - col("s_b"))).cast("double") /
+          expr("n*(n-1)").cast("double")).as("rand_dissim"))
+
+  /** SampledNodeStructuralRandMeasure (community/SampledNodeStructuralRandMeasure
+    * .cpp:18-53): dissimilarity 1 − (n11+n00)/samples over sampled node pairs.
+    * Deterministic twin: pair k draws u = mix(2k), v = mix(2k+1) over the dense id
+    * range via the shared LCG (the reference draws off the ambient RNG and redraws
+    * on u = v; here invalid draws are dropped — same uniform-pair estimator,
+    * replayable at any parallelism). */
+  def sampledNodeStructuralRand(spark: SparkSession, g: LinkGraph,
+      a: DataFrame, b: DataFrame, samples: Int, seed: Long = 42L): DataFrame = {
+    val n = g.n
+    val draws = spark.range(samples).select(
+      expr(s"${sampleDraw(s"2*id + $seed*1000003")} % $n").as("u"),
+      expr(s"${sampleDraw(s"2*id + 1 + $seed*1000003")} % $n").as("v"))
+      .filter(col("u") =!= col("v"))
+    pairAgreement(draws, a, b, "rand_node_sampled")
+  }
+
+  /** SampledGraphStructuralRandMeasure (community/SampledGraphStructuralRandMeasure
+    * .cpp:19-56): dissimilarity 1 − (e11+e00)/samples over sampled EDGES, drawn as
+    * (uniform node u with deg > 0, uniform neighbor of u) — the reference's
+    * degree-biased edge sampling, reproduced with the shared LCG and neighbors
+    * ranked by ascending id (the reference indexes its adjacency arrays; a
+    * deterministic total order replaces insertion order). Draws hitting isolated
+    * nodes are dropped. */
+  def sampledGraphStructuralRand(spark: SparkSession, g: LinkGraph,
+      a: DataFrame, b: DataFrame, samples: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = g.n
+    val bi = g.bidirected.select("src", "dst")
+    val deg = bi.groupBy(col("src").as("u")).agg(count(lit(1)).as("deg"))
+    val adj = bi.select(col("src").as("u"), col("dst").as("w"))
+      .withColumn("i", row_number().over(
+        Window.partitionBy("u").orderBy("w")) - 1L)
+    val draws = spark.range(samples).select(
+      expr(s"${sampleDraw(s"2*id + $seed*999983")} % $n").as("u"),
+      expr(sampleDraw(s"2*id + 1 + $seed*999983")).as("r"))
+      .join(deg, "u") // isolated nodes never join: the draw is dropped
+      .select(col("u"), pmod(col("r"), col("deg")).as("i"))
+      .join(adj, Seq("u", "i"))
+      .select(col("u"), col("w").as("v"))
+    pairAgreement(draws, a, b, "rand_graph_sampled")
+  }
+
+  /** Shared LCG pair-draw mix (same shape as LinkPredEval.holdoutSplit). */
+  private def sampleDraw(x: String): String = {
+    import graft.synth.GraphSpec.{lcg, M}
+    s"(((${lcg(x)} * ${lcg(s"($x) + 1000003")}) div 65536) % $M)"
+  }
+
+  /** Agreement counts over sampled (u, v) pairs: (samples, n11, n00, <name>) with
+    * dissimilarity 1 − (n11+n00)/samples. */
+  private def pairAgreement(pairs: DataFrame, a: DataFrame, b: DataFrame,
+                            name: String): DataFrame =
+    pairs
+      .join(a.select(col("id").as("u"), col("label").as("au")), "u")
+      .join(a.select(col("id").as("v"), col("label").as("av")), "v")
+      .join(b.select(col("id").as("u"), col("label").as("bu")), "u")
+      .join(b.select(col("id").as("v"), col("label").as("bv")), "v")
+      .agg(count(lit(1)).as("samples"),
+        sum(when(col("au") === col("av") && col("bu") === col("bv"), 1L)
+          .otherwise(0L)).as("n11"),
+        sum(when(col("au") =!= col("av") && col("bu") =!= col("bv"), 1L)
+          .otherwise(0L)).as("n00"))
+      .select(col("samples"), col("n11"), col("n00"),
+        (lit(1.0) - (col("n11") + col("n00")).cast("double") / col("samples"))
+          .as(name))
+
+  /** DynamicNMIDistance (community/DynamicNMIDistance.cpp:25-137): the NMI machinery
+    * of [[nmi]] restricted to nodes present in BOTH clusterings (the inner id join),
+    * reported as the distance NMID = 1 − NMI (0 when H(ζ)+H(η) = 0) — the
+    * old-vs-new-clustering comparison for dynamic community tracking. */
+  def dynamicNmiDistance(spark: SparkSession, a: DataFrame, b: DataFrame): DataFrame =
+    nmi(spark, a, b).select(col("n"), col("mi"), col("h_a"), col("h_b"), col("nmi"),
+      when(col("h_a") + col("h_b") === 0.0, lit(0.0))
+        .otherwise(round(lit(1.0) - col("nmi"), 7)).as("nmid"))
+
   def nmi(spark: SparkSession, a: DataFrame, b: DataFrame): DataFrame = {
     val joined = a.select(col("id"), col("label").as("la"))
       .join(b.select(col("id"), col("label").as("lb")), "id")

@@ -263,6 +263,87 @@ object OracleSql {
        |  round(CASE WHEN h_a + h_b = 0 THEN 0.0 ELSE 2.0 * mi / (h_a + h_b) END, 7) AS nmi
        |FROM nn2 CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb""".stripMargin
 
+  /** Node-structural Rand dissimilarity (mirrors Measures.nodeStructuralRand). */
+  def nodeRand(ra: Int, rb: Int): String =
+    s"""SELECT n, s_both, s_a, s_b,
+       |  1.0 - CAST(2 * (n*(n-1)//2 + 2*s_both - s_a - s_b) AS DOUBLE)
+       |      / CAST(n*(n-1) AS DOUBLE) AS rand_dissim
+       |FROM (${randIndex(ra, rb)}) t""".stripMargin
+
+  /** Shared LCG pair-draw mix (mirrors Measures.sampleDraw). */
+  private def sampleDrawSql(x: String): String = {
+    import graft.synth.GraphSpec.{lcg, M}
+    s"(((${lcg(x)} * ${lcg(s"($x) + 1000003")}) // 65536) % $M)"
+  }
+
+  private def pairAgreementSql(ra: Int, rb: Int, name: String): String =
+    s"""ag AS MATERIALIZED (
+       |  SELECT count(*) AS samples,
+       |    sum(CASE WHEN au.label = av.label AND bu.label = bv.label THEN 1 ELSE 0 END) AS n11,
+       |    sum(CASE WHEN au.label <> av.label AND bu.label <> bv.label THEN 1 ELSE 0 END) AS n00
+       |  FROM pairs
+       |  JOIN p$ra au ON pairs.u = au.id JOIN p$ra av ON pairs.v = av.id
+       |  JOIN p$rb bu ON pairs.u = bu.id JOIN p$rb bv ON pairs.v = bv.id)
+       |SELECT CAST(samples AS BIGINT) AS samples, CAST(n11 AS BIGINT) AS n11,
+       |  CAST(n00 AS BIGINT) AS n00,
+       |  1.0 - CAST(n11 + n00 AS DOUBLE) / samples AS $name
+       |FROM ag""".stripMargin
+
+  /** Mirrors Measures.sampledNodeStructuralRand over PLP at ra/rb rounds. */
+  def sampledNodeRand(ra: Int, rb: Int, samples: Int, seed: Long): String =
+    s"""$base,
+       |$biCte,
+       |${plpSteps(rb)},
+       |nn2 AS MATERIALIZED (SELECT count(*) AS n FROM verts),
+       |pairs AS MATERIALIZED (
+       |  SELECT u, v FROM (
+       |    SELECT ${sampleDrawSql(s"2*k + $seed*1000003")} % nn2.n AS u,
+       |           ${sampleDrawSql(s"2*k + 1 + $seed*1000003")} % nn2.n AS v
+       |    FROM range($samples) r(k) CROSS JOIN nn2)
+       |  WHERE u <> v),
+       |${pairAgreementSql(ra, rb, "rand_node_sampled")}""".stripMargin
+
+  /** Mirrors Measures.sampledGraphStructuralRand over PLP at ra/rb rounds. */
+  def sampledGraphRand(ra: Int, rb: Int, samples: Int, seed: Long): String =
+    s"""$base,
+       |$biCte,
+       |${plpSteps(rb)},
+       |nn2 AS MATERIALIZED (SELECT count(*) AS n FROM verts),
+       |sgdeg AS MATERIALIZED (SELECT a AS u, count(*) AS deg FROM bi GROUP BY a),
+       |sgadj AS MATERIALIZED (SELECT a AS u, b AS w,
+       |    row_number() OVER (PARTITION BY a ORDER BY b) - 1 AS i FROM bi),
+       |draws AS MATERIALIZED (
+       |  SELECT ${sampleDrawSql(s"2*k + $seed*999983")} % nn2.n AS u,
+       |         ${sampleDrawSql(s"2*k + 1 + $seed*999983")} AS r
+       |  FROM range($samples) r(k) CROSS JOIN nn2),
+       |pairs AS MATERIALIZED (
+       |  SELECT d.u, sgadj.w AS v
+       |  FROM draws d JOIN sgdeg ON d.u = sgdeg.u
+       |  JOIN sgadj ON d.u = sgadj.u AND (d.r % sgdeg.deg) = sgadj.i),
+       |${pairAgreementSql(ra, rb, "rand_graph_sampled")}""".stripMargin
+
+  /** HashingOverlapper over PLP at ra/rb rounds (mirrors Overlap.hashingOverlapper,
+    * two-partition djb2 key, ascending-dense-rank compact). */
+  def hashOverlap(ra: Int, rb: Int): String = {
+    val h = graft.algo.Overlap.pairHashSql("x.label", "y.label", duck = true)
+    s"""$base,
+       |$biCte,
+       |${plpSteps(rb)},
+       |raw AS MATERIALIZED (SELECT x.id, $h AS h
+       |  FROM p$ra x JOIN p$rb y ON x.id = y.id),
+       |dict AS MATERIALIZED (SELECT h, rank - 1 AS label FROM (
+       |  SELECT h, row_number() OVER (ORDER BY h) AS rank FROM (SELECT DISTINCT h FROM raw)))
+       |SELECT raw.id, CAST(dict.label AS BIGINT) AS label
+       |FROM raw JOIN dict USING (h)""".stripMargin
+  }
+
+  /** DynamicNMIDistance = the nmi columns + NMID = 1 − NMI (mirrors
+    * Measures.dynamicNmiDistance). */
+  def dynamicNmi(ra: Int, rb: Int): String =
+    s"""SELECT n, mi, h_a, h_b, nmi,
+       |  CASE WHEN h_a + h_b = 0 THEN 0.0 ELSE round(1.0 - nmi, 7) END AS nmid
+       |FROM (${nmi(ra, rb)}) t""".stripMargin
+
   /** Double-sweep diameter bounds (mirrors Distances.diameterTwoSweep): BFS from 0,
     * farthest node u (smallest id on ties), BFS from u; lb = ecc(u), ub = 2*lb. */
   def diameterTwoSweep(rounds: Int): String = {
