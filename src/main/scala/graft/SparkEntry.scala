@@ -344,6 +344,15 @@ object SparkEntry {
         .select(lit(0L).as("src"), col("id").as("dst"))
       Distances.bfsHopsWarm(s, g, prev, added)
     }),
+    "q_dyn_sssp" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val wExpr = lit(1L) + pmod(col("src") + col("dst"), lit(5L))
+      val prev = Distances.weightedSssp(s, g, 0L, wExpr)
+      val added = g.vertices.filter(col("id") % 997 === 0 && col("id") =!= 0L)
+        .select(lit(0L).as("src"), col("id").as("dst"))
+        .withColumn("w", lit(1L) + pmod(col("src") + col("dst"), lit(5L)))
+      Distances.weightedSsspWarm(s, g, prev, added, wExpr)
+    }),
     // All simple directed paths 0 -> 1 within 5 hops (reverse-BFS-pruned frontier).
     "q_simple_paths" -> ((s, dir) =>
       Distances.allSimplePaths(s, graph(s, dir), source = 0L, target = 1L, cutoff = 5)),
@@ -526,6 +535,24 @@ object SparkEntry {
     // a whole-graph sequential Bron-Kerbosch and asserts set equality.
     "q_cliques" -> ((s, dir) =>
       graft.algo.Cliques.maximalCliques(s, graph(s, dir))),
+    // MaxClique: rows-only gate (single row; the members list is spec-checked
+    // against whole-graph sequential Bron-Kerbosch in CliquesSpec).
+    "q_max_clique" -> ((s, dir) =>
+      graft.algo.Cliques.maxClique(s, graph(s, dir))
+        .select(col("k"), concat_ws(",", col("members")).as("members"))),
+    "q_matching_coarsen" -> ((s, dir) => {
+      val g = graph(s, dir)
+      graft.algo.Coarsening.matchingCoarsening(s, g,
+        graft.algo.Matching.localMaxMatching(s, g, 15))
+    }),
+    "q_project_back" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val f2c = graft.algo.Coarsening.matchingPartition(s, g,
+        graft.algo.Matching.localMaxMatching(s, g, 15))
+      val coarseLabels = f2c.select(col("label").as("id")).distinct()
+        .select(col("id"), pmod(col("id"), lit(10L)).as("label"))
+      graft.algo.Coarsening.projectBack(f2c, coarseLabels)
+    }),
     // Luby MIS, 12 fixed deterministic-LCG rounds (spec asserts independence always,
     // maximality on drained fixtures).
     "q_luby" -> ((s, dir) =>
@@ -657,6 +684,7 @@ object SparkEntry {
     "q_gen_pubweb"       -> OracleSql.generatorPubWeb(1500L, 10, 8, 64),
     "q_nf_heuristic"     -> OracleSql.nfHeuristic(10, 100L),
     "q_dyn_bfs"          -> OracleSql.dynBfs(0L, 15, 997L),
+    "q_dyn_sssp"         -> OracleSql.dynSssp(0L, 40, 997L),
     "q_simple_paths"     -> OracleSql.allSimplePaths(0L, 1L, 5),
     "q_top_harmonic"     -> OracleSql.topHarmonic(7, 25, 28),
     "q_edge_jaccard"     -> OracleSql.edgeJaccard,
@@ -695,6 +723,8 @@ object SparkEntry {
     "q_plm"              -> OracleSql.plm(6, 2),
     "q_graph_profile"    -> OracleSql.graphProfile(12),
     "q_matching"         -> OracleSql.localMaxMatching(15),
+    "q_matching_coarsen" -> OracleSql.matchingCoarsen(15),
+    "q_project_back"     -> OracleSql.projectBack(15),
     "q_curveball"        -> OracleSql.globalCurveball(2),
     "q_pac"              -> OracleSql.pac(3, 10),
     "q_luby"             -> OracleSql.luby(12, 42L),

@@ -96,4 +96,16 @@ object Cliques {
     cliques.select(element_at(col("members"), 1).as("rep"),
       size(col("members")).cast("long").as("k"), col("members"))
   }
+
+  /** MaxClique (/root/reference/networkit/cpp/clique/MaxClique.cpp): one maximum
+    * clique — the largest maximal clique, ties broken by the lexicographically
+    * smallest member list (the reference keeps whichever branch its sequential
+    * search finds first; a total order makes the distributed answer deterministic).
+    * Output one row (k, members). */
+  def maxClique(spark: SparkSession, g: LinkGraph): DataFrame = {
+    maximalCliques(spark, g)
+      .orderBy(desc("k"), asc("members"))
+      .limit(1)
+      .select(col("k"), col("members"))
+  }
 }

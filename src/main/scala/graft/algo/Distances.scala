@@ -260,6 +260,57 @@ object Distances {
       when(col("dist") >= inf, lit(-1L)).otherwise(col("dist")).as("dist"))
   }
 
+  /** DynSSSP insert repair — DynDijkstra semantics
+    * (/root/reference/networkit/cpp/distance/DynDijkstra.cpp:35-100, DynSSSP.h):
+    * after an insert batch, only nodes whose distance improves through an inserted
+    * edge seed the repair; relaxation then propagates from the improved frontier
+    * only (work ∝ the affected cone, like [[bfsHopsWarm]] — the weighted analog:
+    * min-plus relaxation instead of +1 levels). `prev` = (id, dist) from
+    * [[weightedSssp]] on the old graph (-1 = unreached), `added` = (src, dst, w)
+    * inserted undirected edges. Converges to the cold solution on the mutated graph
+    * (weights ≥ 1 ⇒ Bellman-Ford fixpoint is unique). */
+  def weightedSsspWarm(spark: SparkSession, g: LinkGraph, prev: DataFrame,
+                       added: DataFrame,
+                       weight: org.apache.spark.sql.Column): DataFrame = {
+    val inf = 999999999L
+    val addBi = added.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .union(added.select(col("dst").as("src"), col("src").as("dst"),
+        col("w").cast("long").as("w")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val bi = g.bidirected.select(col("src"), col("dst"), weight.cast("long").as("w"))
+      .union(addBi)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    bi.count()
+    var dist = prev.select(col("id"),
+      when(col("dist") < 0L, lit(inf)).otherwise(col("dist")).as("dist")).cutLineage
+    // Seed: improvements available through an inserted edge.
+    var frontier = addBi
+      .join(dist.select(col("id").as("src"), col("dist").as("ds")), "src")
+      .join(dist.select(col("id").as("dst"), col("dist").as("dd")), "dst")
+      .filter(col("ds") < inf && col("ds") + col("w") < col("dd"))
+      .select(col("dst").as("id"), (col("ds") + col("w")).as("nd"))
+      .groupBy("id").agg(min("nd").as("nd"))
+      .cutLineage
+    while (frontier.count() > 0) {
+      dist = dist
+        .join(frontier.withColumnRenamed("nd", "better"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("dist"), coalesce(col("better"), col("dist"))).as("dist"))
+        .cutLineage
+      frontier = bi
+        .join(frontier.select(col("id").as("src"), col("nd")), "src")
+        .select(col("dst").as("id"), (col("nd") + col("w")).as("nd"))
+        .groupBy("id").agg(min("nd").as("nd"))
+        .join(dist, Seq("id"))
+        .filter(col("nd") < col("dist"))
+        .select("id", "nd")
+        .cutLineage
+    }
+    addBi.unpersist(); bi.unpersist()
+    dist.select(col("id"),
+      when(col("dist") >= inf, lit(-1L)).otherwise(col("dist")).as("dist"))
+  }
+
   /** AffectedNodes (/root/reference/networkit/cpp/distance/AffectedNodes.cpp:20-60):
     * the nodes whose hop distance changed under an edge-update batch — the diff of
     * the warm-repaired distances against the previous solution. */

@@ -624,6 +624,29 @@ object OracleSql {
        |SELECT id, CAST(CASE WHEN dist >= $inf THEN -1 ELSE dist END AS BIGINT) AS dist FROM w$rounds""".stripMargin
   }
 
+  /** Cold weighted Bellman-Ford on the MUTATED graph (edges + the source→(id % addMod
+    * == 0) star, w = 1 + (a+b) % 5 everywhere) — the oracle for the warm DynSSSP
+    * repair (mirrors Distances.weightedSsspWarm ≡ cold recompute). */
+  def dynSssp(source: Long, rounds: Int, addMod: Long): String = {
+    val inf = 999999999L
+    val steps = (1 to rounds).map { i =>
+      s"""w$i AS MATERIALIZED (SELECT d.id, least(d.dist, coalesce(m.md, d.dist)) AS dist
+         |  FROM w${i - 1} d LEFT JOIN (
+         |    SELECT bw.b AS id, min(x.dist + bw.w) AS md FROM bw JOIN w${i - 1} x ON bw.a = x.id
+         |    WHERE x.dist < $inf GROUP BY bw.b) m ON d.id = m.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$biCte,
+       |adde AS MATERIALIZED (SELECT $source AS a, id AS b FROM verts
+       |  WHERE id % $addMod = 0 AND id != $source),
+       |dbi AS MATERIALIZED (SELECT a, b FROM bi
+       |  UNION SELECT a, b FROM adde UNION SELECT b, a FROM adde),
+       |bw AS MATERIALIZED (SELECT a, b, 1 + (a + b) % 5 AS w FROM dbi),
+       |w0 AS MATERIALIZED (SELECT id, CAST(CASE WHEN id = $source THEN 0 ELSE $inf END AS BIGINT) AS dist FROM verts),
+       |$steps
+       |SELECT id, CAST(CASE WHEN dist >= $inf THEN -1 ELSE dist END AS BIGINT) AS dist FROM w$rounds""".stripMargin
+  }
+
   /** Induced subgraph on vertices with id % 7 == 0 (GraphTools subgraphFromNodes,
     * graph/Graph.h:558). */
   def subgraph7: String =
@@ -1745,6 +1768,36 @@ object OracleSql {
        |ma0 AS MATERIALIZED (SELECT src, dst, w FROM mr0 WHERE 1 = 0),
        |${matchSteps("m", rounds)}
        |SELECT src, dst, CAST(w AS BIGINT) AS w FROM ma$rounds""".stripMargin
+
+  /** Matched-pair partition CTEs (mpart(id, label)) from `rounds` local-max rounds —
+    * shared by the MatchingCoarsening and ClusteringProjector oracles. */
+  private def matchingPartitionCtes(rounds: Int): String =
+    s"""mr0 AS MATERIALIZED (SELECT src, dst, 1 + (src + dst) % 5 AS w FROM (
+       |  SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst FROM edges)),
+       |ma0 AS MATERIALIZED (SELECT src, dst, w FROM mr0 WHERE 1 = 0),
+       |${matchSteps("m", rounds)},
+       |mpart AS MATERIALIZED (SELECT v.id, coalesce(m.nc, v.id) AS label FROM verts v
+       |  LEFT JOIN (SELECT src AS c, src AS nc FROM ma$rounds
+       |             UNION ALL SELECT dst, src FROM ma$rounds) m ON v.id = m.c)""".stripMargin
+
+  /** MatchingCoarsening (mirrors Coarsening.matchingCoarsening over
+    * localMaxMatching(rounds)): coarse weighted edges (a, b, w). */
+  def matchingCoarsen(rounds: Int): String =
+    s"""$base,
+       |${matchingPartitionCtes(rounds)},
+       |cund AS MATERIALIZED (SELECT least(src, dst) AS s, greatest(src, dst) AS t, count(*) AS w
+       |  FROM edges GROUP BY 1, 2)
+       |SELECT least(ls.label, ld.label) AS a, greatest(ls.label, ld.label) AS b,
+       |  CAST(sum(cund.w) AS BIGINT) AS w
+       |FROM cund JOIN mpart ls ON cund.s = ls.id JOIN mpart ld ON cund.t = ld.id
+       |GROUP BY 1, 2""".stripMargin
+
+  /** ClusteringProjector.projectBack through the matching map, coarse labels =
+    * coarse id % 10 (mirrors the q_project_back composition). */
+  def projectBack(rounds: Int): String =
+    s"""$base,
+       |${matchingPartitionCtes(rounds)}
+       |SELECT id, CAST(label % 10 AS BIGINT) AS label FROM mpart""".stripMargin
 
   /** Mirrors Agglomerative.runFixed: `levels` agglomeration levels, each =
     * cleared-denominator modularity scoring (2·W·w − vol·vol, self-loops in vol
