@@ -191,6 +191,22 @@ object SparkEntry {
       graft.io.GraphReaders.readThrillBinary(s, p)
         .canonicalUndirected.select(col("src"), col("dst"))
     }),
+    "q_binpart_roundtrip" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val p = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/root/repo/target"), "vrt").resolve("binpart").toString
+      graft.io.GraphReaders.writeBinaryPartition(
+        LabelPropagation.fixedRounds(s, g, 5), p, width = 8)
+      graft.io.GraphReaders.readBinaryPartition(s, p, width = 8)
+    }),
+    "q_elpart_roundtrip" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val p = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/root/repo/target"), "vrt").resolve("elpart").toString
+      graft.io.GraphReaders.writeEdgeListPartition(
+        LabelPropagation.fixedRounds(s, g, 5), p, firstNode = 1L)
+      graft.io.GraphReaders.readEdgeListPartition(s, p, firstNode = 1L)
+    }),
     "q_metis_roundtrip" -> ((s, dir) => {
       val g = graph(s, dir)
       val p = java.nio.file.Files.createTempDirectory(
@@ -634,6 +650,8 @@ object SparkEntry {
     "q_adjusted_rand"    -> OracleSql.adjustedRand(5, 10),
     "q_nmi"              -> OracleSql.nmi(5, 10),
     "q_jaccard_measure"  -> OracleSql.jaccardMeasure(5, 10),
+    "q_binpart_roundtrip" -> OracleSql.plp(5),
+    "q_elpart_roundtrip" -> OracleSql.plp(5),
     "q_node_rand"        -> OracleSql.nodeRand(5, 10),
     "q_sampled_node_rand" -> OracleSql.sampledNodeRand(5, 10, 2000, 42L),
     "q_sampled_graph_rand" -> OracleSql.sampledGraphRand(5, 10, 2000, 42L),

@@ -445,4 +445,165 @@ object GraphReaders extends Serializable {
       .withColumn("weight", lit(1.0))
     LinkGraph.fromEdges(spark, edges, Some(spark.range(n).select(col("id"))))
   }
+
+  // --- Binary partition exchange (io/BinaryPartitionWriter.cpp:10-27,
+  // BinaryPartitionReader.cpp:11-40): node order implicit, one `width`-byte
+  // little-endian label per node (width 4 or 8). Shards like the Thrill format:
+  // range partitions of the vertex space become part files, the reader recovers
+  // each file's starting node id from bytes/width. ---
+
+  /** Write labels (id, label) — ids dense 0..n−1 — as sharded fixed-width
+    * little-endian binary partition files. */
+  def writeBinaryPartition(labels: DataFrame, path: String, width: Int = 8,
+                           partitions: Int = 0): Unit = {
+    require(width == 4 || width == 8, "Only width 4 and 8 are supported")
+    val spark = labels.sparkSession
+    val parts = if (partitions > 0) partitions
+                else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs0 = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs0.delete(dir, true); fs0.mkdirs(dir)
+    val pathStr = path
+    val w = width
+    labels.select(col("id"), col("label"))
+      .repartitionByRange(parts, col("id"))
+      .sortWithinPartitions("id")
+      .queryExecution.toRdd
+      .mapPartitionsWithIndex { (pid, rows) =>
+        val buf = new java.io.ByteArrayOutputStream(1 << 20)
+        rows.foreach { r =>
+          var p = r.getLong(1)
+          var i = 0
+          while (i < w) { buf.write((p & 0xFFL).toInt); p >>= 8; i += 1 }
+        }
+        if (buf.size() > 0) {
+          val f = new org.apache.hadoop.fs.Path(pathStr, f"part-$pid%05d.binpart")
+          val os = f.getFileSystem(new org.apache.hadoop.conf.Configuration()).create(f, true)
+          os.write(buf.toByteArray); os.close()
+        }
+        Iterator.empty
+      }.count(): Unit
+  }
+
+  /** Read a binary partition directory (or single file): (id, label), ids assigned
+    * in file-name order. */
+  def readBinaryPartition(spark: SparkSession, path: String, width: Int = 8): DataFrame = {
+    require(width == 4 || width == 8, "Only width 4 and 8 are supported")
+    import spark.implicits._
+    val w = width
+    val files = spark.read.format("binaryFile")
+      .load(if (new java.io.File(path).isDirectory) s"$path/part-*.binpart" else path)
+      .select(col("path"), col("content"))
+    val counts = files.as[(String, Array[Byte])]
+      .map { case (p, bytes) =>
+        require(bytes.length % w == 0,
+          "length of partition file must be a multiple of the width")
+        (p, bytes.length.toLong / w)
+      }
+      .collect().sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2).dropRight(1)).toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+    files.as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val base = bc.value(p)
+        (0 until bytes.length / w).iterator.map { i =>
+          var v = 0L
+          var j = w - 1
+          while (j >= 0) { v = (v << 8) | (bytes(i * w + j) & 0xFFL); j -= 1 }
+          (base + i, v)
+        }
+      }
+      .toDF("id", "label")
+  }
+
+  /** EdgeListPartitionReader (io/EdgeListPartitionReader.cpp:15-45): lines
+    * "node<sep>cluster", node ids shifted by `firstNode`, '#' comments skipped.
+    * Output (id, label). */
+  def readEdgeListPartition(spark: SparkSession, path: String,
+                            firstNode: Long = 0L): DataFrame =
+    spark.read.text(path)
+      .filter(!col("value").startsWith("#") && trim(col("value")) =!= "")
+      .select(split(trim(col("value")), "\\s+").as("f"))
+      .select((col("f").getItem(0).cast("long") - firstNode).as("id"),
+        col("f").getItem(1).cast("long").as("label"))
+
+  /** Explicit-id partition writer matching [[readEdgeListPartition]]: one
+    * "id<TAB>label" line per node (single-file fixture-scale text, id order). */
+  def writeEdgeListPartition(labels: DataFrame, path: String,
+                             firstNode: Long = 0L): Unit =
+    labels.select((col("id") + firstNode).as("k"),
+        concat_ws("\t", (col("id") + firstNode).cast("string"),
+          col("label").cast("string")).as("line"))
+      .repartition(1).sortWithinPartitions("k").select("line")
+      .write.mode("overwrite").text(path)
+
+  /** EdgeListCoverReader (io/EdgeListCoverReader.cpp:10-45): lines
+    * "node c1 c2 ...", node ids shifted by `firstNode`, '#' comments skipped —
+    * one (id, label) row per membership (overlapping cover). */
+  def readEdgeListCover(spark: SparkSession, path: String,
+                        firstNode: Long = 0L): DataFrame =
+    spark.read.text(path)
+      .filter(!col("value").startsWith("#") && trim(col("value")) =!= "")
+      .select(split(trim(col("value")), "\\s+").as("f"))
+      .select((col("f").getItem(0).cast("long") - firstNode).as("id"),
+        explode(expr("slice(f, 2, size(f) - 1)")).as("c"))
+      .select(col("id"), col("c").cast("long").as("label"))
+
+  /** Writer matching [[readEdgeListCover]]: one "id c1 c2 ..." line per node. */
+  def writeEdgeListCover(cover: DataFrame, path: String,
+                         firstNode: Long = 0L): Unit =
+    cover.groupBy("id")
+      .agg(sort_array(collect_list(col("label"))).as("cs"))
+      .select((col("id") + firstNode).as("k"),
+        concat_ws(" ", (col("id") + firstNode).cast("string"),
+          concat_ws(" ", transform(col("cs"), x => x.cast("string")))).as("line"))
+      .repartition(1).sortWithinPartitions("k").select("line")
+      .write.mode("overwrite").text(path)
+
+  /** DotPartitionWriter (io/DotPartitionWriter.cpp:12-60): `graph { ... }` with
+    * degree->0 nodes colored by cluster hue (rank/numClusters over the clusters
+    * present among non-isolated nodes) and one `u -- v;` line per canonical
+    * undirected edge. Fixture-scale single text file. */
+  def writeDotPartition(g: LinkGraph, labels: DataFrame, path: String): Unit = {
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    val nonIso = g.bidirected.select(col("src").as("id")).distinct()
+    val active = labels.join(nonIso, "id")
+    val hues = Layout.zipWithRank(active.select("label").distinct(), "label", "hidx")
+    val kRow = hues.agg(count(lit(1))).head()
+    val k = math.max(1L, kRow.getLong(0))
+    val nodes = active.join(hues, "label")
+      .select(col("id").as("k0"), lit(1L).as("k1"),
+        concat(col("id").cast("string"), lit(" [style=filled, color=\""),
+          format_number(col("hidx").cast("double") / k, 4),
+          lit(" 0.99 0.99\"];")).as("line"))
+    val edges = g.canonicalUndirected
+      .select(col("src").as("k0"), col("dst").as("k1"),
+        concat(col("src").cast("string"), lit(" -- "),
+          col("dst").cast("string"), lit(";")).as("line"))
+    val body = Seq((-1L, -1L, "graph {")).toDF("k0", "k1", "line")
+      .union(nodes).union(edges)
+      .union(Seq((Long.MaxValue, Long.MaxValue, "}")).toDF("k0", "k1", "line"))
+    body.repartition(1).sortWithinPartitions("k0", "k1").select("line")
+      .write.mode("overwrite").text(path)
+    hues.unpersist()
+  }
+
+  /** DGS writer matching [[graft.streaming.GraphEvents.parseDgs]]'s dialect
+    * (dynamics/DGSWriter.cpp:14-60 writes the same event verbs; the edge-id token
+    * "u-v" is omitted here because the parser keys edges by endpoints): DGS004
+    * cookie + one "etype u v w" line per event, in (ord) order. `events` =
+    * (ord, etype, u, v, w). */
+  def writeDgs(events: DataFrame, path: String): Unit = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val lines = events.select(col("ord"),
+      concat_ws(" ", col("etype"), col("u").cast("string"),
+        col("v").cast("string"), col("w").cast("string")).as("line"))
+    Seq((-2L, "DGS004"), (-1L, "noname 0 0")).toDF("ord", "line")
+      .union(lines)
+      .repartition(1).sortWithinPartitions("ord").select("line")
+      .write.mode("overwrite").text(path)
+  }
 }
