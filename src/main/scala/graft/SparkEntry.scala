@@ -601,6 +601,19 @@ object SparkEntry {
 
     // --- training-data pipeline: text analysis + dedup over `documents` ---
     "q_text_stats"  -> ((s, dir) => TextOps.stats(docs(s, dir))),
+    "q_repetition"  -> ((s, dir) => TextOps.repetitionStats(docs(s, dir))),
+    "q_redact_pii"  -> ((s, dir) => TextOps.redactPii(docs(s, dir),
+      when(pmod(col("doc_id"), lit(10L)) === 0L,
+        concat(col("text"),
+          lit(" contact bob@example.com or 555-123-4567 at 10.0.0.1")))
+        .otherwise(col("text")))),
+    "q_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.text.Dedup.contamination(d,
+        d.filter(pmod(col("doc_id"), lit(101L)) === 0L)
+          .select(col("doc_id").as("bench_id"), col("text")),
+        n = 8, minOverlap = 1L, maxGramFreq = 100L)
+    }),
     "q_langid"      -> ((s, dir) => TextOps.langId(docs(s, dir))),
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
     "q_token_freq"  -> ((s, dir) => TextOps.tokenFreq(docs(s, dir))),
@@ -757,6 +770,9 @@ object SparkEntry {
     "q_prefix_jaccard"   -> OracleSql.prefixJaccard,
     "q_random_node_edge" -> OracleSql.randomNodeEdge(0.8, 42L),
     "q_text_stats"       -> DocOracleSql.stats,
+    "q_repetition"       -> DocOracleSql.repetitionStats,
+    "q_redact_pii"       -> DocOracleSql.redactPii,
+    "q_contamination"    -> DocOracleSql.contamination(8, 101L, 1L, 100L),
     "q_langid"           -> DocOracleSql.langId,
     "q_fingerprint"      -> DocOracleSql.fingerprint,
     "q_token_freq"       -> DocOracleSql.tokenFreq,

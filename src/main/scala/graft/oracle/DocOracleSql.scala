@@ -71,4 +71,65 @@ object DocOracleSql {
     s"""SELECT md5(text) AS text_md5, min(doc_id) AS rep_id,
        |  CAST(count(*) AS BIGINT) AS n_dups
        |FROM documents GROUP BY md5(text)""".stripMargin
+
+  /** Word n-grams of `documents` (mirrors the TextOps/Dedup shingling kernel). */
+  private def gramCte(alias: String, n: Int, from: String = "documents",
+                      idCol: String = "doc_id"): String =
+    s"""$alias AS MATERIALIZED (
+       |  SELECT $idCol AS doc_id, unnest(list_transform(generate_series(1, len(ts)-${n - 1}),
+       |    i -> concat_ws(' ', ${(0 until n).map(o => s"ts[i+$o]").mkString(", ")}))) AS g
+       |  FROM (SELECT $idCol, string_split(text, ' ') AS ts FROM $from)
+       |  WHERE len(ts) >= $n)""".stripMargin
+
+  /** Mirrors TextOps.repetitionStats. */
+  val repetitionStats: String = {
+    def share(n: Int): String =
+      s"""t$n AS MATERIALIZED (SELECT doc_id, sum(c) AS n$n, max(c) AS top$n FROM (
+         |  SELECT doc_id, g, count(*) AS c FROM g$n GROUP BY doc_id, g) GROUP BY doc_id)""".stripMargin
+    s"""WITH ${gramCte("g2", 2)},
+       |${gramCte("g3", 3)},
+       |${gramCte("g5", 5)},
+       |${share(2)},
+       |${share(3)},
+       |d5 AS MATERIALIZED (SELECT doc_id, count(*) AS n5, count(DISTINCT g) AS d5
+       |  FROM g5 GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(t2.n2, 0) AS BIGINT) AS n2,
+       |  coalesce(t2.top2::double / t2.n2, 0.0) AS top2_share,
+       |  CAST(coalesce(t3.n3, 0) AS BIGINT) AS n3,
+       |  coalesce(t3.top3::double / t3.n3, 0.0) AS top3_share,
+       |  CAST(coalesce(d5.n5, 0) AS BIGINT) AS n5,
+       |  coalesce((d5.n5 - d5.d5)::double / d5.n5, 0.0) AS dup5_frac
+       |FROM documents d LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+       |LEFT JOIN d5 USING (doc_id)""".stripMargin
+  }
+
+  /** Mirrors TextOps.redactPii over text with deterministically injected PII
+    * (the q_redact_pii composition: docs with doc_id % 10 == 0 get a synthetic
+    * contact suffix). */
+  val redactPii: String = {
+    import graft.text.TextOps.{EmailRe, Ipv4Re, PhoneRe}
+    val aug = "CASE WHEN doc_id % 10 = 0 THEN text || " +
+      "' contact bob@example.com or 555-123-4567 at 10.0.0.1' ELSE text END"
+    val afterEmail = s"regexp_replace($aug, '$EmailRe', '<EMAIL>', 'g')"
+    val afterPhone = s"regexp_replace($afterEmail, '$PhoneRe', '<PHONE>', 'g')"
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all($aug, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all($afterEmail, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all($afterPhone, '$Ipv4Re')) AS BIGINT) AS n_ips,
+       |  regexp_replace($afterPhone, '$Ipv4Re', '<IP>', 'g') AS redacted
+       |FROM documents""".stripMargin
+  }
+
+  /** Mirrors Dedup.contamination with bench = docs having doc_id % benchMod == 0. */
+  def contamination(n: Int, benchMod: Long, minOverlap: Long,
+                    maxGramFreq: Long): String =
+    s"""WITH ${gramCte("cg", n)},
+       |csh AS MATERIALIZED (SELECT DISTINCT doc_id, ${mdint("g")} AS h FROM cg),
+       |keep AS MATERIALIZED (SELECT h FROM csh GROUP BY h HAVING count(*) <= $maxGramFreq),
+       |bsh AS MATERIALIZED (SELECT doc_id AS bench_id, h FROM csh
+       |  WHERE doc_id % $benchMod = 0)
+       |SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS overlap
+       |FROM csh c JOIN keep USING (h) JOIN bsh b USING (h)
+       |GROUP BY 1, 2 HAVING count(*) >= $minOverlap""".stripMargin
 }

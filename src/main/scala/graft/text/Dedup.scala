@@ -200,4 +200,31 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Benchmark-contamination check for a training corpus: documents sharing >=
+    * `minOverlap` word n-grams with any benchmark text (the decontamination pass
+    * every LLM data pipeline runs before training — n-gram overlap against eval
+    * sets, e.g. GPT-3 appendix C / PaLM's 8-gram rule). `bench` = (bench_id, text).
+    *
+    * Spark shape: both sides shingle to 60-bit md5 n-gram hashes (the shared
+    * [[shingleHashes]] kernel — distinct per doc), the join is hash-keyed on the
+    * n-gram, and the per-(doc, bench) overlap is one aggregation. Stop-gram guard:
+    * n-grams hitting more than `maxGramFreq` corpus docs are dropped (boilerplate
+    * headers would otherwise fan out quadratically — same rationale as
+    * maxShingleFreq). Output (doc_id, bench_id, overlap). */
+  def contamination(docs: DataFrame, bench: DataFrame, n: Int = 8,
+                    minOverlap: Long = 1L,
+                    maxGramFreq: Long = 100L): DataFrame = {
+    val corpus = shingleHashes(docs, n)
+    val keep = corpus.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") <= maxGramFreq).select("h")
+    val benchSh = shingleHashes(
+      bench.select(col("bench_id").as("doc_id"), col("text")), n)
+      .select(col("doc_id").as("bench_id"), col("h"))
+    corpus.join(keep, "h")
+      .join(benchSh, "h")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
 }

@@ -48,6 +48,66 @@ object TextOps {
       (stopCount(t, StopEn).cast("double") / size(t)).as("stop_ratio"))
   }
 
+  /** Gopher-style repetition quality signals per document (Rae et al. 2021 §A1.1,
+    * the "repetition" filters adapted to the space-tokenized corpus): share of the
+    * most frequent 2-gram / 3-gram among all 2-/3-grams, and the fraction of 5-grams
+    * that are duplicates. High values flag boilerplate/looping text that a training
+    * pipeline drops. One explode + groupBy per n (shuffle keyed by doc — linear),
+    * exact integers + single divisions. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    def grams(n: Int): DataFrame = {
+      val t = tokens(col("text"))
+      docs
+        .filter(size(t) >= n)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(t) - (n - 1)),
+            i => concat_ws(" ", slice(t, i, lit(n))))).as("g"))
+    }
+    def topShare(n: Int): DataFrame =
+      grams(n).groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as(s"n$n"), max("c").as(s"top$n"))
+        .select(col("doc_id"), col(s"n$n"), col(s"top$n"),
+          (col(s"top$n").cast("double") / col(s"n$n")).as(s"top${n}_share"))
+    val dup5 = grams(5).groupBy("doc_id")
+      .agg(count(lit(1)).as("n5"), countDistinct("g").as("d5"))
+      .select(col("doc_id"), col("n5"),
+        ((col("n5") - col("d5")).cast("double") / col("n5")).as("dup5_frac"))
+    docs.select("doc_id")
+      .join(topShare(2), Seq("doc_id"), "left")
+      .join(topShare(3), Seq("doc_id"), "left")
+      .join(dup5, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n2"), lit(0L)).as("n2"),
+        coalesce(col("top2_share"), lit(0.0)).as("top2_share"),
+        coalesce(col("n3"), lit(0L)).as("n3"),
+        coalesce(col("top3_share"), lit(0.0)).as("top3_share"),
+        coalesce(col("n5"), lit(0L)).as("n5"),
+        coalesce(col("dup5_frac"), lit(0.0)).as("dup5_frac"))
+  }
+
+  /** Email / phone / IPv4 patterns shared by the Spark and DuckDB sides — kept to
+    * the regex subset where Java regex and RE2 agree (no backrefs, no lookaround). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** PII redaction for a training corpus: emails → <EMAIL>, phone-shaped numbers →
+    * <PHONE>, IPv4 literals → <IP>, applied in that order, plus per-doc match
+    * counts. Pure regexp column expressions (codegen'd, linear scan). `textCol`
+    * lets callers redact an augmented column; output (doc_id, n_emails, n_phones,
+    * n_ips, redacted). */
+  def redactPii(docs: DataFrame, textCol: Column = col("text")): DataFrame = {
+    val afterEmail = regexp_replace(textCol, EmailRe, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, PhoneRe, "<PHONE>")
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(textCol, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(afterEmail, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(afterPhone, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      regexp_replace(afterPhone, Ipv4Re, "<IP>").as("redacted"))
+  }
+
   /** Language identification by stopword-list voting (n-gram-free heuristic; the
     * deterministic tie-break is the fixed CASE order en > de > fr > und). */
   def langId(docs: DataFrame): DataFrame = {
