@@ -191,6 +191,14 @@ object SparkEntry {
       graft.io.GraphReaders.readThrillBinary(s, p)
         .canonicalUndirected.select(col("src"), col("dst"))
     }),
+    "q_gt_roundtrip" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val p = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/root/repo/target"), "vrt").resolve("gt").toString
+      graft.io.GraphReaders.writeGraphToolBinary(g, p)
+      graft.io.GraphReaders.readGraphToolBinary(s, p)
+        .canonicalUndirected.select(col("src"), col("dst"))
+    }),
     "q_binpart_roundtrip" -> ((s, dir) => {
       val g = graph(s, dir)
       val p = java.nio.file.Files.createTempDirectory(
@@ -271,6 +279,30 @@ object SparkEntry {
     "q_gen_pubweb" -> ((s, _) =>
       graft.synth.Generators.pubWeb(s, 1500L, areas = 10, maxNeigh = 8, rDiv = 64)
         .edges.select(col("src"), col("dst"))),
+    // Erdős–Gallai realizability profile of the web graph's own degree sequence
+    // (every k must pass — it IS a graph); rank/prefix layout + broadcast histogram.
+    "q_erdos_gallai" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val deg = g.vertices.join(
+        g.bidirected.groupBy(col("src").as("id")).agg(count(lit(1)).as("d")),
+        Seq("id"), "left")
+        .select(col("id"), coalesce(col("d"), lit(0L)).as("deg"))
+      graft.synth.Generators.erdosGallai(s, deg)
+    }),
+    // Havel–Hakimi realization of the LCG degree sequence: the constructed graph's
+    // degree histogram must equal the input sequence's (exact realization); the
+    // oracle replays the sequence formula.
+    "q_havel_hakimi" -> ((s, _) => {
+      val seq = graft.synth.Generators.lcgDegreeSequence(s, 2000L, 2L, 6L, 42L)
+      val g = graft.synth.Generators.havelHakimi(s, seq)
+      g.bidirected.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+        .groupBy("deg").agg(count(lit(1)).as("cnt"))
+    }),
+    // Clustered random graph: the planted membership is the pure draw formula (the
+    // oracle replays it); edge realization is SBM-machinery, gated by
+    // PlantedRecoverySpec (planted recovery + determinism + density).
+    "q_clustered_random" -> ((s, _) =>
+      graft.synth.Generators.clusteredRandomGraph(s, 3000L, 5, 0.02, 0.002, 42L)._2),
     "q_group_closeness" -> ((s, dir) =>
       graft.algo.GroupCentrality.groupCloseness(s, graph(s, dir), k = 4,
         poolSize = 16, maxLevels = 15)),
@@ -427,6 +459,31 @@ object SparkEntry {
       val g = graph(s, dir)
       Distances.apsp(s, g, g.vertices.filter(col("id") % 100 === 0))
     }),
+    // DynAPSP: closed-form repair of the sampled APSP table after inserting the
+    // single edge {0, max id}; the oracle computes the COLD APSP on the mutated
+    // graph — equality proves the warm path.
+    "q_dyn_apsp" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val vmax = g.vertices.agg(max("id")).head().getLong(0)
+      val prev = Distances.apsp(s, g, g.vertices.filter(col("id") % 100 === 0))
+      Distances.dynApspInsert(s, g, prev, 0L, vmax)
+    }),
+    // --- Electrical (Laplacian) family: one batched integer-Jacobi solver
+    // (Electrical.solveBatch) behind exact pair probes (resistance/commute) and
+    // JLT probes (all-edges SEC, all-nodes closeness); the oracle replays the
+    // truncating-integer iteration bit-exactly. ---
+    "q_eff_resistance" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val pairs = g.vertices.filter(col("id") % 500 === 0 && col("id") =!= 0L)
+        .select(col("id").as("q"), lit(0L).as("u"), col("id").as("v"))
+      graft.algo.Electrical.effectiveResistance(s, g, pairs, iters = 40)
+    }),
+    "q_spanning_edge" -> ((s, dir) =>
+      graft.algo.Electrical.spanningEdgeCentrality(s, graph(s, dir), k = 6,
+        iters = 40, seed = 42L)),
+    "q_electrical_closeness" -> ((s, dir) =>
+      graft.algo.Electrical.electricalCloseness(s, graph(s, dir), k = 6,
+        iters = 40, seed = 42L)),
     "q_sfigality" -> ((s, dir) => Centralities.sfigality(s, graph(s, dir))),
     "q_algebraic_dist" -> ((s, dir) =>
       graft.algo.AlgebraicDistance.edgeScores(s, graph(s, dir), iters = 5)),
@@ -546,6 +603,19 @@ object SparkEntry {
     // the oracle replays the identical pairing/ownership/pool-deal arithmetic.
     "q_curveball" -> ((s, dir) =>
       graft.algo.Curveball.globalCurveball(s, graph(s, dir), rounds = 2)),
+    // Uniform-trade Curveball, checked against the exact invariant the operator
+    // must preserve: the original degree sequence (CurveballSpec covers simplicity,
+    // determinism, and that trades actually rewire).
+    "q_curveball_uniform" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val rnd = graft.algo.Curveball.uniformCurveball(s, g, rounds = 3,
+        tradesPerRound = (g.n / 2).toInt)
+      val deg = rnd.select(col("src").as("id"))
+        .union(rnd.select(col("dst").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("c"))
+      g.vertices.join(deg, Seq("id"), "left")
+        .select(col("id"), coalesce(col("c"), lit(0L)).as("deg"))
+    }),
     // Maximal cliques (distributed Bron-Kerbosch over per-min-member neighborhoods).
     // No SQL oracle (recursive enumeration) - rows-only check; Round13Spec replays
     // a whole-graph sequential Bron-Kerbosch and asserts set equality.
@@ -621,6 +691,35 @@ object SparkEntry {
     // single punctuation — the vocab-trainer input shape).
     "q_bpe_tokens"  -> ((s, dir) =>
       TextOps.bpeTokenFreq(graft.synth.PageTableGen.pages(s, dir), "url")),
+    // URL hygiene: normalizer parity on deterministic messy variants, latest-
+    // snapshot dedup, domain blocklist filter (dialect-shared SQL fragments).
+    "q_url_normalize" -> ((s, dir) => {
+      import graft.text.UrlOps
+      docs(s, dir).select(col("doc_id"))
+        .withColumn("raw_url", expr(UrlOps.messySql("doc_id", 5, duck = false)))
+        .withColumn("norm_url", expr(UrlOps.normalizeSql("raw_url", duck = false)))
+        .withColumn("host", expr(UrlOps.hostSql("norm_url", duck = false)))
+        .withColumn("domain", expr(UrlOps.domainSql("norm_url", duck = false)))
+    }),
+    "q_url_dedup" -> ((s, dir) => {
+      import graft.text.UrlOps
+      val d = docs(s, dir)
+      val captures = d.select(
+          expr(graft.synth.GraphSpec.urlSql("doc_id")).as("url"),
+          (col("doc_id") * 2).as("ts"))
+        .union(d.select(
+          expr(UrlOps.messySql("doc_id", 4, duck = false)).as("url"),
+          (col("doc_id") * 2 + 1).as("ts")))
+      UrlOps.urlDedupLatest(captures)
+    }),
+    "q_domain_filter" -> ((s, dir) => {
+      import graft.text.UrlOps
+      import s.implicits._
+      val pages = docs(s, dir).select(col("doc_id"),
+        expr(UrlOps.multiDomainSql("doc_id", duck = false)).as("url"))
+      val blocked = Seq("blocked.test", "ads-site.com").toDF("domain")
+      UrlOps.domainFilter(pages, blocked).select(col("doc_id"), col("domain"))
+    }),
     "q_dedup_exact" -> ((s, dir) => TextOps.dedupExact(docs(s, dir))),
 
     // --- near-duplicate detection (shingle Jaccard / MinHash-LSH / SimHash) ---
@@ -683,9 +782,13 @@ object SparkEntry {
     "q_edgelist_roundtrip" -> OracleSql.edges,
     "q_metis_roundtrip"  -> OracleSql.undirectedEdges,
     "q_thrill_roundtrip" -> OracleSql.undirectedEdges,
+    "q_gt_roundtrip"     -> OracleSql.undirectedEdges,
     "q_snap_roundtrip"   -> OracleSql.edges,
     "q_group_closeness"  -> OracleSql.groupCloseness(4, 16, 15),
     "q_gen_er"           -> OracleSql.generatorEr(5000L, 20000L, 42L),
+    "q_clustered_random" -> OracleSql.clusteredRandomMembership(3000L, 5, 42L),
+    "q_erdos_gallai"     -> OracleSql.erdosGallai,
+    "q_havel_hakimi"     -> OracleSql.lcgDegreeHistogram(2000L, 2L, 6L, 42L),
     "q_gen_ws"           -> OracleSql.generatorWs(3000L, 6, 0.1, 42L),
     "q_gen_rmat"         -> OracleSql.generatorRmat(12, 8, 42L),
     "q_konect_roundtrip" -> OracleSql.edges,
@@ -728,6 +831,10 @@ object SparkEntry {
     "q_closeness"        -> OracleSql.closenessHarmonic(1000, 15),
     "q_dyn_harmonic"     -> OracleSql.closenessHarmonicDyn(1000, 15, 997),
     "q_apsp"             -> OracleSql.apsp(100, 15),
+    "q_dyn_apsp"         -> OracleSql.apspDyn(100, 15),
+    "q_eff_resistance"   -> OracleSql.effectiveResistance(500L, 40, 16384L),
+    "q_spanning_edge"    -> OracleSql.spanningEdge(6, 40, 42L, 16384L),
+    "q_electrical_closeness" -> OracleSql.electricalCloseness(6, 40, 42L, 16384L),
     "q_sfigality"        -> OracleSql.sfigality,
     "q_algebraic_dist"   -> OracleSql.algebraicDistance(5),
     "q_group_degree"     -> OracleSql.groupDegree(5),
@@ -757,6 +864,7 @@ object SparkEntry {
     "q_matching_coarsen" -> OracleSql.matchingCoarsen(15),
     "q_project_back"     -> OracleSql.projectBack(15),
     "q_curveball"        -> OracleSql.globalCurveball(2),
+    "q_curveball_uniform" -> OracleSql.undirectedDegreesSimple,
     "q_pac"              -> OracleSql.pac(3, 10),
     "q_luby"             -> OracleSql.luby(12, 42L),
     "q_spanning_forest"  -> OracleSql.spanningForest(12, 20),
@@ -777,6 +885,9 @@ object SparkEntry {
     "q_fingerprint"      -> DocOracleSql.fingerprint,
     "q_token_freq"       -> DocOracleSql.tokenFreq,
     "q_bpe_tokens"       -> DocOracleSql.bpeUrlTokenFreq,
+    "q_url_normalize"    -> DocOracleSql.urlNormalize,
+    "q_url_dedup"        -> DocOracleSql.urlDedup,
+    "q_domain_filter"    -> DocOracleSql.domainFilter,
     "q_dedup_exact"      -> DocOracleSql.dedupExact,
     "q_neardup_jaccard"  -> DedupOracleSql.ngramJaccard(0.5),
     "q_neardup_minhash"  -> DedupOracleSql.minhashNearDups(0.5),

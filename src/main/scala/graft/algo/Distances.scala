@@ -144,6 +144,49 @@ object Distances {
   def apsp(spark: SparkSession, g: LinkGraph, sources: DataFrame): DataFrame =
     Betweenness.msBfs(spark, g, sources)._1.select("s", "id", "dist")
 
+  /** DynAPSP single-insert repair (/root/reference/networkit/cpp/distance/
+    * DynAPSP.cpp:66-160 — per-event affected-pair update via in-neighbor BFS
+    * phases), re-expressed as the closed-form identity for one unweighted
+    * undirected insert {u, v}:
+    *
+    *   d'(s, y) = min(d(s, y), d(s, u) + 1 + d(v, y), d(s, v) + 1 + d(u, y))
+    *
+    * with every d an OLD distance — a shortest path in the mutated graph crosses
+    * the new edge at most once (shortest paths are simple), so its two halves are
+    * old shortest paths. ONE batched msBFS from {u, v} on the old graph supplies
+    * all needed terms: the per-source rows (d(s,u), d(s,v)) are a broadcast-sized
+    * table (|sources| rows), the per-target rows (d(u,y), d(v,y)) one n-row table,
+    * and the repair is a broadcast nested-loop candidate set (exactly the output's
+    * own Θ(|sources|·reach) size) full-outer-merged with `prev` on (s, id) — no
+    * per-source BFS, no driver iteration. Pairs unreachable in the mutated graph
+    * stay absent (both legs null). `prev` must be apsp(g, sources) on the OLD
+    * graph; the result equals the cold apsp on the mutated graph exactly (the
+    * oracle computes the cold side). */
+  def dynApspInsert(spark: SparkSession, g: LinkGraph, prev: DataFrame,
+                    u: Long, v: Long): DataFrame = {
+    import spark.implicits._
+    val duv = Betweenness.msBfs(spark, g, Seq(u, v).toDF("id"))._1
+    val du = duv.filter(col("s") === u).select(col("id"), col("dist").as("du"))
+    val dv = duv.filter(col("s") === v).select(col("id"), col("dist").as("dv"))
+    val tgt = du.join(dv, Seq("id"), "full")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    tgt.count()
+    // d(s,u) / d(s,v) per source: the undirected distance table is symmetric.
+    val src = prev.select(col("s")).distinct()
+      .join(tgt.select(col("id").as("s"), col("du").as("sdu"),
+        col("dv").as("sdv")), Seq("s"), "left")
+    val cand = broadcast(src)
+      .crossJoin(tgt.select(col("id"), col("du"), col("dv")))
+      .select(col("s"), col("id"),
+        least(col("sdu") + lit(1L) + col("dv"),
+              col("sdv") + lit(1L) + col("du")).as("cd"))
+      .filter(col("cd").isNotNull)
+    val out = prev.withColumnRenamed("dist", "pd")
+      .join(cand, Seq("s", "id"), "full")
+      .select(col("s"), col("id"), least(col("pd"), col("cd")).as("dist"))
+    out
+  }
+
   /** ApproxCloseness (/root/reference/networkit/cpp/centrality/ApproxCloseness.cpp —
     * the sampling estimator role; the estimate is the classic Eppstein–Wang form):
     * from k sampled BFS sources, ĉ(v) = k·(n−1) / (n·Σ_{s∈S} d(s,v)). The reference

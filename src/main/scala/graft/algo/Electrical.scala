@@ -1,0 +1,169 @@
+package graft.algo
+
+import graft.DataFrameLineageOps
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.model.LinkGraph
+
+/** Electrical (Laplacian) operator family: effective resistance, commute-time
+  * distance, spanning-edge centrality, electrical closeness.
+  *
+  * Reference: /root/reference/networkit/cpp/distance/CommuteTimeDistance.cpp,
+  * centrality/EffectiveResistanceDistance.cpp, centrality/SpanningEdgeCentrality.cpp,
+  * centrality/ApproxElectricalCloseness.cpp — all built on the LAMG multigrid solver
+  * there (declared a non-goal in SURVEY §7.5). Revisited Spark-first: every member
+  * needs only solutions of L x = b, and the whole family needs just a HANDFUL of
+  * right-hand sides — exact pair probes (e_u − e_v) for resistance / commute
+  * distances, and k = O(log n) Spielman–Srivastava JLT probes (random ±1 edge signs
+  * pushed through Bᵀ) for the all-edges / all-nodes estimators. All solves run
+  * BATCHED through one damped Jacobi iteration whose per-round cost is exactly one
+  * PageRank round (one bidirected-edge join + partial aggregation keyed by vertex),
+  * times the probe count — the same one-m-row-exchange-per-iteration scale story as
+  * PageRank. At cluster scale the matvec primitive is unchanged; the damped Jacobi
+  * loop would swap for Chebyshev/CG acceleration (same joins, fewer rounds). Jacobi
+  * is used here because its truncating-integer update replays bit-exactly in the
+  * DuckDB oracle.
+  *
+  * State is scaled int64 (x ≈ scale · potential). Spark's `div` and DuckDB's `//`
+  * both truncate toward zero, and `%` keeps the dividend's sign in both engines, so
+  * the iteration is cross-engine exact including negative potentials.
+  */
+object Electrical {
+
+  /** Default potential scale: 2^14 keeps every downstream square/sum (diff², n·y'²
+    * with y' = x div 64) far inside int64 at web-fixture magnitudes. */
+  val Scale = 16384L
+
+  /** Damped Jacobi sweep for the grounded Laplacian system L x = b, batched over all
+    * probes `q` at once. `b` is (id, q, b) integer rows (absent = 0) with
+    * Σ_id b = 0 per probe on each component (a consistent system); the returned
+    * state (id, q, x) covers EVERY vertex × probe, with x ≈ scale · potential and
+    * x(ground, ·) = 0. Per round (all integer, truncating division):
+    *
+    *   x'_i = (x_i + (scale·b_i + Σ_{j~i} x_j) div deg_i) div 2,   x'_ground = 0.
+    *
+    * The 1/2 damping kills the −1 Jacobi mode on bipartite components; isolated
+    * vertices (deg 0) hold x = 0. One edge-join shuffle per round. */
+  def solveBatch(spark: SparkSession, g: LinkGraph, b: DataFrame, iters: Int,
+                 scale: Long = Scale, ground: Long = 0L): DataFrame = {
+    val bi = g.bidirected.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = bi.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val qs = b.select("q").distinct()
+    val base = g.vertices.crossJoin(broadcast(qs))
+      .join(b, Seq("id", "q"), "left")
+      .join(deg, Seq("id"), "left")
+      .select(col("id"), col("q"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        coalesce(col("b"), lit(0L)).as("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    base.count()
+    var x = base.select(col("id"), col("q"), lit(0L).as("x")).cutLineage
+    var it = 0
+    while (it < iters) {
+      val msgs = x.join(bi, x("id") === bi("src"))
+        .groupBy(col("dst").as("id"), col("q"))
+        .agg(sum("x").as("m"))
+      val prev = x
+      x = base
+        .join(prev.withColumnRenamed("x", "xp"), Seq("id", "q"))
+        .join(msgs, Seq("id", "q"), "left")
+        .select(col("id"), col("q"),
+          when(col("id") === ground || col("deg") === 0L, lit(0L))
+            .otherwise(expr(s"(xp + (b * $scale + coalesce(m, 0L)) div deg) div 2"))
+            .as("x"))
+        .cutLineage
+      prev.releaseState()
+      it += 1
+    }
+    base.unpersist()
+    bi.unpersist()
+    x
+  }
+
+  /** ±1 probe sign for (canonical edge, probe) — the shared nonlinear draw, so the
+    * oracle replays it verbatim. */
+  def signSql(u: String, v: String, q: String, seed: Long, duck: Boolean): String =
+    s"((${graft.synth.Generators.drawSql(s"($u) * 1000003 + ($v) * 31 + ($q) * 7919 + $seed", duck)} % 2) * 2 - 1)"
+
+  /** JLT probe table b_q = Bᵀ r_q (each canonical edge (u,v) adds +r to u, −r to v)
+    * for q = 0..k−1. Output (id, q, b). */
+  def jltProbes(g: LinkGraph, k: Int, seed: Long): DataFrame = {
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    val cu = g.canonicalUndirected.select(col("src").as("u"), col("dst").as("v"))
+    val sg = cu.crossJoin(broadcast((0 until k).map(_.toLong).toDF("q")))
+      .withColumn("s", expr(signSql("u", "v", "q", seed, duck = false)))
+    sg.select(col("u").as("id"), col("q"), col("s").as("b"))
+      .union(sg.select(col("v").as("id"), col("q"), (-col("s")).as("b")))
+      .groupBy("id", "q").agg(sum("b").as("b"))
+  }
+
+  /** Effective resistance + commute-time distance for the pair set (u, v) keyed by
+    * probe id q (EffectiveResistanceDistance / CommuteTimeDistance semantics, exact
+    * pair probes — no JLT): solve L x_q = e_u − e_v, then R(u,v) = (x_q(u) − x_q(v))
+    * / scale and C(u,v) = 2·m·R(u,v). `pairs` is (q, u, v); output
+    * (q, r_scaled, r, commute) with r_scaled the exact-integer column the oracle
+    * matches. Pairs in different components drift (R = ∞ in theory) —
+    * deterministically, identically in both engines. */
+  def effectiveResistance(spark: SparkSession, g: LinkGraph, pairs: DataFrame,
+                          iters: Int, scale: Long = Scale): DataFrame = {
+    val b = pairs.select(col("u").as("id"), col("q"), lit(1L).as("b"))
+      .union(pairs.select(col("v").as("id"), col("q"), lit(-1L).as("b")))
+      .groupBy("id", "q").agg(sum("b").as("b"))
+    val x = solveBatch(spark, g, b, iters, scale)
+    val xu = pairs.join(x.withColumnRenamed("id", "u"), Seq("q", "u"))
+      .select(col("q"), col("v"), col("x").as("xu"))
+    val xv = x.select(col("q"), col("id").as("v"), col("x").as("xv"))
+    // Commute time uses the UNDIRECTED edge count (the Laplacian's m) — not the
+    // directed row count g.m (CommuteTimeDistance.cpp: 2·|E|·R on the undirected G).
+    val mu = g.canonicalUndirected.count()
+    xu.join(xv, Seq("q", "v"))
+      .select(col("q"), (col("xu") - col("xv")).as("r_scaled"))
+      .withColumn("r", col("r_scaled").cast("double") / scale)
+      .withColumn("commute", lit(2.0) * mu * col("r_scaled") / scale)
+  }
+
+  /** Spanning-edge centrality (SpanningEdgeCentrality.cpp — effective resistance of
+    * every edge, ≙ its spanning-tree occurrence probability): JLT estimate
+    * sec(u,v) = Σ_q (x_q(u) − x_q(v))² / (k·scale²), computed for ALL edges from the
+    * SAME k solved probe vectors. Output (src, dst, sec_scaled, sec):
+    * sec_scaled = Σ_q diff² is the exact-integer oracle column. */
+  def spanningEdgeCentrality(spark: SparkSession, g: LinkGraph, k: Int, iters: Int,
+                             seed: Long = 42L, scale: Long = Scale): DataFrame = {
+    val x = solveBatch(spark, g, jltProbes(g, k, seed), iters, scale)
+    val cu = g.canonicalUndirected.select("src", "dst")
+    cu.join(x.select(col("id").as("src"), col("q"), col("x").as("xu")), Seq("src"))
+      .join(x.select(col("id").as("dst"), col("q"), col("x").as("xv")), Seq("dst", "q"))
+      .groupBy("src", "dst")
+      .agg(sum((col("xu") - col("xv")) * (col("xu") - col("xv"))).as("sec_scaled"))
+      .withColumn("sec", col("sec_scaled").cast("double") / (k.toDouble * scale * scale))
+  }
+
+  /** Electrical closeness (ApproxElectricalCloseness.cpp semantics — closeness with
+    * effective-resistance farness): from the same k JLT probe solutions,
+    * Σ_v R(u,v) ≈ Σ_q (n·y_u² − 2·y_u·S_q + T_q) / (k·s²) with y = x div 64 (the
+    * reduced scale keeps n·y² inside int64), S_q = Σ_v y_v, T_q = Σ_v y_v² — three
+    * aggregates, NO pairwise table. Output (id, farness_scaled, closeness):
+    * farness_scaled = Σ_q (n·y_u² − 2·y_u·S_q + T_q) exact-integer,
+    * closeness = (n−1)·k·s² / farness_scaled (0 when farness is 0). */
+  def electricalCloseness(spark: SparkSession, g: LinkGraph, k: Int, iters: Int,
+                          seed: Long = 42L, scale: Long = Scale): DataFrame = {
+    val x = solveBatch(spark, g, jltProbes(g, k, seed), iters, scale)
+    val y = x.select(col("id"), col("q"), expr("x div 64").as("y"))
+    val stats = y.groupBy("q").agg(sum("y").as("sq"),
+      sum(col("y") * col("y")).as("tq"))
+    val n = g.n
+    val sEff = scale / 64L
+    val far = y.join(broadcast(stats), Seq("q"))
+      .groupBy("id")
+      .agg(sum(lit(n) * col("y") * col("y") - lit(2L) * col("y") * col("sq")
+        + col("tq")).as("farness_scaled"))
+    far.select(col("id"), col("farness_scaled"),
+      when(col("farness_scaled") > 0L,
+        lit((n - 1).toDouble * k * sEff * sEff) / col("farness_scaled"))
+        .otherwise(lit(0.0)).as("closeness"))
+  }
+}

@@ -606,4 +606,188 @@ object GraphReaders extends Serializable {
       .repartition(1).sortWithinPartitions("ord").select("line")
       .write.mode("overwrite").text(path)
   }
+
+  /** SNAPEdgeListPartitionReader (io/SNAPEdgeListPartitionReader.cpp:17-101):
+    * file line i (1-based — comment/empty lines still consume subset ids, as in
+    * the reference's `++i` per getline) lists the whitespace-separated members of
+    * cover subset i, optionally remapped through a (snap_id, id) dictionary.
+    * Output (id, label) — one row per membership. */
+  def readSnapCover(spark: SparkSession, path: String,
+                    idMap: Option[DataFrame] = None): DataFrame = {
+    val lines = spark.read.text(path)
+      .withColumn("mid", monotonically_increasing_id())
+    val ranked = Layout.zipWithRank(lines, "mid", "ln")
+    val members = ranked
+      .filter(!col("value").startsWith("#") && trim(col("value")) =!= "")
+      .select((col("ln") + 1).as("label"),
+        explode(split(trim(col("value")), "\\s+")).as("tok"))
+      .select(col("tok").cast("long").as("snap_id"), col("label"))
+    idMap match {
+      case Some(m) => members.join(m, Seq("snap_id")).select(col("id"), col("label"))
+      case None    => members.select(col("snap_id").as("id"), col("label"))
+    }
+  }
+
+  /** Writer matching [[readSnapCover]]: one line per subset in label order
+    * (fixture-scale single file; labels become implicit 1-based line numbers). */
+  def writeSnapCover(cover: DataFrame, path: String): Unit =
+    cover.groupBy("label")
+      .agg(concat_ws("\t", sort_array(collect_list(col("id")))).as("line"))
+      .repartition(1).sortWithinPartitions("label").select("line")
+      .write.mode("overwrite").text(path)
+
+  // --- graph-tool binary exchange (io/GraphToolBinaryReader.cpp:38-120,
+  // GraphToolBinaryWriter.cpp:18-133): 6-byte magic "⛾ gt" (e2 9b be 20 67 74),
+  // version 0x01, endianness byte (0x00 = LE), u64 comment length + comment,
+  // directed byte, u64 node count; then per node a u64 degree + `width`-byte node
+  // ids, width = 1/2/4/8 chosen from n. Undirected graphs store the LOWER adjacency
+  // (v <= u). Sharded like the Thrill exchange: range partitions of the vertex
+  // space become `part-NNNNN.gt` files; the lexically-first shard carries the
+  // header, and the reader recovers each shard's starting node id from per-file
+  // node counts (a degree-walk that never materializes neighbor arrays). ---
+
+  private def gtWidth(n: Long): Int =
+    if (n < (1L << 8)) 1 else if (n < (1L << 16)) 2
+    else if (n < (1L << 32)) 4 else 8
+
+  /** Write the graph-tool binary adjacency sharded over `partitions` range
+    * partitions of the vertex space (default: current shuffle parallelism).
+    * `directed=false` stores the canonical lower adjacency of the undirected view;
+    * `directed=true` stores the full out-adjacency. Little-endian. */
+  def writeGraphToolBinary(g: LinkGraph, path: String, partitions: Int = 0,
+                           directed: Boolean = false): Unit = {
+    val spark = g.edges.sparkSession
+    val parts = if (partitions > 0) partitions
+                else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val nbrSrc =
+      if (directed) g.edges.select(col("src"), col("dst"))
+      else g.canonicalUndirected // (src < dst) canonical; lower adjacency = by dst
+        .select(col("dst").as("src"), col("src").as("dst"))
+    val adj = g.vertices
+      .join(nbrSrc.groupBy(col("src").as("id"))
+          .agg(sort_array(collect_list(col("dst"))).as("nbrs")),
+        Seq("id"), "left")
+      .repartitionByRange(parts, col("id"))
+      .sortWithinPartitions("id")
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs0 = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs0.delete(dir, true); fs0.mkdirs(dir)
+    val pathStr = path
+    val n = g.n
+    val w = gtWidth(n)
+    val dirByte = if (directed) 1 else 0
+    adj.select(col("id"), col("nbrs")).queryExecution.toRdd
+      .mapPartitionsWithIndex { (pid, rows) =>
+        val buf = new java.io.ByteArrayOutputStream(1 << 20)
+        def le(v: Long, bytes: Int): Unit = {
+          var x = v; var i = 0
+          while (i < bytes) { buf.write((x & 0xFFL).toInt); x >>>= 8; i += 1 }
+        }
+        if (pid == 0) {
+          buf.write(Array(0xe2, 0x9b, 0xbe, 0x20, 0x67, 0x74, 0x01, 0x00)
+            .map(_.toByte))
+          le(0L, 8)          // empty comment
+          buf.write(dirByte) // directed flag
+          le(n, 8)
+        }
+        rows.foreach { r =>
+          val nbrs = if (r.isNullAt(1)) Array.empty[Long]
+                     else r.getArray(1).toLongArray()
+          le(nbrs.length.toLong, 8)
+          nbrs.foreach(le(_, w))
+        }
+        if (buf.size() > 0) {
+          val f = new org.apache.hadoop.fs.Path(pathStr, f"part-$pid%05d.gt")
+          val os = f.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            .create(f, true)
+          os.write(buf.toByteArray); os.close()
+        }
+        Iterator.empty
+      }.count(): Unit
+  }
+
+  /** Walk one graph-tool shard from `start`: per node a u64 degree + width*deg
+    * payload — counts nodes without materializing neighbors. */
+  private def countGt(bytes: Array[Byte], start: Int, width: Int,
+                      little: Boolean): Long = {
+    var pos = start
+    var nodes = 0L
+    while (pos < bytes.length) {
+      val deg = readFixed(bytes, pos, 8, little)
+      pos += 8 + width * deg.toInt
+      nodes += 1
+    }
+    nodes
+  }
+
+  private def readFixed(bytes: Array[Byte], pos: Int, w: Int,
+                        little: Boolean): Long = {
+    var v = 0L
+    var i = 0
+    while (i < w) {
+      val b = bytes(pos + (if (little) i else w - 1 - i)) & 0xFFL
+      v |= b << (8 * i); i += 1
+    }
+    v
+  }
+
+  /** Read a graph-tool binary directory (or single file). The header (magic,
+    * version, endianness, comment, directed, n) is parsed driver-side from the
+    * first 25+comment bytes of the lexically-first file; two executor passes over
+    * `binaryFile` then fix per-file node offsets and decode edges. */
+  def readGraphToolBinary(spark: SparkSession, path: String): LinkGraph = {
+    import spark.implicits._
+    val glob = if (new java.io.File(path).isDirectory) s"$path/part-*.gt" else path
+    val files = spark.read.format("binaryFile").load(glob)
+      .select(col("path"), col("content"))
+    val first = files.select("path").as[String].collect().min
+    // Driver-side header parse: 25 fixed bytes + the comment.
+    val hp = new org.apache.hadoop.fs.Path(new java.net.URI(first))
+    val in = hp.getFileSystem(spark.sparkContext.hadoopConfiguration).open(hp)
+    val head = new Array[Byte](25)
+    in.readFully(head)
+    require((head.take(6).map(_ & 0xFF) sameElements
+        Array(0xe2, 0x9b, 0xbe, 0x20, 0x67, 0x74)) && head(6) == 0x01,
+      s"not a graph-tool binary file: $first")
+    val little = head(7) == 0x00
+    val commentLen = readFixed(head, 8, 8, little)
+    val hdrLen = (25 + commentLen).toInt
+    in.seek(16 + commentLen)
+    val rest = new Array[Byte](9)
+    in.readFully(rest); in.close()
+    val n = readFixed(rest, 1, 8, little)
+    val w = gtWidth(n)
+    val counts = files.as[(String, Array[Byte])]
+      .map { case (p, bytes) =>
+        (p, countGt(bytes, if (p == first) hdrLen else 0, w, little))
+      }
+      .collect().sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2).dropRight(1)).toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+    val edges = files.as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val base = bc.value(p)
+        var pos = if (p == first) hdrLen else 0
+        var u = base
+        val out = Iterator.unfold(()) { _ =>
+          if (pos >= bytes.length) None
+          else {
+            val deg = readFixed(bytes, pos, 8, little).toInt
+            pos += 8
+            val nbrs = new Array[Long](deg)
+            var i = 0
+            while (i < deg) { nbrs(i) = readFixed(bytes, pos, w, little); pos += w; i += 1 }
+            val cur = u; u += 1
+            Some((nbrs.iterator.map(v => (cur, v)), ()))
+          }
+        }
+        out.flatten
+      }
+      .toDF("src", "dst")
+      .withColumn("weight", lit(1.0))
+    // Undirected files store the lower adjacency — each edge appears once, so the
+    // decoded rows ARE the canonical edge set either way.
+    LinkGraph.fromEdges(spark, edges, Some(spark.range(n).select(col("id"))))
+  }
 }

@@ -132,4 +132,48 @@ object DocOracleSql {
        |SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS overlap
        |FROM csh c JOIN keep USING (h) JOIN bsh b USING (h)
        |GROUP BY 1, 2 HAVING count(*) >= $minOverlap""".stripMargin
+
+  // --- URL hygiene (graft.text.UrlOps) — the dialect-shared generators emit the
+  // identical string pipeline in DuckDB syntax. ---
+
+  import graft.text.UrlOps
+
+  /** Mirrors the q_url_normalize query: messy variant -> norm/host/domain. */
+  val urlNormalize: String = {
+    val norm = UrlOps.normalizeSql("raw_url", duck = true)
+    s"""WITH r AS MATERIALIZED (SELECT doc_id,
+       |    ${UrlOps.messySql("doc_id", 5, duck = true)} AS raw_url FROM documents),
+       |n AS MATERIALIZED (SELECT doc_id, raw_url, $norm AS norm_url FROM r)
+       |SELECT doc_id, raw_url, norm_url,
+       |  ${UrlOps.hostSql("norm_url", duck = true)} AS host,
+       |  ${UrlOps.domainSql("norm_url", duck = true)} AS domain
+       |FROM n""".stripMargin
+  }
+
+  /** Mirrors q_url_dedup: canonical + messy capture per page, latest ts wins. */
+  val urlDedup: String = {
+    val base = graft.synth.GraphSpec.urlSql("doc_id")
+    s"""WITH c AS MATERIALIZED (
+       |  SELECT $base AS url, CAST(doc_id*2 AS BIGINT) AS ts FROM documents
+       |  UNION ALL
+       |  SELECT ${UrlOps.messySql("doc_id", 4, duck = true)},
+       |    CAST(doc_id*2 + 1 AS BIGINT) FROM documents),
+       |n AS MATERIALIZED (SELECT url, ts,
+       |  ${UrlOps.normalizeSql("url", duck = true)} AS norm_url FROM c)
+       |SELECT norm_url, arg_max(url, ts) AS url_kept,
+       |  CAST(max(ts) AS BIGINT) AS ts_kept
+       |FROM n GROUP BY norm_url""".stripMargin
+  }
+
+  /** Mirrors q_domain_filter: 3-domain spread, 2 blocklisted. */
+  val domainFilter: String = {
+    s"""WITH c AS MATERIALIZED (SELECT doc_id,
+       |    ${UrlOps.multiDomainSql("doc_id", duck = true)} AS url FROM documents),
+       |n AS MATERIALIZED (SELECT doc_id,
+       |  ${UrlOps.normalizeSql("url", duck = true)} AS norm_url FROM c)
+       |SELECT doc_id, ${UrlOps.domainSql("norm_url", duck = true)} AS domain
+       |FROM n
+       |WHERE ${UrlOps.domainSql("norm_url", duck = true)}
+       |  NOT IN ('blocked.test', 'ads-site.com')""".stripMargin
+  }
 }

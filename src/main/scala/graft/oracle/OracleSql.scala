@@ -31,6 +31,18 @@ object OracleSql {
        |FROM verts v LEFT JOIN od ON v.id = od.id LEFT JOIN idg ON v.id = idg.id
        |""".stripMargin
 
+  /** Degree sequence of the simple undirected view — the exact invariant a
+    * degree-preserving randomization (uniform-trade Curveball) must reproduce;
+    * the q_curveball_uniform oracle. */
+  val undirectedDegreesSimple: String =
+    s"""$base,
+       |cu AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS t
+       |  FROM edges WHERE src <> dst),
+       |dg2 AS MATERIALIZED (SELECT id, count(*) AS c FROM (
+       |  SELECT s AS id FROM cu UNION ALL SELECT t FROM cu) GROUP BY id)
+       |SELECT v.id, CAST(coalesce(dg2.c, 0) AS BIGINT) AS deg
+       |FROM verts v LEFT JOIN dg2 ON v.id = dg2.id""".stripMargin
+
   /** Fixed-point PageRank, `iters` unrolled iterations (mirrors PageRank.fixedPoint). */
   def pagerankFixed(iters: Int, scale: Long = 1000000000000L): String = {
     val steps = (1 to iters).map { i =>
@@ -670,7 +682,14 @@ object OracleSql {
 
   /** Forward multi-source BFS CTEs (mirrors Betweenness.msBfs): sources = ids with
     * id % mod == 0; produces st{levels}(s, id, dist, sigma). */
-  private def msBfsCtes(mod: Long, levels: Int): String = {
+  private def msBfsCtes(mod: Long, levels: Int): String =
+    msBfsCtesFrom(
+      s"SELECT id AS s, id, 0 AS dist, CAST(1 AS BIGINT) AS sigma\n  FROM verts WHERE id % $mod = 0",
+      levels)
+
+  /** Multi-source BFS CTE chain from an arbitrary source SELECT producing
+    * (s, id, dist, sigma) seed rows; ends at st$levels. */
+  private def msBfsCtesFrom(f0Sql: String, levels: Int): String = {
     val steps = (1 to levels).map { i =>
       s"""mg$i AS MATERIALIZED (SELECT f.s, bi.b AS id, sum(f.sigma) AS sigma
          |  FROM f${i - 1} f JOIN bi ON f.id = bi.a GROUP BY 1, 2),
@@ -678,8 +697,7 @@ object OracleSql {
          |  LEFT JOIN st${i - 1} x ON m.s = x.s AND m.id = x.id WHERE x.s IS NULL),
          |st$i AS MATERIALIZED (SELECT * FROM st${i - 1} UNION ALL SELECT * FROM f$i)""".stripMargin
     }.mkString(",\n")
-    s"""f0 AS MATERIALIZED (SELECT id AS s, id, 0 AS dist, CAST(1 AS BIGINT) AS sigma
-       |  FROM verts WHERE id % $mod = 0),
+    s"""f0 AS MATERIALIZED ($f0Sql),
        |st0 AS MATERIALIZED (SELECT * FROM f0),
        |$steps""".stripMargin
   }
@@ -735,6 +753,21 @@ object OracleSql {
        |${msBfsCtes(mod, levels)}
        |SELECT s, id, CAST(dist AS BIGINT) AS dist FROM st$levels""".stripMargin
 
+  /** Cold sampled-source APSP on the MUTATED graph (edges + the single undirected
+    * insert {0, max(id)}) — the oracle for the engine's closed-form DynAPSP repair
+    * (q_dyn_apsp): the warm update must equal this cold recompute exactly. */
+  def apspDyn(mod: Long, levels: Int): String = {
+    val biDyn =
+      s"""adde AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS a, max(id) AS b FROM verts),
+         |bi AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges
+         |  UNION SELECT dst, src FROM edges
+         |  UNION SELECT a, b FROM adde UNION SELECT b, a FROM adde)""".stripMargin
+    s"""$base,
+       |$biDyn,
+       |${msBfsCtes(mod, levels)}
+       |SELECT s, id, CAST(dist AS BIGINT) AS dist FROM st$levels""".stripMargin
+  }
+
   /** Greedy group-degree (mirrors GroupCentrality.groupDegree): k unrolled greedy
     * steps, gain = not-yet-reachable neighbors (+1 self), tie-break (gain DESC,
     * id ASC). */
@@ -772,6 +805,52 @@ object OracleSql {
   private def genDraw(x: String) = graft.synth.Generators.drawSql(x, duck = true)
 
   /** Erdős–Rényi G(n, m) (mirrors Generators.erdosRenyi). */
+  /** Erdős–Gallai profile of the graph's own degree sequence (mirrors
+    * Generators.erdosGallai — window rank/prefix + histogram fold). */
+  def erdosGallai: String =
+    s"""$base,
+       |$biCte,
+       |degv AS MATERIALIZED (SELECT v.id, coalesce(d.c, 0) AS deg FROM verts v
+       |  LEFT JOIN (SELECT a AS id, count(*) AS c FROM bi GROUP BY 1) d ON v.id = d.id),
+       |rk AS MATERIALIZED (SELECT deg,
+       |  row_number() OVER (ORDER BY deg DESC, id ASC) AS k,
+       |  sum(deg) OVER (ORDER BY deg DESC, id ASC ROWS UNBOUNDED PRECEDING) AS lhs
+       |  FROM degv),
+       |hist AS MATERIALIZED (SELECT deg AS d, count(*) AS c, sum(deg) AS sd
+       |  FROM degv GROUP BY 1),
+       |stot AS MATERIALIZED (SELECT sum(deg) AS s FROM degv),
+       |ckt AS MATERIALIZED (SELECT rk.k, rk.lhs,
+       |  coalesce(sum(h.c), 0) AS ck, coalesce(sum(h.sd), 0) AS sge
+       |  FROM rk LEFT JOIN hist h ON h.d >= rk.k GROUP BY 1, 2),
+       |eg AS MATERIALIZED (SELECT k, lhs,
+       |  k * (k - 1) + CASE WHEN ck >= k THEN (ck - k) * k + (SELECT s FROM stot) - sge
+       |                ELSE (SELECT s FROM stot) - lhs END AS rhs FROM ckt)
+       |SELECT CAST(k AS BIGINT) AS k, CAST(lhs AS BIGINT) AS lhs,
+       |  CAST(rhs AS BIGINT) AS rhs,
+       |  CAST(CASE WHEN lhs <= rhs THEN 1 ELSE 0 END AS BIGINT) AS ok FROM eg""".stripMargin
+
+  /** Degree histogram of the LCG degree sequence (mirrors
+    * Generators.lcgDegreeSequence — the Havel–Hakimi realization must reproduce it
+    * exactly). */
+  def lcgDegreeHistogram(n: Long, minDeg: Long, maxDeg: Long, seed: Long): String = {
+    val span = maxDeg - minDeg + 1
+    s"""WITH t AS (SELECT g AS id FROM generate_series(0, ${n - 1}) s(g)),
+       |d0 AS MATERIALIZED (SELECT id,
+       |  $minDeg + ${genDraw(s"id + $seed * 31")} % $span AS deg FROM t),
+       |d1 AS MATERIALIZED (SELECT id,
+       |  CASE WHEN id = 0 AND (SELECT sum(deg) FROM d0) % 2 = 1 THEN deg + 1
+       |       ELSE deg END AS deg FROM d0)
+       |SELECT CAST(deg AS BIGINT) AS deg, count(*) AS cnt FROM d1 GROUP BY 1""".stripMargin
+  }
+
+  /** Planted membership of the clustered random graph generator (mirrors
+    * Generators.clusteredRandomGraph: block = draw(id + seed*104729) % k). */
+  def clusteredRandomMembership(n: Long, k: Int, seed: Long): String = {
+    val base = seed * 104729L
+    s"""WITH t AS (SELECT g AS id FROM generate_series(0, ${n - 1}) s(g))
+       |SELECT id, ${genDraw(s"id + $base")} % $k AS block FROM t""".stripMargin
+  }
+
   def generatorEr(n: Long, m: Long, seed: Long): String =
     s"""WITH t AS (SELECT g AS id FROM generate_series(0, ${m - 1}) s(g))
        |SELECT DISTINCT
@@ -2066,7 +2145,9 @@ object OracleSql {
       val dwx = genDraw(s"pl.w*31 + pl.p*97 + ${seed + r}*999979")
       s"""k$r AS MATERIALIZED (SELECT id, $kx AS k FROM verts),
          |rk$r AS MATERIALIZED (SELECT id, k, row_number() OVER (ORDER BY k, id) - 1 AS rnk FROM k$r),
-         |pa$r AS MATERIALIZED (SELECT id, k, rnk // 2 AS p, rnk % 2 AS side FROM rk$r),
+         |pa$r AS MATERIALIZED (SELECT id, k,
+         |    CASE WHEN (rnk // 2) % 2 = 0 THEN rnk // 2 END AS p,
+         |    CASE WHEN (rnk // 2) % 2 = 0 THEN rnk % 2 END AS side FROM rk$r),
          |pt$r AS MATERIALIZED (SELECT a.id, b.id AS partner FROM pa$r a JOIN pa$r b ON a.p = b.p AND a.side != b.side),
          |cb$r AS MATERIALIZED (SELECT s AS a, t AS b FROM cu$r UNION ALL SELECT t, s FROM cu$r),
          |ow$r AS MATERIALIZED (SELECT
@@ -2074,13 +2155,15 @@ object OracleSql {
          |    CASE WHEN ks.k < kt.k OR (ks.k = kt.k AND e.s < e.t) THEN e.t ELSE e.s END AS w
          |  FROM cu$r e JOIN k$r ks ON e.s = ks.id JOIN k$r kt ON e.t = kt.id),
          |rw$r AS MATERIALIZED (SELECT ow.o, ow.w, pa.p, pa.side, pt.partner,
-         |    (b.a IS NOT NULL) AS inp
+         |    (b.a IS NOT NULL) AS inp, wb.p AS wp
          |  FROM ow$r ow JOIN pa$r pa ON ow.o = pa.id
          |  LEFT JOIN pt$r pt ON ow.o = pt.id
-         |  LEFT JOIN cb$r b ON b.a = pt.partner AND b.b = ow.w),
-         |fz$r AS MATERIALIZED (SELECT o, w FROM rw$r WHERE partner IS NULL OR w = partner OR inp),
+         |  LEFT JOIN cb$r b ON b.a = pt.partner AND b.b = ow.w
+         |  LEFT JOIN pa$r wb ON ow.w = wb.id),
+         |fz$r AS MATERIALIZED (SELECT o, w FROM rw$r
+         |  WHERE partner IS NULL OR w = partner OR inp OR wp IS NOT NULL),
          |pl$r AS MATERIALIZED (SELECT p, side, o, partner, w FROM rw$r
-         |  WHERE partner IS NOT NULL AND w != partner AND NOT inp),
+         |  WHERE partner IS NOT NULL AND w != partner AND NOT inp AND wp IS NULL),
          |c0$r AS MATERIALIZED (SELECT p, sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS c0 FROM pl$r GROUP BY p),
          |ag$r AS MATERIALIZED (SELECT CASE WHEN rn <= c0 THEN s0 ELSE s1 END AS o, w FROM (
          |    SELECT pl.w, c.c0,
@@ -2433,5 +2516,99 @@ object OracleSql {
        |  (SELECT deg FROM degt WHERE id = $seed) AS extw),
        |$stepCtes
        |SELECT id, ord, deg_int FROM m$steps""".stripMargin
+  }
+
+  // --- Electrical family (mirrors algo/Electrical.solveBatch): damped truncating
+  // integer Jacobi on the grounded Laplacian, batched over probes. `probeDef` must
+  // define qs (q) and pb (id, q, b); the CTE chain ends at x$iters (id, q, x). ---
+  private def jacobiCtes(scale: Long, iters: Int, probeDef: String): String = {
+    val steps = (1 to iters).map { i =>
+      s"""jm$i AS MATERIALIZED (SELECT bi.b AS id, x.q, sum(x.x) AS m
+         |  FROM x${i - 1} x JOIN bi ON x.id = bi.a GROUP BY 1, 2),
+         |x$i AS MATERIALIZED (SELECT b.id, b.q,
+         |  CAST(CASE WHEN b.id = 0 OR b.deg = 0 THEN 0
+         |       ELSE (x.x + (b.b * $scale + coalesce(m.m, 0)) // b.deg) // 2
+         |  END AS BIGINT) AS x
+         |  FROM bb b
+         |  JOIN x${i - 1} x ON b.id = x.id AND b.q = x.q
+         |  LEFT JOIN jm$i m ON b.id = m.id AND b.q = m.q)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$biCte,
+       |jdeg AS MATERIALIZED (SELECT a AS id, count(*) AS deg FROM bi GROUP BY 1),
+       |$probeDef,
+       |bb AS MATERIALIZED (SELECT v.id, q.q,
+       |  coalesce(d.deg, 0) AS deg, coalesce(p.b, 0) AS b
+       |  FROM verts v CROSS JOIN qs q
+       |  LEFT JOIN jdeg d ON v.id = d.id
+       |  LEFT JOIN pb p ON v.id = p.id AND q.q = p.q),
+       |x0 AS MATERIALIZED (SELECT id, q, CAST(0 AS BIGINT) AS x FROM bb),
+       |$steps""".stripMargin
+  }
+
+  private def jltProbeDef(k: Int, seed: Long): String =
+    s"""qs AS MATERIALIZED (SELECT g AS q FROM generate_series(0, ${k - 1}) t(g)),
+       |cu AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM edges),
+       |sg AS MATERIALIZED (SELECT u, v, q,
+       |  ${graft.algo.Electrical.signSql("u", "v", "q", seed, duck = true)} AS s
+       |  FROM cu CROSS JOIN qs),
+       |pb AS MATERIALIZED (SELECT id, q, sum(b) AS b FROM (
+       |  SELECT u AS id, q, s AS b FROM sg
+       |  UNION ALL SELECT v AS id, q, -s AS b FROM sg) GROUP BY 1, 2)""".stripMargin
+
+  /** Exact-pair effective resistance + commute time for pairs (0, v), v % mod = 0,
+    * v != 0 (mirrors Electrical.effectiveResistance). */
+  def effectiveResistance(mod: Long, iters: Int, scale: Long): String = {
+    val probeDef =
+      s"""pr AS MATERIALIZED (SELECT id AS q, CAST(0 AS BIGINT) AS u, id AS v
+         |  FROM verts WHERE id % $mod = 0 AND id != 0),
+         |qs AS MATERIALIZED (SELECT q FROM pr),
+         |pb AS MATERIALIZED (SELECT id, q, sum(b) AS b FROM (
+         |  SELECT u AS id, q, 1 AS b FROM pr
+         |  UNION ALL SELECT v AS id, q, -1 AS b FROM pr) GROUP BY 1, 2)""".stripMargin
+    s"""${jacobiCtes(scale, iters, probeDef)},
+       |cu2 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM edges)
+       |SELECT p.q, CAST(xu.x - xv.x AS BIGINT) AS r_scaled,
+       |  CAST(xu.x - xv.x AS DOUBLE) / $scale AS r,
+       |  2.0 * (SELECT count(*) FROM cu2) * CAST(xu.x - xv.x AS DOUBLE) / $scale AS commute
+       |FROM pr p
+       |JOIN x$iters xu ON xu.id = p.u AND xu.q = p.q
+       |JOIN x$iters xv ON xv.id = p.v AND xv.q = p.q""".stripMargin
+  }
+
+  /** JLT spanning-edge centrality (mirrors Electrical.spanningEdgeCentrality). */
+  def spanningEdge(k: Int, iters: Int, seed: Long, scale: Long): String = {
+    val denom = k.toDouble * scale * scale
+    s"""${jacobiCtes(scale, iters, jltProbeDef(k, seed))}
+       |SELECT cu.u AS src, cu.v AS dst,
+       |  CAST(sum((xu.x - xv.x) * (xu.x - xv.x)) AS BIGINT) AS sec_scaled,
+       |  CAST(sum((xu.x - xv.x) * (xu.x - xv.x)) AS DOUBLE) / $denom AS sec
+       |FROM cu
+       |JOIN x$iters xu ON xu.id = cu.u
+       |JOIN x$iters xv ON xv.id = cu.v AND xv.q = xu.q
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  /** JLT electrical closeness (mirrors Electrical.electricalCloseness): farness =
+    * Σ_q (n·y² − 2·y·S_q + T_q), y = x div 64. n comes from the data (count of
+    * verts), matching the engine's g.n; every factor of the closeness constant is an
+    * exact-in-double integer, so the product order is associativity-safe. */
+  def electricalCloseness(k: Int, iters: Int, seed: Long, scale: Long): String = {
+    val sEff = scale / 64L
+    s"""${jacobiCtes(scale, iters, jltProbeDef(k, seed))},
+       |ncv AS MATERIALIZED (SELECT count(*) AS n FROM verts),
+       |ys AS MATERIALIZED (SELECT id, q, x // 64 AS y FROM x$iters),
+       |st AS MATERIALIZED (SELECT q, sum(y) AS sq, sum(y * y) AS tq FROM ys GROUP BY 1)
+       |SELECT ys.id,
+       |  CAST(sum((SELECT n FROM ncv) * y * y - 2 * y * st.sq + st.tq) AS BIGINT)
+       |    AS farness_scaled,
+       |  CASE WHEN sum((SELECT n FROM ncv) * y * y - 2 * y * st.sq + st.tq) > 0
+       |       THEN CAST((SELECT n FROM ncv) - 1 AS DOUBLE) * ${k.toDouble * sEff * sEff}
+       |            / sum((SELECT n FROM ncv) * y * y - 2 * y * st.sq + st.tq)
+       |       ELSE 0.0 END AS closeness
+       |FROM ys JOIN st ON ys.q = st.q
+       |GROUP BY 1""".stripMargin
   }
 }

@@ -394,6 +394,116 @@ object Generators {
     (g, membership)
   }
 
+  /** Uniform-LCG degree sequence for the Havel–Hakimi gate:
+    * d(i) = minDeg + draw(i + seed·31) % (maxDeg − minDeg + 1), with d(0) bumped by
+    * one when the total is odd (a graphical sequence needs an even sum). Pure
+    * (seed, id) arithmetic plus one parity aggregate — the oracle replays both.
+    * Output (id, deg). */
+  def lcgDegreeSequence(spark: SparkSession, n: Long, minDeg: Long, maxDeg: Long,
+                        seed: Long = 42L): DataFrame = {
+    val span = maxDeg - minDeg + 1
+    val base = spark.range(n).select(col("id"),
+      (lit(minDeg) + expr(draw(s"id + $seed * 31")) % span).as("deg"))
+    val odd = base.agg(sum("deg")).head().getLong(0) % 2 == 1L
+    if (odd) base.select(col("id"),
+      when(col("id") === 0L, col("deg") + 1L).otherwise(col("deg")).as("deg"))
+    else base
+  }
+
+  /** Erdős–Gallai realizability profile of a degree sequence (the distributed check
+    * behind HavelHakimiGenerator / StaticDegreeSequenceGenerator.isRealizable,
+    * generators/StaticDegreeSequenceGenerator.cpp): with degrees sorted descending,
+    * for every k:  Σ_{i≤k} d_i  ≤  k(k−1) + Σ_{i>k} min(d_i, k).
+    * The right side folds through the degree HISTOGRAM (broadcast-sized): with
+    * c_k = #{d ≥ k} and S≥(k) = Σ_{d≥k} d,
+    *   Σ_{i>k} min(d_i,k) = (c_k − k)·k + S − S≥(k)   when c_k ≥ k,
+    *                      = S − Σ_{i≤k} d_i           otherwise —
+    * so the whole profile is one rank/prefix layout pass + one n×|hist| theta-join
+    * against the broadcast histogram, no pairwise table. Output (k, lhs, rhs, ok). */
+  def erdosGallai(spark: SparkSession, degSeq: DataFrame): DataFrame = {
+    import graft.layout.Layout
+    val pre = Layout.prefixSum(degSeq.select(col("id"), col("deg")),
+      Seq(col("deg").desc, col("id").asc), "deg", "pf")
+    val ranked = Layout.zipWithRankBy(pre,
+      Seq(col("deg").desc, col("id").asc), "r0")
+    val ks = ranked.select((col("r0") + 1L).as("k"),
+      (col("pf") + col("deg")).as("lhs"))
+    val hist = degSeq.groupBy("deg").agg(count(lit(1)).as("c"), sum("deg").as("sd"))
+    val stot = degSeq.agg(sum("deg")).head().getLong(0)
+    val cum = ks.join(broadcast(hist), hist("deg") >= ks("k"), "left")
+      .groupBy("k", "lhs")
+      .agg(coalesce(sum("c"), lit(0L)).as("ck"),
+        coalesce(sum("sd"), lit(0L)).as("sge"))
+    val out = cum.select(col("k"), col("lhs"),
+      (col("k") * (col("k") - 1L) +
+        when(col("ck") >= col("k"),
+          (col("ck") - col("k")) * col("k") + lit(stot) - col("sge"))
+          .otherwise(lit(stot) - col("lhs"))).as("rhs"))
+      .withColumn("ok", when(col("lhs") <= col("rhs"), 1L).otherwise(0L))
+      // Materialize BEFORE releasing the layout frames: zipWithRankBy/prefixSum
+      // pin their partition bounds via persistence — recomputing them after
+      // unpersist re-samples range bounds and corrupts ranks (Layout ownership
+      // contract).
+      .cutLineage
+    ranked.unpersist(); pre.unpersist()
+    out
+  }
+
+  /** Havel–Hakimi realization of a degree sequence
+    * (generators/HavelHakimiGenerator.cpp — the reference's bucketed priority
+    * queue): repeatedly connect the highest-residual node to the next-d highest
+    * (ties broken by smaller id). Inherently sequential — like the reference — so
+    * this runs driver-side and is meant for fixture/benchmark synthesis, not the
+    * 100 TB path; the REALIZABILITY check ([[erdosGallai]]) is the distributed
+    * half. Throws on non-graphical input (mirrors the reference's erroredOnRealization). */
+  def havelHakimi(spark: SparkSession, degSeq: DataFrame): LinkGraph = {
+    import spark.implicits._
+    val seq = degSeq.select("id", "deg").collect()
+      .map(r => (r.getLong(0), r.getLong(1).toInt))
+    val res = scala.collection.mutable.Map(seq: _*)
+    val edges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var active = seq.map(_._1).toArray
+    var done = false
+    while (!done) {
+      active = active.filter(res(_) > 0)
+      if (active.isEmpty) done = true
+      else {
+        val sortedIds = active.sortBy(id => (-res(id), id))
+        val u = sortedIds.head
+        val d = res(u)
+        require(sortedIds.length - 1 >= d,
+          s"sequence not realizable: node $u needs $d partners, ${sortedIds.length - 1} left")
+        res(u) = 0
+        sortedIds.slice(1, d + 1).foreach { v =>
+          require(res(v) > 0, s"sequence not realizable at node $v")
+          res(v) -= 1
+          edges += ((math.min(u, v), math.max(u, v)))
+        }
+      }
+    }
+    val edf = edges.toSeq.toDF("src", "dst").withColumn("weight", lit(1.0))
+    LinkGraph.fromEdges(spark, edf, Some(degSeq.select("id")))
+  }
+
+  /** ClusteredRandomGraphGenerator (generators/ClusteredRandomGraphGenerator.cpp:
+    * 17-48): each node joins a uniformly random cluster of k, then every pair gets a
+    * Bernoulli(pin) coin inside a cluster and Bernoulli(pout) across. The reference's
+    * per-pair coin loop is Θ(n²); this engine keeps the model (same expected density
+    * per block pair) but materializes the expected edge COUNT per block pair through
+    * the existing stochasticBlockmodel machinery — index-parallel, no n² scan.
+    * Membership is the pure (seed, id) draw formula, so the DuckDB oracle replays it
+    * exactly; the graph side is gated by the planted-recovery spec. Returns
+    * (graph, planted (id, block) partition). */
+  def clusteredRandomGraph(spark: SparkSession, n: Long, k: Int, pin: Double,
+                           pout: Double, seed: Long = 42L): (LinkGraph, DataFrame) = {
+    require(pin >= pout, "pin >= pout (reference asserts this)")
+    val base = seed * 104729L
+    val membership = spark.range(n).select(col("id"),
+      (expr(draw(s"id + $base")) % k).as("block"))
+    val aff = Seq.tabulate(k, k)((a, b) => if (a == b) pin else pout)
+    (stochasticBlockmodel(spark, membership, aff, seed), membership)
+  }
+
   private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
 
   /** Batched per-group Chung-Lu: expected-degree sampling where BOTH endpoints of a

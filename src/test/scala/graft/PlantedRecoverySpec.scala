@@ -53,6 +53,29 @@ class PlantedRecoverySpec extends AnyFunSuite {
     assert(nmiPlp >= 0.95)
   }
 
+  test("ClusteredRandomGraph: uniform membership, pin/pout density, PLM recovery") {
+    val (g, membership) =
+      Generators.clusteredRandomGraph(spark, 400L, 4, pin = 0.30, pout = 0.01, seed = 7L)
+    // Uniformly random assignment: every cluster populated, none dominant.
+    val sizes = membership.groupBy("block").count().collect().map(_.getLong(1))
+    assert(sizes.length == 4 && sizes.forall(s => s > 40 && s < 180), sizes.mkString(","))
+    // Deterministic.
+    val (g2, _) =
+      Generators.clusteredRandomGraph(spark, 400L, 4, pin = 0.30, pout = 0.01, seed = 7L)
+    assert(g.m == g2.m)
+    // Cross-cluster edge fraction small (pin >> pout).
+    val cross = g.canonicalUndirected
+      .join(membership.select(col("id").as("src"), col("block").as("bs")), "src")
+      .join(membership.select(col("id").as("dst"), col("block").as("bd")), "dst")
+      .filter(col("bs") =!= col("bd")).count()
+    assert(cross.toDouble / g.m < 0.15, s"cross=$cross of ${g.m}")
+    // PLM recovers the planted clusters.
+    val planted = membership.select(col("id"), col("block").as("label"))
+    val nmi = nmiOf(PLM.run(spark, g).labels, planted)
+    info(s"clusteredRandom PLM nmi = $nmi")
+    assert(nmi >= 0.80)
+  }
+
   test("LFR-like: sane structure, planted mixing respected, PLM recovery") {
     val (g, membership) = Generators.lfrLike(spark, n = 600, minDeg = 6L, maxDeg = 30L,
       gamma = 2.5, mu = 0.15, minCommunity = 40L, maxCommunity = 120L)
