@@ -425,6 +425,15 @@ object SparkEntry {
       val g = graph(s, dir)
       Betweenness.fixedPoint(s, g, g.vertices.filter(col("id") % 1000 === 0))
     }),
+    // KADABRA-estimator twin: fixed-budget sampled-pair single-shortest-path
+    // betweenness estimate (deterministic LCG pairs, min-id predecessor paths).
+    "q_kadabra_est" -> ((s, dir) =>
+      graft.algo.PathSampling.betweennessEstimate(s, graph(s, dir),
+        samples = 64, seed = 42L)),
+    // Mahmoody greedy max-coverage group betweenness over the same sampled paths.
+    "q_group_betweenness" -> ((s, dir) =>
+      graft.algo.PathSampling.approxGroupBetweenness(s, graph(s, dir), k = 4,
+        samples = 64, seed = 42L)),
     // DynBetweenness: incremental affected-source update after a star insert batch;
     // the oracle computes the COLD Brandes on the mutated graph — equality proves
     // the warm path.
@@ -832,6 +841,8 @@ object SparkEntry {
     "q_dyn_harmonic"     -> OracleSql.closenessHarmonicDyn(1000, 15, 997),
     "q_apsp"             -> OracleSql.apsp(100, 15),
     "q_dyn_apsp"         -> OracleSql.apspDyn(100, 15),
+    "q_kadabra_est"      -> OracleSql.kadabraEstimate(64, 42L, 18),
+    "q_group_betweenness" -> OracleSql.approxGroupBetweenness(4, 64, 42L, 18),
     "q_eff_resistance"   -> OracleSql.effectiveResistance(500L, 40, 16384L),
     "q_spanning_edge"    -> OracleSql.spanningEdge(6, 40, 42L, 16384L),
     "q_electrical_closeness" -> OracleSql.electricalCloseness(6, 40, 42L, 16384L),

@@ -2518,6 +2518,70 @@ object OracleSql {
        |SELECT id, ord, deg_int FROM m$steps""".stripMargin
   }
 
+  // --- Path-sampling family (mirrors algo/PathSampling): deterministic LCG pairs,
+  // msBFS from the distinct sources, min-id predecessor backward walk → hyperedge
+  // rows (j, id) over path interiors. ---
+  private def pathHyperedgeCtes(samples: Int, seed: Long, levels: Int): String = {
+    val b = seed * 92821L
+    val walk = (1 to levels).map { r =>
+      s"""wk$r AS MATERIALIZED (SELECT p.j, p.s, min(bi.a) AS cur, p.rem - 1 AS rem
+         |  FROM wk${r - 1} p
+         |  JOIN bi ON bi.b = p.cur
+         |  JOIN st$levels x ON x.s = p.s AND x.id = bi.a AND x.dist = p.rem - 1
+         |  WHERE p.rem > 1
+         |  GROUP BY p.j, p.s, p.rem)""".stripMargin
+    }.mkString(",\n")
+    val hypUnion = (1 to levels)
+      .map(r => s"SELECT j, cur AS id FROM wk$r").mkString("\n  UNION ALL ")
+    s"""$base,
+       |$biCte,
+       |prs AS MATERIALIZED (SELECT j, s, t FROM (
+       |  SELECT g AS j,
+       |    ${genDraw(s"g * 2 + $b")} % (SELECT count(*) FROM verts) AS s,
+       |    ${genDraw(s"g * 2 + 1 + $b")} % (SELECT count(*) FROM verts) AS t
+       |  FROM generate_series(0, ${samples - 1}) q(g)) z
+       |  WHERE s != t AND s IN (SELECT id FROM verts)
+       |    AND t IN (SELECT id FROM verts)),
+       |${msBfsCtesFrom(
+            "SELECT DISTINCT s, s AS id, 0 AS dist, CAST(1 AS BIGINT) AS sigma FROM prs",
+            levels)},
+       |wk0 AS MATERIALIZED (SELECT p.j, p.s, p.t AS cur, x.dist AS rem
+       |  FROM prs p JOIN st$levels x ON x.s = p.s AND x.id = p.t),
+       |$walk,
+       |hyp AS MATERIALIZED ($hypUnion)""".stripMargin
+  }
+
+  /** Fixed-budget KADABRA-estimator twin (mirrors PathSampling.betweennessEstimate). */
+  def kadabraEstimate(samples: Int, seed: Long, levels: Int): String =
+    s"""${pathHyperedgeCtes(samples, seed, levels)}
+       |SELECT v.id, coalesce(c.cnt, 0) AS cnt,
+       |  CAST(coalesce(c.cnt, 0) AS DOUBLE) / $samples AS bc_est
+       |FROM verts v
+       |LEFT JOIN (SELECT id, count(*) AS cnt FROM hyp GROUP BY 1) c ON v.id = c.id""".stripMargin
+
+  /** Greedy max-coverage group betweenness (mirrors
+    * PathSampling.approxGroupBetweenness): k unrolled greedy steps over the alive
+    * hyperedges, tie-break (gain DESC, id ASC). */
+  def approxGroupBetweenness(k: Int, samples: Int, seed: Long, levels: Int): String = {
+    val steps = (1 to k).map { i =>
+      s"""gn$i AS MATERIALIZED (SELECT v.id, coalesce(c.cnt, 0) AS gain FROM verts v
+         |  LEFT JOIN (SELECT h.id, count(*) AS cnt FROM hyp h
+         |    JOIN ha${i - 1} a ON h.j = a.j GROUP BY 1) c ON v.id = c.id
+         |  WHERE v.id NOT IN (SELECT id FROM hp${i - 1} WHERE id IS NOT NULL)),
+         |hb$i AS MATERIALIZED (SELECT CAST(${i - 1} AS BIGINT) AS ord, id,
+         |  CAST(gain AS BIGINT) AS gain FROM gn$i ORDER BY gain DESC, id ASC LIMIT 1),
+         |hp$i AS MATERIALIZED (SELECT * FROM hp${i - 1} UNION ALL SELECT * FROM hb$i),
+         |ha$i AS MATERIALIZED (SELECT a.j FROM ha${i - 1} a WHERE a.j NOT IN
+         |  (SELECT h.j FROM hyp h JOIN hb$i bb ON h.id = bb.id))""".stripMargin
+    }.mkString(",\n")
+    s"""${pathHyperedgeCtes(samples, seed, levels)},
+       |hp0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS ord, CAST(NULL AS BIGINT) AS id,
+       |  CAST(NULL AS BIGINT) AS gain WHERE 1 = 0),
+       |ha0 AS MATERIALIZED (SELECT DISTINCT j FROM hyp),
+       |$steps
+       |SELECT ord, id, gain FROM hp$k""".stripMargin
+  }
+
   // --- Electrical family (mirrors algo/Electrical.solveBatch): damped truncating
   // integer Jacobi on the grounded Laplacian, batched over probes. `probeDef` must
   // define qs (q) and pb (id, q, b); the CTE chain ends at x$iters (id, q, x). ---
