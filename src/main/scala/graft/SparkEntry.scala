@@ -191,6 +191,15 @@ object SparkEntry {
       graft.io.GraphReaders.readThrillBinary(s, p)
         .canonicalUndirected.select(col("src"), col("dst"))
     }),
+    "q_dibap_roundtrip" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val p = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/root/repo/target"), "vrt")
+        .resolve("g.dibap").toString
+      graft.io.GraphReaders.writeDibap(g, p)
+      graft.io.GraphReaders.readDibap(s, p)
+        .canonicalUndirected.select(col("src"), col("dst"))
+    }),
     "q_gt_roundtrip" -> ((s, dir) => {
       val g = graph(s, dir)
       val p = java.nio.file.Files.createTempDirectory(
@@ -303,6 +312,16 @@ object SparkEntry {
     // PlantedRecoverySpec (planted recovery + determinism + density).
     "q_clustered_random" -> ((s, _) =>
       graft.synth.Generators.clusteredRandomGraph(s, 3000L, 5, 0.02, 0.002, 42L)._2),
+    // Dynamic generator event streams (etype,u,v,w,t), each foldable back to the
+    // static graph at any prefix (DynamicGeneratorsSpec): path + DM + pubweb have
+    // exact oracles; hyperbolic is rows-only (geometric floats).
+    "q_dyn_path" -> ((s, _) => graft.streaming.DynamicGenerators.dynamicPath(s, 50L)),
+    "q_dyn_dm" -> ((s, _) =>
+      graft.streaming.DynamicGenerators.dynamicDorogovtsevMendes(s, 2000L, 42L)),
+    "q_dyn_pubweb" -> ((s, _) =>
+      graft.streaming.DynamicGenerators.dynamicPubWeb(s, 800L, steps = 3)),
+    "q_dyn_hyperbolic" -> ((s, _) =>
+      graft.streaming.DynamicGenerators.dynamicHyperbolic(s, 600L, R = 4.0, steps = 3)),
     "q_group_closeness" -> ((s, dir) =>
       graft.algo.GroupCentrality.groupCloseness(s, graph(s, dir), k = 4,
         poolSize = 16, maxLevels = 15)),
@@ -481,6 +500,17 @@ object SparkEntry {
     // (Electrical.solveBatch) behind exact pair probes (resistance/commute) and
     // JLT probes (all-edges SEC, all-nodes closeness); the oracle replays the
     // truncating-integer iteration bit-exactly. ---
+    // Bounded-exploration Dijkstra: only the distance-<=12 ball around node 0.
+    "q_incomplete_dijkstra" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val wExpr = lit(1L) + pmod(col("src") + col("dst"), lit(5L))
+      Distances.incompleteDijkstra(s, g, 0L, wExpr, bound = 12L)
+    }),
+    // Current-flow (effective-resistance) group closeness: greedy over the shared
+    // JLT probe solutions — no extra solves per candidate.
+    "q_cf_group_closeness" -> ((s, dir) =>
+      graft.algo.Electrical.currentFlowGroupCloseness(s, graph(s, dir), k = 4,
+        poolMod = 500L, targetMod = 100L, probes = 6, iters = 40, seed = 42L)),
     "q_eff_resistance" -> ((s, dir) => {
       val g = graph(s, dir)
       val pairs = g.vertices.filter(col("id") % 500 === 0 && col("id") =!= 0L)
@@ -792,11 +822,15 @@ object SparkEntry {
     "q_metis_roundtrip"  -> OracleSql.undirectedEdges,
     "q_thrill_roundtrip" -> OracleSql.undirectedEdges,
     "q_gt_roundtrip"     -> OracleSql.undirectedEdges,
+    "q_dibap_roundtrip"  -> OracleSql.undirectedEdges,
     "q_snap_roundtrip"   -> OracleSql.edges,
     "q_group_closeness"  -> OracleSql.groupCloseness(4, 16, 15),
     "q_gen_er"           -> OracleSql.generatorEr(5000L, 20000L, 42L),
     "q_clustered_random" -> OracleSql.clusteredRandomMembership(3000L, 5, 42L),
     "q_erdos_gallai"     -> OracleSql.erdosGallai,
+    "q_dyn_path"         -> OracleSql.dynPath(50L),
+    "q_dyn_dm"           -> OracleSql.dynDm(2000L, 42L),
+    "q_dyn_pubweb"       -> OracleSql.dynPubWeb(800L, 3, 10, 8, 64),
     "q_havel_hakimi"     -> OracleSql.lcgDegreeHistogram(2000L, 2L, 6L, 42L),
     "q_gen_ws"           -> OracleSql.generatorWs(3000L, 6, 0.1, 42L),
     "q_gen_rmat"         -> OracleSql.generatorRmat(12, 8, 42L),
@@ -843,6 +877,8 @@ object SparkEntry {
     "q_dyn_apsp"         -> OracleSql.apspDyn(100, 15),
     "q_kadabra_est"      -> OracleSql.kadabraEstimate(64, 42L, 18),
     "q_group_betweenness" -> OracleSql.approxGroupBetweenness(4, 64, 42L, 18),
+    "q_incomplete_dijkstra" -> OracleSql.incompleteDijkstra(0L, 40, 12L),
+    "q_cf_group_closeness"  -> OracleSql.cfGroupCloseness(4, 500L, 100L, 6, 40, 42L, 16384L),
     "q_eff_resistance"   -> OracleSql.effectiveResistance(500L, 40, 16384L),
     "q_spanning_edge"    -> OracleSql.spanningEdge(6, 40, 42L, 16384L),
     "q_electrical_closeness" -> OracleSql.electricalCloseness(6, 40, 42L, 16384L),

@@ -101,6 +101,44 @@ object Distances {
     dist.select(col("id"), when(col("dist") >= inf, -1L).otherwise(col("dist")).as("dist"))
   }
 
+  /** IncompleteDijkstra (/root/reference/networkit/cpp/distance/
+    * IncompleteDijkstra.cpp — the bounded-exploration Dijkstra the pruning
+    * centralities consume): weighted SSSP that never relaxes past `bound`. Same
+    * frontier relaxation as [[weightedSssp]] with the relax join PRE-FILTERED to
+    * ds + w <= bound — the per-round shuffle shrinks to the distance ball around
+    * the source instead of the whole graph (the point of the operator at scale).
+    * Output only the settled ball: (id, dist) with dist <= bound. */
+  def incompleteDijkstra(spark: SparkSession, g: LinkGraph, source: Long,
+                         weight: org.apache.spark.sql.Column, bound: Long,
+                         maxRounds: Int = 200): DataFrame = {
+    val inf = 999999999L
+    val bi = g.bidirected.select(col("src"), col("dst"), weight.cast("long").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    bi.count()
+    var dist = g.vertices
+      .select(col("id"), when(col("id") === source, 0L).otherwise(inf).as("dist"))
+      .cutLineage
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val relax = bi.join(dist.select(col("id").as("src"), col("dist").as("ds")), "src")
+        .filter(col("ds") < inf && col("ds") + col("w") <= bound)
+        .groupBy(col("dst").as("id")).agg(min(col("ds") + col("w")).as("cand"))
+      val next = dist.join(relax, Seq("id"), "left")
+        .select(col("id"),
+          least(col("dist"), coalesce(col("cand"), col("dist"))).as("dist"),
+          (col("cand") < col("dist")).as("changed"))
+        .cutLineageLazy
+      changed = next.filter(col("changed")).count()
+      val prev = dist
+      dist = next.select("id", "dist").cutLineage
+      prev.releaseState(); next.releaseState()
+      round += 1
+    }
+    bi.unpersist()
+    dist.filter(col("dist") <= bound)
+  }
+
   /** EXACT diameter by iFub (/root/reference/networkit/cpp/distance/Diameter.cpp:1-324,
     * the iFUB algorithm): two-sweep from `start` picks the far node u (ties: smallest
     * id); BFS levels from u order the candidates; then walk fringes top-down — the

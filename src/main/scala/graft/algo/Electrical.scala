@@ -142,6 +142,62 @@ object Electrical {
       .withColumn("sec", col("sec_scaled").cast("double") / (k.toDouble * scale * scale))
   }
 
+  /** CurrentFlowGroupCloseness (centrality/CurrentFlowGroupCloseness.cpp — group
+    * closeness under effective-resistance distance, greedy submodular selection):
+    * from the SAME k JLT probe solutions, R(u,v) for ANY pair is the integer sum
+    * Σ_q (y_u − y_v)², so the greedy farness-reduction argmax over a candidate
+    * pool × sampled target set needs NO further solves. `poolMod`/`targetMod`
+    * sample candidates/targets deterministically (the reference evaluates all n —
+    * its O(n·k) solver sweeps are the same tractability split as TopCloseness's
+    * sampled variants here). Output (ord, id, gain_scaled): gain_scaled = the
+    * exact-integer drop in Σ_v min_{s∈S} rsq(v, S) at each pick. */
+  def currentFlowGroupCloseness(spark: SparkSession, g: LinkGraph, k: Int,
+                                poolMod: Long, targetMod: Long, probes: Int,
+                                iters: Int, seed: Long = 42L,
+                                scale: Long = Scale): DataFrame = {
+    import spark.implicits._
+    val x = solveBatch(spark, g, jltProbes(g, probes, seed), iters, scale)
+    val y = x.select(col("id"), col("q"), expr("x div 64").as("y"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    y.count()
+    val pool = g.vertices.filter(col("id") % poolMod === 0)
+      .select(col("id").as("c"))
+    val targets = g.vertices.filter(col("id") % targetMod === 0)
+      .select(col("id").as("v"))
+    val rr = broadcast(pool).crossJoin(targets)
+      .join(y.select(col("id").as("c"), col("q"), col("y").as("yc")), Seq("c"))
+      .join(y.select(col("id").as("v"), col("q"), col("y").as("yv")), Seq("v", "q"))
+      .groupBy("c", "v")
+      .agg(sum((col("yc") - col("yv")) * (col("yc") - col("yv"))).as("rsq"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    rr.count()
+    y.unpersist()
+    // Greedy: best(v) starts at +inf (no member yet); pick argmax total reduction.
+    // inf = 2^45: far above any reachable rsq (≤ probes·(2·ymax)² ≲ 2^35) yet small
+    // enough that Σ_v inf in the first-round gain stays inside int64 (ANSI mode).
+    val inf = 1L << 45
+    var best = rr.select(col("v")).distinct().withColumn("best", lit(inf))
+    var picked = List.empty[(Long, Long, Long)]
+    var ord = 0L
+    while (ord < k) {
+      val gains = rr.join(best, Seq("v"))
+        .groupBy("c")
+        .agg(sum(col("best") - least(col("best"), col("rsq"))).as("gain"))
+        .filter(!col("c").isInCollection(
+          if (picked.isEmpty) Seq(-1L) else picked.map(_._2)))
+        .orderBy(desc("gain"), asc("c")).limit(1).head()
+      val cSel = gains.getLong(0)
+      picked = picked :+ ((ord, cSel, gains.getLong(1)))
+      best = best.join(rr.filter(col("c") === cSel).select(col("v"), col("rsq")),
+          Seq("v"), "left")
+        .select(col("v"), least(col("best"), coalesce(col("rsq"), col("best")))
+          .as("best"))
+      ord += 1
+    }
+    rr.unpersist()
+    picked.toDF("ord", "id", "gain_scaled")
+  }
+
   /** Electrical closeness (ApproxElectricalCloseness.cpp semantics — closeness with
     * effective-resistance farness): from the same k JLT probe solutions,
     * Σ_v R(u,v) ≈ Σ_q (n·y_u² − 2·y_u·S_q + T_q) / (k·s²) with y = x div 64 (the

@@ -790,4 +790,78 @@ object GraphReaders extends Serializable {
     // decoded rows ARE the canonical edge set either way.
     LinkGraph.fromEdges(spark, edges, Some(spark.range(n).select(col("id"))))
   }
+
+  // --- DibaP binary CSR exchange (io/DibapGraphReader.cpp:15-165): big-endian;
+  // short magic 'GI' (0x4749), int V, int dvw (+ V·dvw vertex weights), int
+  // offsets of[V+1], int targets to[of[V]] (symmetric adjacency — both
+  // directions), int dew (+ numE2·dew integer edge weights), int dxy (+ V·dxy
+  // float coords). The reference keeps edges with v <= to[e]. Single-file format
+  // (the reference has no writer; writeDibap exists for the roundtrip gate and
+  // assembles driver-side — fixture scale, per the single-file-writer policy). ---
+
+  def writeDibap(g: LinkGraph, path: String): Unit = {
+    val adjRows = g.bidirected.select("src", "dst")
+      .groupBy(col("src")).agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val V = g.n.toInt
+    val bos = new java.io.ByteArrayOutputStream(1 << 20)
+    val out = new java.io.DataOutputStream(bos) // DataOutputStream IS big-endian
+    out.writeShort(('G' << 8) | 'I')
+    out.writeInt(V)
+    out.writeInt(0) // dvw
+    val degs = (0 until V).map(v => adjRows.getOrElse(v.toLong, Array.empty[Long]).length)
+    var acc = 0
+    out.writeInt(0)
+    degs.foreach { d => acc += d; out.writeInt(acc) }
+    (0 until V).foreach { v =>
+      adjRows.getOrElse(v.toLong, Array.empty[Long]).foreach(t => out.writeInt(t.toInt))
+    }
+    out.writeInt(0) // dew
+    out.writeInt(0) // dxy
+    out.close()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path).getParent)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bos.toByteArray)
+  }
+
+  def readDibap(spark: SparkSession, path: String): LinkGraph = {
+    import spark.implicits._
+    val rows = spark.read.format("binaryFile").load(path)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap { bytes =>
+        def int(pos: Int): Int = (((bytes(pos) & 0xFF) << 24) |
+          ((bytes(pos + 1) & 0xFF) << 16) | ((bytes(pos + 2) & 0xFF) << 8) |
+          (bytes(pos + 3) & 0xFF))
+        require(((bytes(0) & 0xFF) << 8 | (bytes(1) & 0xFF)) == (('G' << 8) | 'I'),
+          "not a DibaP binary file")
+        var pos = 2
+        val v = int(pos); pos += 4
+        val dvw = int(pos); pos += 4
+        pos += 4 * v * dvw
+        val of = Array.tabulate(v + 1) { i => int(pos + 4 * i) }
+        pos += 4 * (v + 1)
+        val numE2 = of(v)
+        val to = Array.tabulate(numE2) { i => int(pos + 4 * i) }
+        pos += 4 * numE2
+        val dew = int(pos); pos += 4
+        val ew = if (dew > 0) Array.tabulate(numE2 * dew) { i => int(pos + 4 * i) }
+                 else Array.empty[Int]
+        // header row carries n; edge rows keep v <= to[e] like the reference
+        Iterator.single((-1L, v.toLong, 1.0)) ++
+          (0 until v).iterator.flatMap { u =>
+            (of(u) until of(u + 1)).iterator
+              .filter(e => u <= to(e))
+              .map(e => (u.toLong, to(e).toLong,
+                if (dew > 0) ew(e * dew).toDouble else 1.0))
+          }
+      }.toDF("src", "dst", "weight")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rows.count()
+    val n = rows.filter(col("src") === -1L).head().getLong(1)
+    val edges = rows.filter(col("src") =!= -1L)
+    val g = LinkGraph.fromEdges(spark, edges,
+      Some(spark.range(n).select(col("id"))))
+    g.edges.count()
+    rows.unpersist()
+    g
+  }
 }

@@ -636,6 +636,14 @@ object OracleSql {
        |SELECT id, CAST(CASE WHEN dist >= $inf THEN -1 ELSE dist END AS BIGINT) AS dist FROM w$rounds""".stripMargin
   }
 
+  /** Bounded weighted SSSP (mirrors Distances.incompleteDijkstra: settled ball
+    * dist <= bound only; the relax cap ds + w <= bound cannot change any settled
+    * distance <= bound, so filtering the full fixpoint is the same table). */
+  def incompleteDijkstra(source: Long, rounds: Int, bound: Long): String =
+    s"""SELECT id, dist FROM (
+       |${weightedSssp(source, rounds)}
+       |) z WHERE dist >= 0 AND dist <= $bound""".stripMargin
+
   /** Cold weighted Bellman-Ford on the MUTATED graph (edges + the source→(id % addMod
     * == 0) star, w = 1 + (a+b) % 5 everywhere) — the oracle for the warm DynSSSP
     * repair (mirrors Distances.weightedSsspWarm ≡ cold recompute). */
@@ -2211,6 +2219,92 @@ object OracleSql {
        |  UNION ALL SELECT src, dst FROM resolved)""".stripMargin
   }
 
+  /** DynamicPathGenerator event stream (mirrors DynamicGenerators.dynamicPath). */
+  def dynPath(steps: Long): String =
+    s"""SELECT 'an' AS etype, CAST(g AS BIGINT) AS u, CAST(NULL AS BIGINT) AS v,
+       |  1.0 AS w, CAST(g AS BIGINT) AS t FROM generate_series(0, $steps) s(g)
+       |UNION ALL
+       |SELECT 'ae', CAST(g - 1 AS BIGINT), CAST(g AS BIGINT), 1.0,
+       |  CAST(g AS BIGINT) FROM generate_series(1, $steps) s2(g)""".stripMargin
+
+  /** DynamicDorogovtsevMendes event stream (mirrors
+    * DynamicGenerators.dynamicDorogovtsevMendes — the DM chase replay plus the
+    * arrival-step mapping t = max(src − 2, 0)). */
+  def dynDm(n: Long, seed: Long): String = {
+    def p(t: String) = s"(${genDraw(s"($t)*31 + $seed*1299709")} % (2*($t) - 3))"
+    s"""WITH RECURSIVE chase(j, src, want, q) AS (
+       |  SELECT g AS j, 3 + (g - 3) // 2 AS src, (g - 3) % 2 AS want,
+       |    ${p("3 + (g - 3) // 2")} AS q
+       |  FROM generate_series(3, ${2 * n - 4}) s(g)
+       |  UNION ALL
+       |  SELECT j, src, (q - 3) % 2 AS want, ${p("3 + (q - 3) // 2")} AS q
+       |  FROM chase WHERE want = 0 AND q >= 3
+       |),
+       |resolved AS (
+       |  SELECT j, src,
+       |    CASE WHEN q < 3 THEN
+       |      CASE WHEN want = 0
+       |        THEN (CASE q WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 0 END)
+       |        ELSE (CASE q WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 2 END) END
+       |    ELSE 3 + (q - 3) // 2 END AS dst
+       |  FROM chase WHERE want = 1 OR q < 3
+       |),
+       |dme AS (SELECT 0 AS src, 1 AS dst UNION ALL SELECT 1, 2 UNION ALL SELECT 2, 0
+       |  UNION ALL SELECT src, dst FROM resolved)
+       |SELECT 'an' AS etype, CAST(g AS BIGINT) AS u, CAST(NULL AS BIGINT) AS v,
+       |  1.0 AS w, CAST(greatest(g - 2, 0) AS BIGINT) AS t
+       |FROM generate_series(0, ${n - 1}) ns(g)
+       |UNION ALL
+       |SELECT 'ae', CAST(src AS BIGINT), CAST(dst AS BIGINT), 1.0,
+       |  CAST(greatest(src - 2, 0) AS BIGINT) FROM dme""".stripMargin
+  }
+
+  /** DynamicPubWeb event stream (mirrors DynamicGenerators.dynamicPubWeb): per-step
+    * brute-force mutual-kNN graphs on integer-drifted torus points, edit scripts
+    * between consecutive steps. All-integer coordinates — hash-exact. */
+  def dynPubWeb(n: Long, steps: Int, areas: Int, maxNeigh: Int, rDiv: Int,
+                seed: Long = 42L): String = {
+    val Q = 1L << 20
+    val R = Q / rDiv
+    val V = R / 8
+    val cx = graft.synth.Generators.pubWebCoordSql(0, areas, Q, R, seed, duck = true)
+    val cy = graft.synth.Generators.pubWebCoordSql(1, areas, Q, R, seed, duck = true)
+    def vel(off: Int) = s"(((${graft.synth.Generators.drawSql(
+      s"id*5 + $off + $seed*130003", duck = true)} // 128) % ${2 * V + 1}) - $V)"
+    val stepCtes = (0 to steps).map { t =>
+      s"""pts$t AS MATERIALIZED (SELECT id,
+         |  ((($cx) + $t * ${vel(0)}) % $Q + $Q) % $Q AS x,
+         |  ((($cy) + $t * ${vel(1)}) % $Q + $Q) % $Q AS y FROM ids),
+         |cand$t AS MATERIALIZED (SELECT a.id AS u, b.id AS v,
+         |    least(abs(a.x - b.x), $Q - abs(a.x - b.x)) * least(abs(a.x - b.x), $Q - abs(a.x - b.x))
+         |    + least(abs(a.y - b.y), $Q - abs(a.y - b.y)) * least(abs(a.y - b.y), $Q - abs(a.y - b.y)) AS d2
+         |  FROM pts$t a JOIN pts$t b ON a.id != b.id),
+         |rk$t AS MATERIALIZED (SELECT u, v FROM (
+         |    SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY d2, v) AS rn
+         |    FROM cand$t WHERE d2 <= ${R * R}) z WHERE rn <= $maxNeigh),
+         |es$t AS MATERIALIZED (SELECT a.u AS src, a.v AS dst FROM rk$t a
+         |  JOIN rk$t b ON a.u = b.v AND a.v = b.u WHERE a.u < a.v)""".stripMargin
+    }.mkString(",\n")
+    val diffs = (1 to steps).map { t =>
+      s"""SELECT 're' AS etype, CAST(p.src AS BIGINT) AS u, CAST(p.dst AS BIGINT) AS v,
+         |  0.0 AS w, CAST($t AS BIGINT) AS t FROM es${t - 1} p
+         |  WHERE NOT EXISTS (SELECT 1 FROM es$t c WHERE c.src = p.src AND c.dst = p.dst)
+         |UNION ALL
+         |SELECT 'ae', CAST(c.src AS BIGINT), CAST(c.dst AS BIGINT), 1.0,
+         |  CAST($t AS BIGINT) FROM es$t c
+         |  WHERE NOT EXISTS (SELECT 1 FROM es${t - 1} p WHERE p.src = c.src AND p.dst = c.dst)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ids AS MATERIALIZED (SELECT g AS id FROM generate_series(0, ${n - 1}) s(g)),
+       |$stepCtes
+       |SELECT 'an' AS etype, CAST(id AS BIGINT) AS u, CAST(NULL AS BIGINT) AS v,
+       |  1.0 AS w, CAST(0 AS BIGINT) AS t FROM ids
+       |UNION ALL
+       |SELECT 'ae', CAST(src AS BIGINT), CAST(dst AS BIGINT), 1.0, CAST(0 AS BIGINT)
+       |FROM es0
+       |UNION ALL
+       |$diffs""".stripMargin
+  }
+
   /** PubWeb brute-force replay (mirrors Generators.pubWeb — the engine's cell-ring
     * torus join + mutual-kNN must produce exactly the O(n²) definition; the shared
     * pubWebCoordSql fragment guarantees identical positions). */
@@ -2653,6 +2747,40 @@ object OracleSql {
        |JOIN x$iters xu ON xu.id = cu.u
        |JOIN x$iters xv ON xv.id = cu.v AND xv.q = xu.q
        |GROUP BY 1, 2""".stripMargin
+  }
+
+  /** Current-flow group closeness (mirrors Electrical.currentFlowGroupCloseness):
+    * rsq(c,v) from the shared JLT probe solutions, k unrolled greedy
+    * farness-reduction steps, inf = 2^45 (the engine's overflow-safe sentinel). */
+  def cfGroupCloseness(k: Int, poolMod: Long, targetMod: Long, probes: Int,
+                       iters: Int, seed: Long, scale: Long): String = {
+    val inf = 1L << 45
+    val steps = (1 to k).map { i =>
+      s"""cg$i AS MATERIALIZED (SELECT r.c, sum(b.best - least(b.best, r.rsq)) AS gain
+         |  FROM rr r JOIN bst${i - 1} b ON r.v = b.v
+         |  WHERE r.c NOT IN (SELECT id FROM cp${i - 1} WHERE id IS NOT NULL)
+         |  GROUP BY r.c),
+         |cb$i AS MATERIALIZED (SELECT CAST(${i - 1} AS BIGINT) AS ord, c AS id,
+         |  CAST(gain AS BIGINT) AS gain_scaled FROM cg$i
+         |  ORDER BY gain DESC, c ASC LIMIT 1),
+         |cp$i AS MATERIALIZED (SELECT * FROM cp${i - 1} UNION ALL SELECT * FROM cb$i),
+         |bst$i AS MATERIALIZED (SELECT b.v,
+         |  CAST(least(b.best, coalesce(r.rsq, b.best)) AS BIGINT) AS best
+         |  FROM bst${i - 1} b LEFT JOIN (SELECT rr.v, rr.rsq FROM rr
+         |    JOIN cb$i ON rr.c = cb$i.id) r ON b.v = r.v)""".stripMargin
+    }.mkString(",\n")
+    s"""${jacobiCtes(scale, iters, jltProbeDef(probes, seed))},
+       |ys AS MATERIALIZED (SELECT id, q, x // 64 AS y FROM x$iters),
+       |rr AS MATERIALIZED (SELECT ca.id AS c, ta.id AS v,
+       |  CAST(sum((ca.y - ta.y) * (ca.y - ta.y)) AS BIGINT) AS rsq
+       |  FROM (SELECT * FROM ys WHERE id % $poolMod = 0) ca
+       |  JOIN (SELECT * FROM ys WHERE id % $targetMod = 0) ta ON ca.q = ta.q
+       |  GROUP BY 1, 2),
+       |bst0 AS MATERIALIZED (SELECT DISTINCT v, CAST($inf AS BIGINT) AS best FROM rr),
+       |cp0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS ord, CAST(NULL AS BIGINT) AS id,
+       |  CAST(NULL AS BIGINT) AS gain_scaled WHERE 1 = 0),
+       |$steps
+       |SELECT ord, id, gain_scaled FROM cp$k""".stripMargin
   }
 
   /** JLT electrical closeness (mirrors Electrical.electricalCloseness): farness =

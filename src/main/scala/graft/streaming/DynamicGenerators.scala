@@ -42,4 +42,119 @@ object DynamicGenerators {
     GraphEvents.applyBatch(
       events.filter(lit(false)).select(col("u").as("src"), col("v").as("dst"), col("w").as("weight")),
       events.filter(col("t") <= upTo))
+
+  /** Step-ordered prefix fold: one applyBatch per time step t <= upTo (GraphUpdater
+    * semantics — [[prefixEdges]]'s single-batch set fold is only valid for
+    * append-only streams; movement streams toggle edges across steps). */
+  def foldSteps(spark: SparkSession, events: DataFrame, upTo: Long): DataFrame = {
+    import graft.DataFrameLineageOps
+    var edges = events.filter(lit(false))
+      .select(col("u").as("src"), col("v").as("dst"), col("w").as("weight"))
+    val ts = events.filter(col("t") <= upTo).select("t").distinct()
+      .orderBy("t").collect().map(_.getLong(0))
+    ts.foreach { t =>
+      edges = GraphEvents.applyBatch(edges, events.filter(col("t") === t)).cutLineage
+    }
+    edges
+  }
+
+  /** DynamicPathGenerator (generators/DynamicPathGenerator.cpp:12-29): step t adds
+    * node t and edge (t−1, t). Pure index arithmetic — the oracle replays it. */
+  def dynamicPath(spark: SparkSession, steps: Long): DataFrame = {
+    val nodes = spark.range(steps + 1).select(lit("an").as("etype"),
+      col("id").as("u"), lit(null).cast("long").as("v"), lit(1.0).as("w"),
+      col("id").as("t"))
+    val edges = spark.range(1, steps + 1).select(lit("ae").as("etype"),
+      (col("id") - 1L).as("u"), col("id").as("v"), lit(1.0).as("w"),
+      col("id").as("t"))
+    nodes.union(edges)
+  }
+
+  /** DynamicDorogovtsevMendesGenerator (generators/DynamicDorogovtsevMendes
+    * Generator.cpp): DM is incremental by construction — node t >= 3 arrives at
+    * step t−2 with its two edges (the static generator records the creating node
+    * as src), the seed triangle at t=0. An event VIEW over the static generator,
+    * foldable back to it at every prefix. */
+  def dynamicDorogovtsevMendes(spark: SparkSession, n: Long,
+                               seed: Long = 42L): DataFrame = {
+    val g = Generators.dorogovtsevMendes(spark, n, seed)
+    val nodeEvents = g.vertices.select(lit("an").as("etype"), col("id").as("u"),
+      lit(null).cast("long").as("v"), lit(1.0).as("w"),
+      greatest(col("id") - 2L, lit(0L)).as("t"))
+    val edgeEvents = g.edges.select(lit("ae").as("etype"), col("src").as("u"),
+      col("dst").as("v"), col("weight").as("w"),
+      greatest(col("src") - 2L, lit(0L)).as("t"))
+    nodeEvents.union(edgeEvents)
+  }
+
+  /** Shared movement-model dynamic source: snapshot events at t=0 (all nodes +
+    * G_0's edges), then per step the graphDifference edit script G_{t−1} → G_t.
+    * Folding the prefix back reproduces G_t exactly (spec-gated). */
+  private def movementEvents(spark: SparkSession, n: Long, steps: Int,
+                             graphAt: Int => graft.model.LinkGraph): DataFrame = {
+    import graft.DataFrameLineageOps
+    var prev = graphAt(0)
+    var ev = spark.range(n).select(lit("an").as("etype"), col("id").as("u"),
+        lit(null).cast("long").as("v"), lit(1.0).as("w"), lit(0L).as("t"))
+      .union(prev.canonicalUndirected.select(lit("ae").as("etype"),
+        col("src").as("u"), col("dst").as("v"), col("weight").as("w"),
+        lit(0L).as("t")))
+      .cutLineage
+    var t = 1
+    while (t <= steps) {
+      val cur = graphAt(t)
+      ev = ev.union(GraphEvents
+          .graphDifference(prev.canonicalUndirected, cur.canonicalUndirected)
+          .withColumn("t", lit(t.toLong)))
+        .cutLineage
+      prev.canonicalUndirected.unpersist()
+      prev = cur
+      t += 1
+    }
+    prev.canonicalUndirected.unpersist()
+    ev
+  }
+
+  /** DynamicHyperbolicGenerator (generators/DynamicHyperbolicGenerator.cpp — node
+    * movement in the hyperbolic disk re-derives the threshold graph): each node
+    * drifts angularly by its own per-node LCG rate per step; events are the
+    * per-step edge diffs. Geometric floats keep this spec-gated (fold-back parity)
+    * rather than oracle-hashed. */
+  def dynamicHyperbolic(spark: SparkSession, n: Long, R: Double, steps: Int,
+                        driftFrac: Double = 0.02, alpha: Double = 1.0,
+                        seed: Long = 42L): DataFrame = {
+    val M = graft.synth.GraphSpec.M.toDouble
+    val driftSql = s"(CAST(${Generators.drawSql(s"id*3 + $seed*104651", duck = false)} AS DOUBLE)" +
+      s" / $M - 0.5) * ${2.0 * math.Pi * driftFrac}"
+    movementEvents(spark, n, steps, t => {
+      val pts = Generators.hyperbolicPoints(spark, n, R, alpha, seed)
+        .select(col("id"),
+          (col("theta") + lit(t.toDouble) * expr(driftSql)).as("theta"), col("r"))
+      Generators.hyperbolicFromPoints(spark, pts, n, R)
+    })
+  }
+
+  /** DynamicPubWebGenerator (generators/DynamicPubWebGenerator.cpp — point
+    * movement on the torus): each node gets an integer per-node velocity (vx, vy)
+    * from the LCG, position at step t = (p + t·v) mod 2^20 — ALL integer
+    * arithmetic, so the DuckDB oracle replays every step's mutual-kNN graph and
+    * the edit stream hash-exactly. */
+  def dynamicPubWeb(spark: SparkSession, n: Long, steps: Int, areas: Int = 10,
+                    maxNeigh: Int = 8, rDiv: Int = 64,
+                    seed: Long = 42L): DataFrame = {
+    val Q = 1L << 20
+    val R = Q / rDiv
+    val V = R / 8
+    def vel(off: Int) = s"((${graft.synth.GraphSpec.idiv(
+      Generators.drawSql(s"id*5 + $off + $seed*130003", duck = false), "128", duck = false)}" +
+      s" % ${2 * V + 1}) - $V)"
+    movementEvents(spark, n, steps, t => {
+      val pts = spark.range(n).select(col("id"),
+        pmod(expr(Generators.pubWebCoordSql(0, areas, Q, R, seed, duck = false)) +
+          lit(t.toLong) * expr(vel(0)), lit(Q)).as("x"),
+        pmod(expr(Generators.pubWebCoordSql(1, areas, Q, R, seed, duck = false)) +
+          lit(t.toLong) * expr(vel(1)), lit(Q)).as("y"))
+      Generators.pubWebFromPoints(spark, pts, maxNeigh, rDiv)
+    })
+  }
 }

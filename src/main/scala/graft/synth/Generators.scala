@@ -174,8 +174,14 @@ object Generators {
     cosh(ra) * cosh(rb) - sinh(ra) * sinh(rb) * cos(ta - tb) <= math.cosh(R)
 
   def hyperbolic(spark: SparkSession, n: Long, R: Double, alpha: Double = 1.0,
-                 seed: Long = 42L): LinkGraph = {
-    val pts = hyperbolicPoints(spark, n, R, alpha, seed)
+                 seed: Long = 42L): LinkGraph =
+    hyperbolicFromPoints(spark, hyperbolicPoints(spark, n, R, alpha, seed), n, R)
+
+  /** Threshold graph of an explicit point table (id, theta, r) — the static
+    * generator's spatial-join core, shared with the movement-driven dynamic twin. */
+  def hyperbolicFromPoints(spark: SparkSession, points: DataFrame, n: Long,
+                           R: Double): LinkGraph = {
+    val pts = points
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pts.count()
     val connects = hyperbolicConnects(R) _
@@ -686,11 +692,22 @@ object Generators {
     require(rDiv >= 4 && (1L << 20) % rDiv == 0, "rDiv must divide the grid")
     val Q = 1L << 20
     val R = Q / rDiv
-    val C = rDiv.toLong // cells per axis
     val pts = spark.range(n)
       .select(col("id"),
         expr(pubWebCoordSql(0, areas, Q, R, seed, duck = false)).as("x"),
         expr(pubWebCoordSql(1, areas, Q, R, seed, duck = false)).as("y"))
+    pubWebFromPoints(spark, pts, maxNeigh, rDiv)
+  }
+
+  /** Mutual-kNN torus graph of an explicit integer point table (id, x, y) on the
+    * 2^20 grid — the static generator's cell-ring core, shared with the
+    * movement-driven dynamic twin. */
+  def pubWebFromPoints(spark: SparkSession, points: DataFrame, maxNeigh: Int,
+                       rDiv: Int): LinkGraph = {
+    val Q = 1L << 20
+    val R = Q / rDiv
+    val C = rDiv.toLong // cells per axis
+    val pts = points
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pts.count()
     val bucketed = pts.select(col("id").as("jid"), col("x").as("jx"), col("y").as("jy"),
