@@ -823,6 +823,41 @@ object GraphReaders extends Serializable {
     java.nio.file.Files.write(java.nio.file.Paths.get(path), bos.toByteArray)
   }
 
+  /** RasterReader (io/RasterReader.cpp:20-105): ESRI ASCII population grid → 2D
+    * point cloud. Six header lines (ncols, nrows, then four ignored), then nrows
+    * data lines of ncols values; cell (row, col) covers [col, col+1) × [−row, 1−row)
+    * and spawns round(v · normalizationFactor) points. The reference jitters each
+    * point with Aux::Random::real; this twin draws the shared LCG on
+    * (cell, point, axis) — deterministic, order-free. Output (x, y). */
+  def readRaster(spark: SparkSession, path: String,
+                 normalizationFactor: Double = 1.0): DataFrame = {
+    import graft.layout.Layout
+    val M = graft.synth.GraphSpec.M.toDouble
+    val lines = spark.read.text(path).withColumn("mid", monotonically_increasing_id())
+    val ranked = Layout.zipWithRank(lines, "mid", "lineno")
+    val ncols = ranked.filter(col("lineno") === 0).head()
+      .getString(0).trim.split("\\s+").last.toDouble.toLong
+    def frac(x: String) =
+      s"(CAST(${graft.synth.Generators.drawSql(x, duck = false)} AS DOUBLE) / $M)"
+    val pts = ranked.filter(col("lineno") >= 6)
+      .select((col("lineno") - 6L).as("row"),
+        posexplode(split(trim(col("value")), "\\s+")).as(Seq("col", "tok")))
+      .filter(col("tok") =!= "")
+      .select(col("row"), col("col").cast("long").as("c"),
+        round(col("tok").cast("double") * normalizationFactor).cast("long").as("cnt"))
+      .filter(col("cnt") > 0L)
+      .select(col("row"), col("c"), (col("row") * ncols + col("c")).as("cell"),
+        explode(expr("sequence(0, cnt - 1)")).as("i"))
+      .select(
+        (col("c").cast("double") + expr(frac("cell * 1000003 + i * 2"))).as("x"),
+        (lit(1.0) - (col("row") + 1L).cast("double") +
+          expr(frac("cell * 1000003 + i * 2 + 1"))).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pts.count()
+    ranked.unpersist()
+    pts
+  }
+
   def readDibap(spark: SparkSession, path: String): LinkGraph = {
     import spark.implicits._
     val rows = spark.read.format("binaryFile").load(path)
