@@ -29,6 +29,14 @@ object SparkEntry {
 
   private def graph(s: SparkSession, dir: String): LinkGraph = LinkGraph.forSf(s, dir)
 
+  /** Small weighted fixture for the max-flow family: the undirected simple subgraph
+    * induced on ids < f (connected at sf0.01), integer caps 1+(u+v)%5 — small enough
+    * for the oracle's brute-force min-cut subset enumeration. */
+  private def flowFixture(g: LinkGraph, f: Long): DataFrame =
+    g.canonicalUndirected.filter(col("src") < f && col("dst") < f)
+      .select(col("src").as("u"), col("dst").as("v"),
+        (lit(1L) + pmod(col("src") + col("dst"), lit(5L))).as("cap"))
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -223,6 +231,20 @@ object SparkEntry {
       graft.io.GraphReaders.writeEdgeListPartition(
         LabelPropagation.fixedRounds(s, g, 5), p, firstNode = 1L)
       graft.io.GraphReaders.readEdgeListPartition(s, p, firstNode = 1L)
+    }),
+    "q_graphml_roundtrip" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val p = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/root/repo/target"), "vrt").resolve("graphml").toString
+      graft.io.XmlGraphIO.writeGraphMl(g, p, directed = true)
+      graft.io.XmlGraphIO.readGraphMl(s, p).edges.select(col("src"), col("dst"))
+    }),
+    "q_gexf_roundtrip" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val p = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/root/repo/target"), "vrt").resolve("gexf").toString
+      graft.io.XmlGraphIO.writeGexf(g, p, directed = true)
+      graft.io.XmlGraphIO.readGexf(s, p).edges.select(col("src"), col("dst"))
     }),
     "q_metis_roundtrip" -> ((s, dir) => {
       val g = graph(s, dir)
@@ -622,6 +644,24 @@ object SparkEntry {
       graft.algo.Scc.run(s,
         g.subgraphFromNodes(g.vertices.filter(col("id") % 5 === 0))).labels
     }),
+    // Edmonds-Karp max flow + minimal min-cut source side on the id<18 fixture
+    // subgraph with caps 1+(u+v)%5; oracle = brute-force min-cut subset enumeration
+    // (flow value and the minimal source side are flow-decomposition-independent).
+    "q_maxflow" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val r = graft.algo.Flow.maxFlow(s, flowFixture(g, 18L), 1L, 2L)
+      g.vertices.filter(col("id") < 18)
+        .join(r.sourceSet.select(col("id"), lit(1L).as("one")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("one"), lit(0L)).as("in_src"),
+          lit(r.value).as("flow"))
+    }),
+    // Flake-Tarjan cut clustering (alpha=1) on the same fixture: one BATCHED
+    // Edmonds-Karp over all sources against the augmented sink, then the maximal
+    // minimal-source-sides with the reference's degree-desc/id-asc creator labels.
+    "q_cutclustering" -> ((s, dir) => {
+      val g = graph(s, dir)
+      graft.algo.Flow.cutClustering(s, flowFixture(g, 18L), alpha = 1L)
+    }),
     // Exact diameter via iFub on the %7 subgraph (oracle = all-source unrolled BFS,
     // diameter of the component containing node 0); replaces estimate-only coverage.
     "q_diameter_exact" -> ((s, dir) => {
@@ -821,6 +861,8 @@ object SparkEntry {
     "q_edgelist_roundtrip" -> OracleSql.edges,
     "q_metis_roundtrip"  -> OracleSql.undirectedEdges,
     "q_thrill_roundtrip" -> OracleSql.undirectedEdges,
+    "q_graphml_roundtrip" -> OracleSql.edges,
+    "q_gexf_roundtrip"   -> OracleSql.edges,
     "q_gt_roundtrip"     -> OracleSql.undirectedEdges,
     "q_dibap_roundtrip"  -> OracleSql.undirectedEdges,
     "q_snap_roundtrip"   -> OracleSql.edges,
@@ -917,6 +959,8 @@ object SparkEntry {
     "q_spanning_forest"  -> OracleSql.spanningForest(12, 20),
     "q_umsf"             -> OracleSql.umsfTriangle(6, 16),
     "q_scc"              -> OracleSql.scc(5),
+    "q_maxflow"          -> OracleSql.maxflow(18, 1L, 2L),
+    "q_cutclustering"    -> OracleSql.cutClustering(18, 1L),
     "q_diameter_exact"   -> OracleSql.diameterExact(7, 0L, 35),
     "q_simmelian"        -> OracleSql.simmelianOverlap(10),
     "q_multiscale"       -> OracleSql.multiscale,

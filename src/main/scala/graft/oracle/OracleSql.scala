@@ -1549,6 +1549,58 @@ object OracleSql {
     * DIRECTED subgraph (mirrors Scc.run): scc(v) = least(v, min u mutually reachable
     * with v), via a recursive reachability closure (pure DISTINCT union — no
     * aggregation inside the recursion, which DuckDB allows). */
+  /** Shared flow-fixture CTEs: undirected simple subgraph on ids < f with integer
+    * caps 1+(u+v)%5 (the SparkEntry.flowFixture twin). */
+  private def flowFixtureCte(f: Long): String =
+    s"""fx AS MATERIALIZED (SELECT DISTINCT least(src,dst) AS u, greatest(src,dst) AS v
+       |  FROM edges WHERE src < $f AND dst < $f),
+       |fxw AS MATERIALIZED (SELECT u, v, 1+(u+v)%5 AS w FROM fx)""".stripMargin
+
+  /** Edmonds-Karp twin by min-cut duality: the flow value and the MINIMAL source side
+    * are flow-decomposition-independent, so the oracle brute-forces all 2^f source-side
+    * subsets (min cut value, then min popcount = the unique residual-reachable side —
+    * the min-cut lattice's bottom element). Mirrors EdmondsKarp.cpp:55-115 semantics
+    * without replaying augmenting paths. */
+  def maxflow(f: Long, s: Long, t: Long): String =
+    s"""$base,
+       |${flowFixtureCte(f)},
+       |masks AS MATERIALIZED (SELECT g AS mask FROM generate_series(0, ${(1L << f) - 1}) s(g)
+       |  WHERE ((g>>$s)&1) = 1 AND ((g>>$t)&1) = 0),
+       |cuts AS MATERIALIZED (SELECT m.mask,
+       |    sum(CASE WHEN ((m.mask>>e.u)&1) <> ((m.mask>>e.v)&1) THEN e.w ELSE 0 END) AS cut
+       |  FROM masks m CROSS JOIN fxw e GROUP BY m.mask),
+       |best AS (SELECT mask, cut FROM cuts ORDER BY cut ASC, bit_count(mask) ASC, mask ASC LIMIT 1)
+       |SELECT v.id, CAST(((b.mask>>v.id)&1) AS BIGINT) AS in_src, CAST(b.cut AS BIGINT) AS flow
+       |FROM verts v CROSS JOIN best b WHERE v.id < $f""".stripMargin
+
+  /** CutClustering twin (CutClustering.cpp:16-80): per-node minimal min-cut source
+    * sides against the alpha-augmented sink by subset enumeration, then the laminar
+    * family's maximal sets labeled by the reference's degree-desc/id-asc creator. */
+  def cutClustering(f: Long, alpha: Long): String =
+    s"""$base,
+       |${flowFixtureCte(f)},
+       |fdeg AS MATERIALIZED (SELECT id, count(*) AS d FROM (
+       |  SELECT u AS id FROM fx UNION ALL SELECT v FROM fx) GROUP BY id),
+       |masks AS MATERIALIZED (SELECT g AS mask FROM generate_series(0, ${(1L << f) - 1}) s(g)),
+       |cuts AS MATERIALIZED (SELECT m.mask,
+       |    sum(CASE WHEN ((m.mask>>e.u)&1) <> ((m.mask>>e.v)&1) THEN e.w ELSE 0 END)
+       |      + $alpha*bit_count(m.mask) AS cut
+       |  FROM masks m CROSS JOIN fxw e GROUP BY m.mask),
+       |msc AS MATERIALIZED (SELECT u, mask FROM (
+       |    SELECT n.id AS u, c.mask,
+       |      row_number() OVER (PARTITION BY n.id ORDER BY c.cut ASC, bit_count(c.mask) ASC, c.mask ASC) AS rn
+       |    FROM (SELECT id FROM verts WHERE id < $f) n JOIN cuts c ON ((c.mask>>n.id)&1) = 1
+       |  ) WHERE rn = 1),
+       |sets AS MATERIALIZED (SELECT DISTINCT mask FROM msc),
+       |maximal AS MATERIALIZED (SELECT mask FROM sets s
+       |  WHERE NOT EXISTS (SELECT 1 FROM sets o WHERE o.mask <> s.mask AND (s.mask | o.mask) = o.mask)),
+       |creators AS MATERIALIZED (SELECT m.mask,
+       |    (SELECT x.u FROM msc x JOIN fdeg d ON x.u = d.id WHERE x.mask = m.mask
+       |     ORDER BY d.d DESC, x.u ASC LIMIT 1) AS label
+       |  FROM maximal m)
+       |SELECT v.id, CAST(c.label AS BIGINT) AS cluster
+       |FROM (SELECT id FROM verts WHERE id < $f) v JOIN creators c ON ((c.mask>>v.id)&1) = 1""".stripMargin
+
   def scc(mod: Long): String =
     s"""WITH RECURSIVE ${GraphSpec.duckEdgeCte()},
        |sv AS MATERIALIZED (SELECT id FROM verts WHERE id % $mod = 0),
