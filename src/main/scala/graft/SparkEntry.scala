@@ -662,6 +662,28 @@ object SparkEntry {
       val g = graph(s, dir)
       graft.algo.Flow.cutClustering(s, flowFixture(g, 18L), alpha = 1L)
     }),
+    // PivotMDS centering stage on the %7 subgraph — pivot choice + batched pivot BFS
+    // + double centering, integer-exact (scaled by n·k) so the oracle replays it.
+    "q_pivot_mds_center" -> ((s, dir) => {
+      val g = graph(s, dir)
+      graft.viz.GraphViz.pivotMdsCentered(s,
+        g.subgraphFromNodes(g.vertices.filter(col("id") % 7 === 0)), numPivots = 10)
+    }),
+    // Full PivotMDS layout (eigen step is float — rows-only check; VizSpec asserts
+    // the geometry: monotone path embedding, determinism).
+    "q_pivot_mds" -> ((s, dir) => {
+      val g = graph(s, dir)
+      graft.viz.GraphViz.pivotMds(s,
+        g.subgraphFromNodes(g.vertices.filter(col("id") % 7 === 0)), numPivots = 10)
+    }),
+    // Fruchterman-Reingold spring layout, grid-binned repulsion (rows-only check;
+    // VizSpec asserts clique separation + unit-square bounds).
+    "q_fr_layout" -> ((s, dir) => {
+      val g = graph(s, dir)
+      graft.viz.GraphViz.fruchtermanReingold(s,
+        g.subgraphFromNodes(g.vertices.filter(col("id") % 7 === 0)),
+        maxIter = 10, gridRes = 6)
+    }),
     // Exact diameter via iFub on the %7 subgraph (oracle = all-source unrolled BFS,
     // diameter of the component containing node 0); replaces estimate-only coverage.
     "q_diameter_exact" -> ((s, dir) => {
@@ -960,6 +982,7 @@ object SparkEntry {
     "q_umsf"             -> OracleSql.umsfTriangle(6, 16),
     "q_scc"              -> OracleSql.scc(5),
     "q_maxflow"          -> OracleSql.maxflow(18, 1L, 2L),
+    "q_pivot_mds_center" -> OracleSql.pivotMdsCenter(7, 10, 42L, 35),
     "q_cutclustering"    -> OracleSql.cutClustering(18, 1L),
     "q_diameter_exact"   -> OracleSql.diameterExact(7, 0L, 35),
     "q_simmelian"        -> OracleSql.simmelianOverlap(10),

@@ -1545,10 +1545,37 @@ object OracleSql {
        |FROM ts$levels t JOIN ts$levels c ON c.s = $start AND c.id = t.s""".stripMargin
   }
 
-  /** Strongly connected components with min-node-id labels on the id % mod induced
-    * DIRECTED subgraph (mirrors Scc.run): scc(v) = least(v, min u mutually reachable
-    * with v), via a recursive reachability closure (pure DISTINCT union — no
-    * aggregation inside the recursion, which DuckDB allows). */
+  /** PivotMDS centering stage on the id % mod subgraph (mirrors
+    * GraphViz.pivotMdsCentered): LCG-shuffled pivot choice, per-pivot unrolled BFS,
+    * then the double-centered matrix as integer numerators scaled by n·k. */
+  def pivotMdsCenter(mod: Long, k: Int, seed: Long, levels: Int): String = {
+    import GraphSpec.lcg
+    val steps = (1 to levels).map { i =>
+      s"""tg$i AS MATERIALIZED (SELECT DISTINCT f.s, sbi.b AS id
+         |  FROM tf${i - 1} f JOIN sbi ON f.id = sbi.a),
+         |tf$i AS MATERIALIZED (SELECT m.s, m.id, $i AS dist FROM tg$i m
+         |  LEFT JOIN ts${i - 1} x ON m.s = x.s AND m.id = x.id WHERE x.s IS NULL),
+         |ts$i AS MATERIALIZED (SELECT * FROM ts${i - 1} UNION ALL SELECT * FROM tf$i)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |sv AS MATERIALIZED (SELECT id FROM verts WHERE id % $mod = 0),
+       |n2 AS MATERIALIZED (SELECT count(*) AS n FROM sv),
+       |se AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges WHERE src % $mod = 0 AND dst % $mod = 0),
+       |sbi AS MATERIALIZED (SELECT a, b FROM se UNION SELECT b, a FROM se),
+       |piv AS MATERIALIZED (SELECT id FROM sv ORDER BY ${lcg(s"id * 5 + $seed")} ASC, id ASC LIMIT $k),
+       |tf0 AS MATERIALIZED (SELECT id AS s, id, 0 AS dist FROM piv),
+       |ts0 AS MATERIALIZED (SELECT * FROM tf0),
+       |$steps,
+       |d AS MATERIALIZED (SELECT s, id, dist FROM ts$levels),
+       |rs AS MATERIALIZED (SELECT id, sum(dist) AS rsum FROM d GROUP BY id),
+       |cs AS MATERIALIZED (SELECT s, sum(dist) AS csum FROM d GROUP BY s),
+       |tot AS MATERIALIZED (SELECT sum(dist) AS t FROM d)
+       |SELECT d.s, d.id,
+       |  CAST(d.dist * n2.n * $k - rs.rsum * n2.n - cs.csum * $k + tot.t AS BIGINT) AS cnum
+       |FROM d JOIN rs USING (id) JOIN cs USING (s) CROSS JOIN tot CROSS JOIN n2""".stripMargin
+  }
+
   /** Shared flow-fixture CTEs: undirected simple subgraph on ids < f with integer
     * caps 1+(u+v)%5 (the SparkEntry.flowFixture twin). */
   private def flowFixtureCte(f: Long): String =
@@ -1601,6 +1628,10 @@ object OracleSql {
        |SELECT v.id, CAST(c.label AS BIGINT) AS cluster
        |FROM (SELECT id FROM verts WHERE id < $f) v JOIN creators c ON ((c.mask>>v.id)&1) = 1""".stripMargin
 
+  /** Strongly connected components with min-node-id labels on the id % mod induced
+    * DIRECTED subgraph (mirrors Scc.run): scc(v) = least(v, min u mutually reachable
+    * with v), via a recursive reachability closure (pure DISTINCT union — no
+    * aggregation inside the recursion, which DuckDB allows). */
   def scc(mod: Long): String =
     s"""WITH RECURSIVE ${GraphSpec.duckEdgeCte()},
        |sv AS MATERIALIZED (SELECT id FROM verts WHERE id % $mod = 0),
