@@ -338,6 +338,10 @@ object SparkEntry {
     // static graph at any prefix (DynamicGeneratorsSpec): path + DM + pubweb have
     // exact oracles; hyperbolic is rows-only (geometric floats).
     "q_dyn_path" -> ((s, _) => graft.streaming.DynamicGenerators.dynamicPath(s, 50L)),
+    // Forest-fire event stream: burn set depends on the evolving graph state, so no
+    // SQL twin (rows-only); DynTailSpec asserts shape/connectivity/determinism.
+    "q_dyn_forest_fire" -> ((s, _) =>
+      graft.streaming.DynamicGenerators.dynamicForestFire(s, steps = 25, p = 0.4)),
     "q_dyn_dm" -> ((s, _) =>
       graft.streaming.DynamicGenerators.dynamicDorogovtsevMendes(s, 2000L, 42L)),
     "q_dyn_pubweb" -> ((s, _) =>
@@ -402,6 +406,23 @@ object SparkEntry {
         targetBurntRatio = 0.3, firesPerWave = 256)
         .select(col("src"), col("dst"), col("burnt"))),
     "q_bfs_hops"      -> ((s, dir) => Distances.bfsHops(s, graph(s, dir), 0L)),
+    "q_graph_distance" -> ((s, dir) =>
+      Distances.graphDistance(s, graph(s, dir), 0L, 4242L)),
+    // DynWeaklyConnectedComponents: cold labels on the old DIRECTED graph, then a
+    // remove(all edges at node 0) + insert(3, max-id) batch; warm repair must equal
+    // the oracle's cold recompute on the mutated graph.
+    "q_dyn_weak_cc" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val vmax = g.vertices.agg(max("id")).head().getLong(0)
+      import s.implicits._
+      val cold = ConnectedComponents.run(s, g).labels
+      val removals = g.edges.filter(col("src") === 0 || col("dst") === 0)
+        .select(lit("re").as("etype"), col("src").as("u"), col("dst").as("v"),
+          lit(1.0).as("w"))
+      val events = removals.union(
+        Seq(("ae", 3L, vmax, 1.0)).toDF("etype", "u", "v", "w"))
+      graft.streaming.GraphEvents.dynWeaklyCC(s, cold, g.edges, events)
+    }),
     "q_eccentricity"  -> ((s, dir) => Distances.eccentricity(s, graph(s, dir), 0L)),
     // Directed / reverse BFS over the raw directed edge table (ReverseBFS.cpp analog).
     "q_bfs_directed"  -> ((s, dir) => Distances.bfsHopsDirected(s, graph(s, dir), 0L)),
@@ -517,6 +538,15 @@ object SparkEntry {
       val vmax = g.vertices.agg(max("id")).head().getLong(0)
       val prev = Distances.apsp(s, g, g.vertices.filter(col("id") % 100 === 0))
       Distances.dynApspInsert(s, g, prev, 0L, vmax)
+    }),
+    // DynBetweennessOneNode: warm (dist, sigma, sigmax) repair for tracked node 7
+    // after inserting {0, max-id}; oracle = cold state on the mutated graph.
+    "q_dyn_bet_one_node" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val vmax = g.vertices.agg(max("id")).head().getLong(0)
+      val prev = Betweenness.msBfs(s, g,
+        g.vertices.filter(col("id") % 100 === 0 || col("id") === 7))._1
+      Betweenness.dynBetweennessOneNode(s, g, prev, 0L, vmax, 7L)
     }),
     // --- Electrical (Laplacian) family: one batched integer-Jacobi solver
     // (Electrical.solveBatch) behind exact pair probes (resistance/commute) and
@@ -911,6 +941,8 @@ object SparkEntry {
     "q_sparsify_size"    -> OracleSql.sparsifySizeScan(0.2),
     "q_random_edge"      -> OracleSql.randomEdge(42L),
     "q_bfs_hops"         -> OracleSql.bfsHops(0L, 15),
+    "q_graph_distance"   -> OracleSql.graphDistance(0L, 4242L, 15),
+    "q_dyn_weak_cc"      -> OracleSql.dynWeakCC(12),
     "q_eccentricity"     -> OracleSql.eccentricity(0L, 15),
     "q_bfs_directed"     -> OracleSql.bfsDirected(0L, 40, reverse = false),
     "q_bfs_reverse"      -> OracleSql.bfsDirected(0L, 40, reverse = true),
@@ -939,6 +971,7 @@ object SparkEntry {
     "q_dyn_harmonic"     -> OracleSql.closenessHarmonicDyn(1000, 15, 997),
     "q_apsp"             -> OracleSql.apsp(100, 15),
     "q_dyn_apsp"         -> OracleSql.apspDyn(100, 15),
+    "q_dyn_bet_one_node" -> OracleSql.dynBetweennessOneNode(100, 7L, 15),
     "q_kadabra_est"      -> OracleSql.kadabraEstimate(64, 42L, 18),
     "q_group_betweenness" -> OracleSql.approxGroupBetweenness(4, 64, 42L, 18),
     "q_incomplete_dijkstra" -> OracleSql.incompleteDijkstra(0L, 40, 12L),

@@ -237,4 +237,67 @@ object Betweenness {
     val out = old.join(affected, Seq("id"), "left_anti").unionByName(repaired)
     (out, nAff)
   }
+
+  /** DynBetweennessOneNode (/root/reference/networkit/cpp/centrality/
+    * DynBetweennessOneNode.cpp:20-160): maintain, for tracked node x, the pair state
+    * (dist, sigma, sigmax) over a source set after inserting undirected edge {u, v} —
+    * the reference's getDistance/getSigma/getSigmax surface, from which x's score is
+    * Σ sigmax/sigma.
+    *
+    * Warm repair is the closed form for one unit-weight insert: a new shortest path
+    * crosses {u, v} at most once, so with OLD distances d and counts σ
+    *   d'(s, t) = min(d(s,t), d(s,u)+1+d(v,t), d(s,v)+1+d(u,t))
+    *   σ'(s, t) = [d=d']σ + [d1=d']σ(s,u)σ(v,t) + [d2=d']σ(s,v)σ(u,t)
+    * (the two crossing orientations are disjoint path families). ONE batched msBFS
+    * from {u, v} on the old graph supplies every term; the repair is the same
+    * broadcast-candidate merge as dynApspInsert. σx then comes from the repaired
+    * state itself: σx(s,t) = σ'(s,x)·σ'(x,t) iff d'(s,x)+d'(x,t) = d'(s,t) — x's
+    * column is a broadcast-sized slice, x's row one hash join.
+    *
+    * `prev` must be msBfs state on the OLD graph with x among the sources. Output
+    * (s, id, dist, sigma, sigmax) equals the cold state on the mutated graph. */
+  def dynBetweennessOneNode(spark: SparkSession, g: LinkGraph, prev: DataFrame,
+                            u: Long, v: Long, x: Long): DataFrame = {
+    import spark.implicits._
+    val duv = msBfs(spark, g, Seq(u, v).toDF("id"))._1
+    val pu = duv.filter(col("s") === u)
+      .select(col("id"), col("dist").as("du"), col("sigma").as("su"))
+    val pv = duv.filter(col("s") === v)
+      .select(col("id"), col("dist").as("dv"), col("sigma").as("sv"))
+    val tgt = pu.join(pv, Seq("id"), "full")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    tgt.count()
+    duv.releaseState()
+    // per-source legs (undirected symmetry: d(s,u) = d(u,s), σ likewise)
+    val src = prev.select(col("s")).distinct()
+      .join(tgt.select(col("id").as("s"), col("du").as("sdu"), col("dv").as("sdv"),
+        col("su").as("ssu"), col("sv").as("ssv")), Seq("s"), "left")
+    val cand = broadcast(src)
+      .crossJoin(tgt.select(col("id"), col("du"), col("dv"), col("su"), col("sv")))
+      .select(col("s"), col("id"),
+        (col("sdu") + lit(1L) + col("dv")).as("d1"), (col("ssu") * col("sv")).as("c1"),
+        (col("sdv") + lit(1L) + col("du")).as("d2"), (col("ssv") * col("su")).as("c2"))
+      .filter(col("d1").isNotNull || col("d2").isNotNull)
+    val st = prev.select(col("s"), col("id"), col("dist").as("pd"), col("sigma").as("ps"))
+      .join(cand, Seq("s", "id"), "full")
+      .select(col("s"), col("id"),
+        least(col("pd"), col("d1"), col("d2")).as("dist"),
+        col("pd"), col("ps"), col("d1"), col("c1"), col("d2"), col("c2"))
+      .select(col("s"), col("id"), col("dist"),
+        (when(col("pd") === col("dist"), col("ps")).otherwise(lit(0L)) +
+          when(col("d1") === col("dist"), col("c1")).otherwise(lit(0L)) +
+          when(col("d2") === col("dist"), col("c2")).otherwise(lit(0L))).as("sigma"))
+      .cutLineage
+    tgt.unpersist()
+    val sx = st.filter(col("id") === x)
+      .select(col("s"), col("dist").as("dsx"), col("sigma").as("ssx"))
+    val xt = st.filter(col("s") === x)
+      .select(col("id"), col("dist").as("dxt"), col("sigma").as("sxt"))
+    st.join(broadcast(sx), Seq("s"), "left")
+      .join(xt, Seq("id"), "left")
+      .select(col("s"), col("id"), col("dist"), col("sigma"),
+        when(col("dsx").isNotNull && col("dxt").isNotNull &&
+          col("dsx") + col("dxt") === col("dist"),
+          col("ssx") * col("sxt")).otherwise(lit(0L)).as("sigmax"))
+  }
 }

@@ -45,6 +45,18 @@ object Distances {
       .select(col("id"), coalesce(col("dist"), lit(-1L)).as("dist"))
   }
 
+  /** GraphDistance (distance/GraphDistance.cpp:12-28): the single (u, v) pair
+    * distance — unweighted via BFS, weighted via the Bellman-Ford SSSP when a
+    * weight expression is given. One row (u, v, dist); -1 when unreachable. */
+  def graphDistance(spark: SparkSession, g: LinkGraph, u: Long, v: Long,
+                    weight: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val d = weight match {
+      case None    => bfsHops(spark, g, u)
+      case Some(w) => weightedSssp(spark, g, u, w)
+    }
+    d.filter(col("id") === v).select(lit(u).as("u"), col("id").as("v"), col("dist"))
+  }
+
   /** Eccentricity of `source` + reachable-count (Diameter building block,
     * distance/Eccentricity.cpp): one row (ecc, reached). */
   def eccentricity(spark: SparkSession, g: LinkGraph, source: Long): DataFrame =

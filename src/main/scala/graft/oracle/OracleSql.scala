@@ -433,6 +433,24 @@ object OracleSql {
        |SELECT id, CAST(CASE WHEN dist >= $inf THEN -1 ELSE dist END AS BIGINT) AS dist FROM d$rounds""".stripMargin
   }
 
+  /** GraphDistance (distance/GraphDistance.cpp:12-28): single-pair distance. */
+  def graphDistance(u: Long, v: Long, rounds: Int): String =
+    s"""SELECT CAST($u AS BIGINT) AS u, CAST(id AS BIGINT) AS v, dist
+       |FROM (${bfsHops(u, rounds)}) WHERE id = $v""".stripMargin
+
+  /** DynWeaklyConnectedComponents twin: COLD min-label weak components of the
+    * MUTATED directed graph — all edges incident to node 0 removed, (3, max-id)
+    * added — which the warm remove+insert repair must match exactly. */
+  def dynWeakCC(rounds: Int): String =
+    s"""$base,
+       |adde AS MATERIALIZED (SELECT CAST(3 AS BIGINT) AS a, max(id) AS b FROM verts),
+       |bi AS MATERIALIZED (
+       |  SELECT src AS a, dst AS b FROM edges WHERE src <> 0 AND dst <> 0
+       |  UNION SELECT dst, src FROM edges WHERE src <> 0 AND dst <> 0
+       |  UNION SELECT a, b FROM adde UNION SELECT b, a FROM adde),
+       |${ccSteps(rounds)}
+       |SELECT id, label FROM l$rounds""".stripMargin
+
   /** Eccentricity + reached count of `source` (on the BFS fixpoint). */
   def eccentricity(source: Long, rounds: Int): String =
     s"""SELECT max(dist) AS ecc,
@@ -1543,6 +1561,32 @@ object OracleSql {
        |$steps
        |SELECT CAST(max(t.dist) AS BIGINT) AS diameter
        |FROM ts$levels t JOIN ts$levels c ON c.s = $start AND c.id = t.s""".stripMargin
+  }
+
+  /** DynBetweennessOneNode twin: COLD (dist, sigma, sigmax) state for sources
+    * {id % mod = 0} ∪ {x} on the MUTATED graph (edges + {0, max-id}) — the warm
+    * closed-form repair must reproduce it exactly. sigmax(s,t) = σ(s,x)·σ(x,t)
+    * iff d(s,x)+d(x,t) = d(s,t) (centrality/DynBetweennessOneNode.cpp:20-160). */
+  def dynBetweennessOneNode(mod: Long, x: Long, levels: Int): String = {
+    val biDyn =
+      s"""adde AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS a, max(id) AS b FROM verts),
+         |bi AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges
+         |  UNION SELECT dst, src FROM edges
+         |  UNION SELECT a, b FROM adde UNION SELECT b, a FROM adde)""".stripMargin
+    s"""$base,
+       |$biDyn,
+       |${msBfsCtesFrom(
+        s"SELECT id AS s, id, 0 AS dist, CAST(1 AS BIGINT) AS sigma\n  FROM verts WHERE id % $mod = 0 OR id = $x",
+        levels)},
+       |sx AS MATERIALIZED (SELECT s, dist AS dsx, sigma AS ssx FROM st$levels WHERE id = $x),
+       |xt AS MATERIALIZED (SELECT id, dist AS dxt, sigma AS sxt FROM st$levels WHERE s = $x)
+       |SELECT t.s, t.id, CAST(t.dist AS BIGINT) AS dist, CAST(t.sigma AS BIGINT) AS sigma,
+       |  CAST(CASE WHEN sx.dsx IS NOT NULL AND xt.dxt IS NOT NULL
+       |            AND sx.dsx + xt.dxt = t.dist
+       |       THEN sx.ssx * xt.sxt ELSE 0 END AS BIGINT) AS sigmax
+       |FROM st$levels t
+       |LEFT JOIN sx ON sx.s = t.s
+       |LEFT JOIN xt ON xt.id = t.id""".stripMargin
   }
 
   /** PivotMDS centering stage on the id % mod subgraph (mirrors

@@ -157,4 +157,95 @@ object DynamicGenerators {
       Generators.pubWebFromPoints(spark, pts, maxNeigh, rDiv)
     })
   }
+
+  /** DynamicForestFireGenerator (/root/reference/networkit/cpp/generators/
+    * DynamicForestFireGenerator.cpp:24-140, Leskovec's forest-fire model): each step
+    * adds one node, picks an ambassador, "burns" BFS-style — every burned node w
+    * burns Geometric(p) of its unvisited out-neighbors (plus Geometric(p·r) of its
+    * in-neighbors when directed) — and the new node links to all burned nodes.
+    *
+    * Deterministic re-expression: the reference draws a geometric count by repeated
+    * uniform failures and picks burn targets uniformly without replacement; here the
+    * count is the same Geometric(p) via the inverse-CDF of one LCG uniform per
+    * (step, node), and the burned subset is the k candidates with smallest LCG hash
+    * — identical distribution family, reproducible across partitionings. The burn
+    * state is graph-dependent, so steps fold sequentially on the driver while each
+    * step's frontier expansion is a distributed join (the reference is fully
+    * sequential). Returns the event stream (etype, u, v, w, t): "an"/"ae" rows plus
+    * one "st" TIME_STEP per step (new node's edges directed v -> burned). */
+  def dynamicForestFire(spark: SparkSession, steps: Int, p: Double,
+                        directed: Boolean = false, r: Double = 1.0,
+                        seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    import graft.DataFrameLineageOps
+    require(p > 0 && p < 1, "burn probability must be in (0,1)")
+    val M = graft.synth.GraphSpec.M
+    val (lcgA, lcgC) = (graft.synth.GraphSpec.A, graft.synth.GraphSpec.C)
+    def unif(x: org.apache.spark.sql.Column) =
+      (pmod(lit(lcgA) * pmod(lit(lcgA) * pmod(x, lit(M)) + lit(lcgC), lit(M)) + lit(lcgC),
+        lit(M)).cast("double") + lit(1.0)) / lit((M + 1).toDouble)
+    // geometric(p): #successes before first failure = floor(ln U / ln p) ... but the
+    // reference burns while q <= prob, so k ~ floor(log_p(U)) with U uniform (0,1]
+    def geo(x: org.apache.spark.sql.Column) =
+      floor(log(unif(x)) / lit(math.log(p))).cast("long")
+    def geoBack(x: org.apache.spark.sql.Column) =
+      floor(log(unif(x)) / lit(math.log(math.min(p * r, 0.999999)))).cast("long")
+
+    var edges = Seq.empty[(Long, Long)].toDF("src", "dst").cutLineage // directed v -> burned
+    val events = scala.collection.mutable.ArrayBuffer[(String, Long, Long, Double, Long)]()
+    events += (("an", 0L, 0L, 1.0, 0L))
+    events += (("st", 0L, 0L, 0.0, 0L))
+    var n = 1L
+    for (t <- 1 to steps) {
+      val newNode = n
+      // ambassador: LCG pick over existing node ids 0..n-1
+      val a = math.floorMod(graft.synth.GraphSpec.A * (seed + 31L * t) + graft.synth.GraphSpec.C, M) % n
+      events += (("an", newNode, 0L, 1.0, t.toLong))
+      var burned = Seq((a, 0L)).toDF("id", "ord").cutLineage
+      var frontier = burned.select("id")
+      var more = true
+      var depth = 0
+      while (more && depth < 32) {
+        val fwd = frontier.withColumnRenamed("id", "src")
+          .join(edges, Seq("src")).select(col("src").as("b"), col("dst").as("cand"))
+        val bwd = frontier.withColumnRenamed("id", "dst")
+          .join(edges, Seq("dst")).select(col("dst").as("b"), col("src").as("cand"))
+        val cand = (if (directed) Seq(("f", fwd), ("b", bwd)) else Seq(("f", fwd.union(bwd))))
+          .map { case (dirTag, c) =>
+            val fresh = c.join(burned.select(col("id").as("cand")), Seq("cand"), "left_anti")
+              .distinct()
+            val kCol = if (dirTag == "f") geo(col("b") * lit(1009L) + lit(t.toLong * 104729L))
+                       else geoBack(col("b") * lit(1013L) + lit(t.toLong * 104729L + 7L))
+            fresh
+              .withColumn("h", pmod(col("cand") * lit(2654435761L) + col("b") * lit(97L)
+                + lit(t.toLong), lit(M)))
+              .withColumn("rn", row_number().over(
+                org.apache.spark.sql.expressions.Window.partitionBy("b")
+                  .orderBy(col("h"), col("cand"))))
+              .filter(col("rn") <= kCol)
+              .select(col("cand").as("id"))
+          }.reduce(_ union _)
+          .distinct()
+          .join(burned.select(col("id")), Seq("id"), "left_anti")
+          .cutLineage
+        val cnt = cand.count()
+        if (cnt == 0) more = false
+        else {
+          burned = burned.union(cand.select(col("id"), lit(depth.toLong + 1).as("ord")))
+            .cutLineage
+          frontier = cand.select("id")
+        }
+        depth += 1
+      }
+      val burnedRows = burned.orderBy("ord", "id").collect().map(_.getLong(0))
+      burnedRows.foreach(w => events += (("ae", newNode, w, 1.0, t.toLong)))
+      events += (("st", 0L, 0L, 0.0, t.toLong))
+      val prevEdges = edges
+      edges = edges.union(burnedRows.toSeq.map(w => (newNode, w)).toDF("src", "dst"))
+        .cutLineage
+      prevEdges.releaseState(); burned.releaseState()
+      n += 1
+    }
+    events.toSeq.toDF("etype", "u", "v", "w", "t")
+  }
 }

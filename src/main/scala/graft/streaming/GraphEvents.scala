@@ -156,4 +156,35 @@ object GraphEvents {
     // union below is positional.
     labels.join(touched, Seq("label"), "left_anti").select("id", "label").union(lbl)
   }
+
+  /** DynWeaklyConnectedComponents (/root/reference/networkit/cpp/components/
+    * DynWeaklyConnectedComponents.cpp:20-160): weak components of a DIRECTED graph
+    * maintained under a mixed insert/remove batch. Weak connectivity ignores
+    * orientation, so the repair delegates to the undirected incremental/decremental
+    * min-label machinery over the bidirected view; a directed removal only removes
+    * the undirected pair when no antiparallel twin survives the batch. Removals run
+    * first against the post-batch view (exact within affected components), then the
+    * insert warm start merges across old component boundaries — together equal to a
+    * cold recompute on the mutated graph. */
+  def dynWeaklyCC(spark: SparkSession, prevLabels: DataFrame, oldEdges: DataFrame,
+                  events: DataFrame): DataFrame = {
+    val newEdges = applyBatch(oldEdges, events)
+    def biOf(e: DataFrame) = e.select(col("src"), col("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val biOld = biOf(oldEdges)
+    val biNew = biOf(newEdges).persist(StorageLevel.MEMORY_AND_DISK)
+    biNew.count()
+    val removed = biOld.join(biNew, Seq("src", "dst"), "left_anti")
+      .filter(col("src") < col("dst")).cutLineage
+    val added = biNew.join(biOld, Seq("src", "dst"), "left_anti")
+      .filter(col("src") < col("dst")).cutLineage
+    val afterDec =
+      if (removed.count() > 0) decrementalCC(spark, prevLabels, biNew, removed)
+      else prevLabels
+    val out =
+      if (added.count() > 0) incrementalCC(spark, afterDec, biNew, added)
+      else afterDec
+    biNew.unpersist(); removed.releaseState(); added.releaseState()
+    out
+  }
 }
