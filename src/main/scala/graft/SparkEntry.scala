@@ -370,6 +370,18 @@ object SparkEntry {
     }),
     "q_chance_tri"    -> ((s, dir) => EdgeScores.chanceCorrectedTriangleScore(s, graph(s, dir))),
     "q_local_sim"     -> ((s, dir) => EdgeScores.localSimilarityScore(s, graph(s, dir))),
+    // Generic LocalFilterScore over the integer triangle attribute, both variants
+    // (log keeps top d^e, linear keeps top 1+e(d-1)); RANK() tie semantics.
+    "q_local_filter_log" -> ((s, dir) => {
+      val g = graph(s, dir)
+      EdgeScores.localFilterScore(s, g, EdgeScores.triangleEdgeScore(s, g), "tri",
+        logarithmic = true)
+    }),
+    "q_local_filter_lin" -> ((s, dir) => {
+      val g = graph(s, dir)
+      EdgeScores.localFilterScore(s, g, EdgeScores.triangleEdgeScore(s, g), "tri",
+        logarithmic = false)
+    }),
     "q_sparsify_size" -> ((s, dir) =>
       EdgeScores.sparsifiedGraphOfSize(EdgeScores.scanScore(s, graph(s, dir)), "score", 0.2)),
     "q_random_edge"   -> ((s, dir) => EdgeScores.randomEdgeScore(s, graph(s, dir))),
@@ -938,6 +950,8 @@ object SparkEntry {
     "q_score_normalize"  -> OracleSql.scoreNormalize,
     "q_chance_tri"       -> OracleSql.chanceCorrectedTri,
     "q_local_sim"        -> OracleSql.localSimilarity,
+    "q_local_filter_log" -> OracleSql.localFilter(logarithmic = true),
+    "q_local_filter_lin" -> OracleSql.localFilter(logarithmic = false),
     "q_sparsify_size"    -> OracleSql.sparsifySizeScan(0.2),
     "q_random_edge"      -> OracleSql.randomEdge(42L),
     "q_bfs_hops"         -> OracleSql.bfsHops(0L, 15),

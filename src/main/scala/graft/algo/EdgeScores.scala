@@ -464,4 +464,37 @@ object EdgeScores {
         when(coalesce(col("aad_scaled"), lit(0L)) === 0L, lit(-1.0))
           .otherwise(lit(scale.toDouble) / col("aad_scaled").cast("double")).as("dist"))
   }
+
+  /** LocalFilterScore (/root/reference/networkit/cpp/sparsification/
+    * LocalFilterScore.h:20-110): generic local-ranking filter over ANY per-edge
+    * attribute. Per endpoint, incident edges rank by attribute DESC with
+    * equal-attribute groups sharing one rank (the reference's numSame accumulation
+    * == SQL RANK()); the directed exponent is 1 − ln(rank)/ln(d) (logarithmic,
+    * keeps top d^e) or 1 − (rank−1)/(d−1) (linear, keeps top 1+e(d−1)); the edge
+    * score is the max over both endpoints. `scored` = (src, dst, <attrCol>) per
+    * canonical undirected edge; integer attributes make the rank — and hence the
+    * rounded score — bit-reproducible in the DuckDB twin. */
+  def localFilterScore(spark: SparkSession, g: LinkGraph, scored: DataFrame,
+                       attrCol: String, logarithmic: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val deg = g.bidirected.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val directed = scored.select(col("src").as("ego"), col("dst").as("alter"),
+        col(attrCol).as("attr"))
+      .union(scored.select(col("dst").as("ego"), col("src").as("alter"), col(attrCol)))
+    val e = directed
+      .join(deg.select(col("id").as("ego"), col("deg").as("d")), "ego")
+      .withColumn("rnk",
+        rank().over(Window.partitionBy(col("ego")).orderBy(col("attr").desc)))
+      .select(col("ego"), col("alter"),
+        when(col("d") <= 1L, lit(1.0))
+          .otherwise(
+            if (logarithmic)
+              lit(1.0) - log(col("rnk").cast("double")) / log(col("d").cast("double"))
+            else
+              lit(1.0) - (col("rnk") - 1L).cast("double") / (col("d") - 1L).cast("double"))
+          .as("e"))
+    e.select(least(col("ego"), col("alter")).as("src"),
+        greatest(col("ego"), col("alter")).as("dst"), col("e"))
+      .groupBy("src", "dst").agg(round(max(col("e")), 7).as("score"))
+  }
 }

@@ -575,6 +575,29 @@ object OracleSql {
        |  round(max(e), 7) AS score
        |FROM es GROUP BY 1, 2""".stripMargin
 
+  /** LocalFilterScore over the triangle attribute (mirrors
+    * EdgeScores.localFilterScore): RANK() per endpoint (equal attributes share a
+    * rank), logarithmic or linear exponent, max over both endpoints. */
+  def localFilter(logarithmic: Boolean): String = {
+    val eExpr =
+      if (logarithmic) "1.0 - ln(r.rnk) / ln(g.d)"
+      else "1.0 - (r.rnk - 1)::double / (g.d - 1)"
+    s"""$base,
+       |$ejCte,
+       |direct AS MATERIALIZED (
+       |  SELECT src AS ego, dst AS alter, tri FROM ej
+       |  UNION ALL SELECT dst, src, tri FROM ej),
+       |rked AS MATERIALIZED (
+       |  SELECT ego, alter, rank() OVER (PARTITION BY ego ORDER BY tri DESC) AS rnk
+       |  FROM direct),
+       |es AS MATERIALIZED (
+       |  SELECT r.ego, r.alter, CASE WHEN g.d <= 1 THEN 1.0 ELSE $eExpr END AS e
+       |  FROM rked r JOIN dg g ON r.ego = g.id)
+       |SELECT least(ego, alter) AS src, greatest(ego, alter) AS dst,
+       |  round(max(e), 7) AS score
+       |FROM es GROUP BY 1, 2""".stripMargin
+  }
+
   /** Mirrors EdgeScores.sparsifiedGraphOfSize over SCAN scores: top ceil(ratio*m)
     * edges by (score DESC, src, dst). */
   def sparsifySizeScan(ratio: Double): String =
