@@ -882,6 +882,13 @@ object SparkEntry {
       Embeddings.bruteTopK(s.read.parquet(s"$dir/embeddings.parquet"))),
     "q_emb_neardup_lsh" -> ((s, dir) =>
       Embeddings.lshNearDups(s.read.parquet(s"$dir/embeddings.parquet"), 0.35)),
+    // SemDeDup-style semantic dedup: LSH pair graph -> min-id clusters -> keep reps.
+    "q_semantic_dedup" -> ((s, dir) =>
+      graft.text.Corpus.semanticDedup(s, s.read.parquet(s"$dir/embeddings.parquet"), 0.35)),
+    // Per-domain quota and exact-quota stratified sampling over the documents table.
+    "q_source_cap" -> ((s, dir) => graft.text.Corpus.sourceCap(docs(s, dir), k = 20)),
+    "q_stratified_sample" -> ((s, dir) =>
+      graft.text.Corpus.stratifiedSample(docs(s, dir), frac = 0.25)),
     // IVF ANN: deterministic k-means coarse quantizer (16 lists, 3 Lloyd rounds) +
     // 4-probe exact-cosine re-rank — the indexed scale path next to q_ann_topk.
     "q_emb_ivf"         -> ((s, dir) =>
@@ -1047,6 +1054,9 @@ object SparkEntry {
     "q_token_freq"       -> DocOracleSql.tokenFreq,
     "q_bpe_tokens"       -> DocOracleSql.bpeUrlTokenFreq,
     "q_url_normalize"    -> DocOracleSql.urlNormalize,
+    "q_semantic_dedup"   -> EmbOracleSql.semanticDedup(0.35),
+    "q_source_cap"       -> DocOracleSql.sourceCap(20),
+    "q_stratified_sample" -> DocOracleSql.stratifiedSample(0.25, 42L),
     "q_url_dedup"        -> DocOracleSql.urlDedup,
     "q_domain_filter"    -> DocOracleSql.domainFilter,
     "q_dedup_exact"      -> DocOracleSql.dedupExact,

@@ -165,6 +165,27 @@ object DocOracleSql {
        |FROM n GROUP BY norm_url""".stripMargin
   }
 
+  /** Mirrors Corpus.sourceCap: top-k docs per source by (n_chars DESC, doc_id ASC). */
+  def sourceCap(k: Int): String =
+    s"""SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk FROM (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rnk
+       |  FROM documents) WHERE rnk <= $k""".stripMargin
+
+  /** Mirrors Corpus.stratifiedSample: exact ceil(frac·n) per lang stratum under the
+    * shared LCG shuffle. */
+  def stratifiedSample(frac: Double, seed: Long): String = {
+    val h = graft.synth.GraphSpec.lcg(s"doc_id * 11 + $seed")
+    s"""WITH cnt AS MATERIALIZED (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+       |rked AS MATERIALIZED (
+       |  SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY lang ORDER BY $h ASC, doc_id ASC) AS rnk
+       |  FROM documents)
+       |SELECT r.doc_id, r.lang, CAST(r.rnk AS BIGINT) AS rnk
+       |FROM rked r JOIN cnt USING (lang)
+       |WHERE r.rnk <= ceil($frac * cnt.n)""".stripMargin
+  }
+
   /** Mirrors q_domain_filter: 3-domain spread, 2 blocklisted. */
   val domainFilter: String = {
     s"""WITH c AS MATERIALIZED (SELECT doc_id,

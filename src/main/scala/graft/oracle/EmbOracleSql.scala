@@ -59,6 +59,32 @@ object EmbOracleSql {
        |WHERE list_dot_product(x.v, y.v)/sqrt(x.nrm)/sqrt(y.nrm) >= $tau""".stripMargin
   }
 
+  /** Mirrors Corpus.semanticDedup: the LSH near-dup pair graph's connected clusters
+    * collapsed to min-id representatives (recursive reachability closure — the pair
+    * graph is near-dup-sized, so the closure is tiny). */
+  def semanticDedup(tau: Double, planes: Int = NumPlanes): String =
+    s"""WITH RECURSIVE $vecCte,
+       |${bucketCte(planes)},
+       |hot AS MATERIALIZED (SELECT t, bucket FROM b
+       |  GROUP BY t, bucket HAVING count(*) > $MaxBucketFreq),
+       |bk AS MATERIALIZED (SELECT b.* FROM b LEFT JOIN hot
+       |  ON b.t = hot.t AND b.bucket = hot.bucket WHERE hot.t IS NULL),
+       |p AS MATERIALIZED (
+       |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |  FROM b x JOIN bk y ON x.t = y.t
+       |    AND bit_count(xor(x.bucket, y.bucket)) <= 1 AND x.vec_id < y.vec_id
+       |  WHERE list_dot_product(x.v, y.v)/sqrt(x.nrm)/sqrt(y.nrm) >= $tau),
+       |und AS MATERIALIZED (SELECT a, b FROM p UNION SELECT b, a FROM p),
+       |reach(s, d) AS (
+       |  SELECT a AS s, b AS d FROM und
+       |  UNION
+       |  SELECT r.s, u.b AS d FROM reach r JOIN und u ON r.d = u.a),
+       |mn AS MATERIALIZED (SELECT s AS id, min(d) AS m FROM reach GROUP BY s)
+       |SELECT e.vec_id, CAST(least(e.vec_id, coalesce(mn.m, e.vec_id)) AS BIGINT) AS rep,
+       |  CAST(CASE WHEN least(e.vec_id, coalesce(mn.m, e.vec_id)) = e.vec_id
+       |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM embeddings e LEFT JOIN mn ON e.vec_id = mn.id""".stripMargin
+
   /** Mirrors Embeddings.ivfTopK: `iters` unrolled Lloyd rounds of the deterministic
     * integer k-means (init = first `nlist` vec_ids, floor-mean centroid update,
     * (d2, cid) tie order, empty clusters keep their centroid), then nprobe closest
