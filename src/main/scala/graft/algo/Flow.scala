@@ -247,4 +247,140 @@ object Flow {
     msc.join(creators, Seq("run"))
       .select(col("id"), col("run").as("cluster"))
   }
+
+  /** CutClustering.getClusterHierarchy (CutClustering.cpp:82-240): the complete
+    * parametric hierarchy — every alpha breakpoint where the clustering changes,
+    * found by the reference's interval recursion. Breakpoints
+    * (upperCut − lowerCut)/(lowerSize − upperSize) are exact rationals over the
+    * integer caps, so each probe clustering runs on caps scaled by 2·den with
+    * integer alpha 2·num + 1 (= breakpoint + 1/(2·den), the reference's +ε) — no
+    * floating-point drift anywhere. Per-cluster cuts/sizes are one distributed
+    * aggregation per level (collected: one row per cluster); the probe clusterings
+    * are the batched-EK [[cutClustering]]. Returns (alphaNum, alphaDen) → partition
+    * (id, cluster), including alpha=0 (connected components, min-id reps) and the
+    * upper bound (singletons). */
+  def clusterHierarchy(spark: SparkSession,
+                       edges: DataFrame): Map[(Long, Long), DataFrame] = {
+    val und = edges.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"),
+      col("cap").cast("long").as("cap")).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    und.count()
+    val nodes = und.select(col("u").as("id")).union(und.select(col("v").as("id")))
+      .distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // driver-side maps for the interval logic (one row per CLUSTER — bounded)
+    def stats(part: DataFrame): (Map[Long, Long], Map[Long, Long], Map[Long, Long]) = {
+      val lbl = part.select(col("id"), col("cluster"))
+      val sizes = lbl.groupBy("cluster").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val cutRows = und
+        .join(lbl.select(col("id").as("u"), col("cluster").as("cu")), "u")
+        .join(lbl.select(col("id").as("v"), col("cluster").as("cv")), "v")
+        .filter(col("cu") =!= col("cv"))
+        .select(explode(array(struct(col("cu").as("c"), col("cap")),
+          struct(col("cv").as("c"), col("cap")))).as("e"))
+        .groupBy(col("e.c").as("c")).agg(sum(col("e.cap")).as("w"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val memb = lbl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (sizes, cutRows.withDefaultValue(0L), memb)
+    }
+
+    val nN = nodes.count()
+    // probe at alpha = num/den + 1/(2·den·n) — the reference's "+ε". Distinct
+    // breakpoints p/q (q ≤ n) differ by ≥ 1/(den·q) ≥ 1/(den·n), so this ε can
+    // never jump past the next breakpoint: exact-rational safety the float ε lacks.
+    def clusterAt(num: Long, den: Long): DataFrame =
+      cutClustering(spark,
+        und.select(col("u"), col("v"), (col("cap") * lit(2L * den * nN)).as("cap")),
+        alpha = 2L * num * nN + 1L).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val comps = {
+      // connected components of the capacity graph, min-id labels (alpha = 0)
+      var lbl = nodes.select(col("id"), col("id").as("cluster")).cutLineage
+      val bi = und.select(col("u"), col("v"))
+        .union(und.select(col("v").as("u"), col("u").as("v")))
+      var changed = 1L
+      while (changed > 0) {
+        val msgs = bi.join(lbl.select(col("id").as("u"), col("cluster")), "u")
+          .groupBy(col("v").as("id")).agg(min("cluster").as("cand"))
+        val next = lbl.join(msgs, Seq("id"), "left")
+          .select(col("id"),
+            least(col("cluster"), coalesce(col("cand"), col("cluster"))).as("cluster"),
+            (col("cand") < col("cluster")).as("ch")).cutLineageLazy
+        changed = next.filter(col("ch")).count()
+        val prev = lbl
+        lbl = next.select("id", "cluster").cutLineage
+        prev.releaseState(); next.releaseState()
+      }
+      lbl
+    }
+    val singletons = nodes.select(col("id"), col("id").as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val maxW = und.agg(max("cap")).head().getLong(0)
+    val upperBound = maxW + 1L // weighted upper bound (CutClustering.cpp:88-95)
+
+    val result = scala.collection.mutable.Map[(Long, Long), DataFrame]()
+    result((0L, 1L)) = comps
+
+    // recursion with an explicit driver stack; rationals kept as (num, den)
+    case class Frame(lowNum: Long, lowDen: Long, low: DataFrame,
+                     upNum: Long, upDen: Long, up: DataFrame)
+    val stack = scala.collection.mutable.Stack(
+      Frame(0L, 1L, comps, upperBound, 1L, singletons))
+    while (stack.nonEmpty) {
+      var f = stack.pop()
+      var open = true
+      while (open) {
+        val (loSizes, loCuts, loMemb) = stats(f.low)
+        val (upSizes, upCuts, upMemb) = stats(f.up)
+        // first lower cluster (sorted order = deterministic twin of the reference's
+        // map iteration) whose candidate breakpoint is strictly below the upper alpha
+        var best: Option[(Long, Long)] = None // (num, den): cutDiff / sizeDiff
+        def gt(a: (Long, Long), b: (Long, Long)): Boolean = a._1 * b._2 > b._1 * a._2
+        def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+        for ((lc, lSize) <- loSizes.toSeq.sortBy(_._1) if best.isEmpty) {
+          if (upSizes(upMemb(lc)) != lSize) {
+            var num = upCuts(upMemb(lc)) - loCuts(lc)
+            var den = lSize - upSizes(upMemb(lc))
+            // alternative upper-cluster representatives inside this lower cluster
+            // (CutClustering.cpp:179-190): keep the HIGHEST candidate breakpoint
+            for ((u2, c2) <- upMemb if loMemb(u2) == lc && c2 == u2 && u2 != lc) {
+              val n2 = upCuts(u2) - loCuts(lc)
+              val d2 = lSize - upSizes(u2)
+              if (d2 > 0 && gt((n2, d2), (num, den))) { num = n2; den = d2 }
+            }
+            if (gt((f.upNum, f.upDen), (num, den))) {
+              val g = math.max(gcd(math.abs(num), den), 1L)
+              best = Some((num / g, den / g))
+            }
+          }
+        }
+        best match {
+          case None =>
+            result.getOrElseUpdate((f.upNum, f.upDen), f.up)
+            open = false
+          case Some((num, den)) =>
+            val mid = clusterAt(num, den)
+            val nMid = mid.select("cluster").distinct().count()
+            if (nMid == upSizes.size) {
+              // middle IS the upper clustering: (num, den)+ε is its lower bound
+              result.getOrElseUpdate((num, den), f.up)
+              f = Frame(f.lowNum, f.lowDen, f.low, num, den, f.up)
+              // continue loop with tightened upper bound
+            } else if (nMid == loSizes.size) {
+              // numerical impossibility in the reference; with exact rationals this
+              // means lower == middle — stop this interval
+              open = false
+            } else {
+              // a genuinely new clustering strictly between: recurse below (the
+              // recursion discovers middle's own tight lower-bound key), continue
+              // above with lower = middle (CutClustering.cpp:228-233)
+              stack.push(Frame(f.lowNum, f.lowDen, f.low, num, den, mid))
+              f = Frame(num, den, mid, f.upNum, f.upDen, f.up)
+            }
+        }
+      }
+    }
+    und.unpersist(); nodes.unpersist()
+    result.toMap
+  }
 }

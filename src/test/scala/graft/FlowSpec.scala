@@ -105,6 +105,27 @@ class FlowSpec extends AnyFunSuite {
     assert(c0.size == 1 && c1.size == 1 && c0 != c1)
   }
 
+  test("clusterHierarchy: components at 0, cliques at a middle breakpoint, singletons at the top") {
+    val hier = Flow.clusterHierarchy(spark, edgesDf(twoCliques))
+    val byKey = hier.map { case ((n, d), p) =>
+      (n.toDouble / d, p.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    }
+    // alpha = 0: one connected component labeled by min id
+    assert(byKey(0.0).values.toSet == Set(0L))
+    // some level separates the two cliques exactly
+    val hasCliques = byKey.values.exists { p =>
+      (0L to 3L).map(p).toSet.size == 1 && (4L to 7L).map(p).toSet.size == 1 &&
+        p(0L) != p(7L) && p.values.toSet.size == 2
+    }
+    assert(hasCliques, s"hierarchy levels: ${byKey.map { case (a, p) => a -> p.values.toSet.size }}")
+    // the top entry is the singleton clustering
+    val top = byKey.maxBy(_._1)._2
+    assert(top.forall { case (id, c) => id == c })
+    // keys strictly increase cluster counts (nested hierarchy)
+    val counts = byKey.toSeq.sortBy(_._1).map(_._2.values.toSet.size)
+    assert(counts == counts.sorted && counts.distinct == counts)
+  }
+
   test("cutClustering at huge alpha yields singletons; at alpha near 0 one cluster") {
     val fx = twoCliques
     val singl = Flow.cutClustering(spark, edgesDf(fx), alpha = 100L)
