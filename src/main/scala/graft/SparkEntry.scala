@@ -584,6 +584,13 @@ object SparkEntry {
     "q_spanning_edge" -> ((s, dir) =>
       graft.algo.Electrical.spanningEdgeCentrality(s, graph(s, dir), k = 6,
         iters = 40, seed = 42L)),
+    // ERD2 — the fork's own effective-resistance-distance matrix with the degree-1
+    // coarsening level, over the id % 997 subset (11 nodes, 55 pairs).
+    "q_erd_matrix" -> ((s, dir) => {
+      val g = graph(s, dir)
+      graft.algo.Electrical.erdMatrix(s, g,
+        g.vertices.filter(col("id") % 997 === 0), iters = 40)
+    }),
     "q_electrical_closeness" -> ((s, dir) =>
       graft.algo.Electrical.electricalCloseness(s, graph(s, dir), k = 6,
         iters = 40, seed = 42L)),
@@ -998,6 +1005,7 @@ object SparkEntry {
     "q_incomplete_dijkstra" -> OracleSql.incompleteDijkstra(0L, 40, 12L),
     "q_cf_group_closeness"  -> OracleSql.cfGroupCloseness(4, 500L, 100L, 6, 40, 42L, 16384L),
     "q_eff_resistance"   -> OracleSql.effectiveResistance(500L, 40, 16384L),
+    "q_erd_matrix"       -> OracleSql.erdMatrix(997L, 40, 16384L),
     "q_spanning_edge"    -> OracleSql.spanningEdge(6, 40, 42L, 16384L),
     "q_electrical_closeness" -> OracleSql.electricalCloseness(6, 40, 42L, 16384L),
     "q_sfigality"        -> OracleSql.sfigality,

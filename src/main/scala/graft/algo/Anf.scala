@@ -138,7 +138,8 @@ object Anf {
     math.floor(math.pow(2.0, 20.0 + r.toDouble / K) / 0.77351).toLong)
 
   /** Neighborhood function (/root/reference/networkit/cpp/distance/
-    * NeighborhoodFunction.cpp + ApproxNeighborhoodFunction — same FM machinery as
+    * NeighborhoodFunction.cpp + NeighborhoodFunctionApproximation.h (the ANF
+    * approximation class) — same FM machinery as
     * [[finishHops]]): for each hop h, the estimated total number of (node, reachable
     * node) pairs within distance <= h, summed over all nodes. Per-node estimates use
     * the integer-scaled table [[EstC]] (documented divergence from the reference's

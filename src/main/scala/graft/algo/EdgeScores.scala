@@ -38,7 +38,9 @@ object EdgeScores {
         coalesce(col("tri"), lit(0L)).as("tri"))
   }
 
-  /** (src, dst, tri, jaccard) neighborhood Jaccard per canonical undirected edge. */
+  /** (src, dst, tri, jaccard) neighborhood Jaccard per canonical undirected edge
+    * (distance/JaccardDistance.h node-distance form and the Jaccard similarity
+    * attributizer share this computation). */
   def jaccardEdgeScore(spark: SparkSession, g: LinkGraph): DataFrame = {
     val deg = g.bidirected.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
     triangleEdgeScore(spark, g)

@@ -109,11 +109,12 @@ object Electrical {
     * matches. Pairs in different components drift (R = ∞ in theory) —
     * deterministically, identically in both engines. */
   def effectiveResistance(spark: SparkSession, g: LinkGraph, pairs: DataFrame,
-                          iters: Int, scale: Long = Scale): DataFrame = {
+                          iters: Int, scale: Long = Scale,
+                          ground: Long = 0L): DataFrame = {
     val b = pairs.select(col("u").as("id"), col("q"), lit(1L).as("b"))
       .union(pairs.select(col("v").as("id"), col("q"), lit(-1L).as("b")))
       .groupBy("id", "q").agg(sum("b").as("b"))
-    val x = solveBatch(spark, g, b, iters, scale)
+    val x = solveBatch(spark, g, b, iters, scale, ground)
     val xu = pairs.join(x.withColumnRenamed("id", "u"), Seq("q", "u"))
       .select(col("q"), col("v"), col("x").as("xu"))
     val xv = x.select(col("q"), col("id").as("v"), col("x").as("xv"))
@@ -221,5 +222,67 @@ object Electrical {
       when(col("farness_scaled") > 0L,
         lit((n - 1).toDouble * k * sEff * sEff) / col("farness_scaled"))
         .otherwise(lit(0.0)).as("closeness"))
+  }
+
+  /** ERD2 — the reference fork's OWN contribution
+    * (/root/reference/networkit/cpp/centrality/ERD2.cpp:19-120 + ERDLevel.h): the
+    * pairwise EffectiveResistanceDistance matrix over a node subset, with the fork's
+    * degree-1 coarsening level — leaves whose support has degree > 1 are peeled
+    * before the solve and re-attached afterwards as R(leaf, ·) = R(support, ·) + 1
+    * (unit weights; ERD2.cpp:78-84's uncoarsening). The reference then computes a
+    * dense pseudo-inverse; the graft replaces that with one batched integer-Jacobi
+    * probe per distinct CORE pair (the same machinery as [[effectiveResistance]]),
+    * keeping every output exact-integer and DuckDB-replayable. Peeling is exactly
+    * the right first move at web scale, where leaf pages are a large fraction of
+    * the crawl. Probe keys assume ids < 2^31 (true for the dense page dictionary).
+    * Output one row per subset pair u < v: (u, v, r_scaled, r). */
+  def erdMatrix(spark: SparkSession, g: LinkGraph, subset: DataFrame,
+                iters: Int, scale: Long = Scale): DataFrame = {
+    val und = g.canonicalUndirected.select("src", "dst")
+    val deg = g.undirectedDegrees
+    val nbr = und.select(col("src").as("id"), col("dst").as("nb"))
+      .union(und.select(col("dst").as("id"), col("src").as("nb")))
+    // leaves with a non-leaf support (mutual-leaf K2 pairs stay in the core)
+    val supp = deg.filter(col("deg") === 1L).join(nbr, "id")
+      .join(deg.select(col("id").as("nb"), col("deg").as("nd")), "nb")
+      .filter(col("nd") > 1L).select(col("id"), col("nb"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    supp.count()
+    val leafIds = supp.select("id")
+    val coreV = g.vertices.join(leafIds, Seq("id"), "left_anti")
+    val coreE = und
+      .join(leafIds.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+      .join(leafIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+      .select(col("src"), col("dst"), lit(1.0).as("weight"))
+    val coreG = graft.model.LinkGraph.fromEdges(spark, coreE, Some(coreV))
+    val ground = coreV.agg(min("id")).head().getLong(0)
+
+    val mapped = subset.select(col("id"))
+      .join(supp.select(col("id"), col("nb")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("nb"), col("id")).as("m"),
+        col("nb").isNotNull.cast("long").as("peeled"))
+    val pairRows = mapped.select(col("id").as("u"), col("m").as("mu"), col("peeled").as("pu"))
+      .join(mapped.select(col("id").as("v"), col("m").as("mv"), col("peeled").as("pv")),
+        col("u") < col("v"))
+      .select(col("u"), col("v"),
+        least(col("mu"), col("mv")).as("cu"), greatest(col("mu"), col("mv")).as("cv"),
+        (col("pu") + col("pv")).as("peels"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    pairRows.count()
+    val qOf = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      a * lit(1L << 31) + b
+    val corePairs = pairRows.filter(col("cu") =!= col("cv"))
+      .select(col("cu"), col("cv")).distinct()
+      .select(qOf(col("cu"), col("cv")).as("q"), col("cu").as("u"), col("cv").as("v"))
+    val coreR = effectiveResistance(spark, coreG, corePairs, iters, scale, ground)
+      .select(col("q"), col("r_scaled"))
+    val out = pairRows
+      .join(coreR, qOf(col("cu"), col("cv")) === coreR("q"), "left")
+      .select(col("u"), col("v"),
+        (coalesce(col("r_scaled"), lit(0L)) + col("peels") * lit(scale)).as("r_scaled"))
+      .select(col("u"), col("v"), col("r_scaled"),
+        (col("r_scaled").cast("double") / scale).as("r"))
+    supp.unpersist()
+    out
   }
 }

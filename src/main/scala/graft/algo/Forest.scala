@@ -156,7 +156,9 @@ object Forest {
     * join + a component-level argmax (`max(struct)` — order-independent), which is
     * the textbook MSF plan at 10^12 edges.
     *
-    * Returns forest edges (src, dst, draw). */
+    * Returns forest edges (src, dst, draw). (components/RandomSpanningForest.h's
+    * uniform-forest role is filled by this random-weight MSF — the reference's
+    * Wilson loop-erased walk is inherently sequential.) */
   def randomMsf(spark: SparkSession, g: LinkGraph, seed: Long = 42L,
                 maxRounds: Int = 40): DataFrame = {
     import graft.synth.GraphSpec.lcg

@@ -9,7 +9,8 @@ import graft.model.LinkGraph
 import graft.synth.GraphSpec.{lcg, M}
 
 /** Luby's maximal independent set
-  * (/root/reference/networkit/cpp/independentset/Luby.cpp:15-95): per round, each
+  * (/root/reference/networkit/cpp/independentset/Luby.cpp:15-95, the concrete
+  * IndependentSetFinder.h implementation): per round, each
   * still-active node enters the candidate set S with probability 1/(2·wdeg(v)) where
   * wdeg is the weighted degree over ACTIVE neighbors; for every active edge inside S
   * the lower-weighted-degree endpoint is dropped (ties drop the canonical-second

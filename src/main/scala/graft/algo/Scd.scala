@@ -9,7 +9,8 @@ import org.apache.spark.storage.StorageLevel
 import graft.model.LinkGraph
 
 /** Selective community detection — PageRankNibble
-  * (/root/reference/networkit/cpp/scd/PageRankNibble.cpp:20-100,
+  * (/root/reference/networkit/cpp/scd/PageRankNibble.cpp:20-100 — the
+  * SelectiveCommunityDetector.h surface,
   * ApproximatePageRank.cpp:20-62): expand a seed node into a community by running the
   * Andersen–Chung–Lang push-style approximate personalized PageRank to support-sparse
   * convergence, then take the prefix of the (p/vol)-ordered sweep with minimum

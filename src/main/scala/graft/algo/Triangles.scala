@@ -90,7 +90,8 @@ object Triangles {
   }
 
   /** Exact global clustering coefficient = 3*triangles / wedges
-    * (global/ClusteringCoefficient.cpp:168-218 exactGlobal). */
+    * (global/ClusteringCoefficient.cpp:168-218 exactGlobal; the
+    * global/GlobalClusteringCoefficient.h approximation is the same wedge ratio). */
   def globalClusteringCoefficient(spark: SparkSession, g: LinkGraph): Double = {
     val wedges = g.undirectedDegrees
       .agg(coalesce(sum(col("deg") * (col("deg") - 1L) / lit(2.0)), lit(0.0)))

@@ -2886,6 +2886,63 @@ object OracleSql {
        |JOIN x$iters xv ON xv.id = p.v AND xv.q = p.q""".stripMargin
   }
 
+  /** ERD2 effective-resistance-distance matrix (mirrors Electrical.erdMatrix):
+    * degree-1 peel (support degree > 1), batched Jacobi probes per distinct core
+    * pair grounded at the core's min id, then R(leaf, ·) = R(support, ·) + 1. */
+  def erdMatrix(mod: Long, iters: Int, scale: Long): String = {
+    val Q = 1L << 31
+    val steps = (1 to iters).map { i =>
+      s"""jm$i AS MATERIALIZED (SELECT cbi.b AS id, x.q, sum(x.x) AS m
+         |  FROM x${i - 1} x JOIN cbi ON x.id = cbi.a GROUP BY 1, 2),
+         |x$i AS MATERIALIZED (SELECT b.id, b.q,
+         |  CAST(CASE WHEN b.id = (SELECT g FROM gnd) OR b.deg = 0 THEN 0
+         |       ELSE (x.x + (b.b * $scale + coalesce(m.m, 0)) // b.deg) // 2
+         |  END AS BIGINT) AS x
+         |  FROM bb b
+         |  JOIN x${i - 1} x ON b.id = x.id AND b.q = x.q
+         |  LEFT JOIN jm$i m ON b.id = m.id AND b.q = m.q)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$biCte,
+       |jdeg AS MATERIALIZED (SELECT a AS id, count(*) AS deg FROM bi GROUP BY 1),
+       |lv AS MATERIALIZED (SELECT d.id, min(bi.b) AS nb FROM jdeg d
+       |  JOIN bi ON d.id = bi.a WHERE d.deg = 1 GROUP BY d.id),
+       |sup AS MATERIALIZED (SELECT lv.id, lv.nb FROM lv
+       |  JOIN jdeg nd ON lv.nb = nd.id WHERE nd.deg > 1),
+       |cbi AS MATERIALIZED (SELECT bi.a, bi.b FROM bi
+       |  LEFT JOIN sup s1 ON bi.a = s1.id LEFT JOIN sup s2 ON bi.b = s2.id
+       |  WHERE s1.id IS NULL AND s2.id IS NULL),
+       |cdeg AS MATERIALIZED (SELECT a AS id, count(*) AS deg FROM cbi GROUP BY 1),
+       |cverts AS MATERIALIZED (SELECT v.id FROM verts v
+       |  LEFT JOIN sup s ON v.id = s.id WHERE s.id IS NULL),
+       |gnd AS MATERIALIZED (SELECT min(id) AS g FROM cverts),
+       |ss AS MATERIALIZED (SELECT v.id, coalesce(s.nb, v.id) AS m,
+       |  CASE WHEN s.id IS NULL THEN 0 ELSE 1 END AS peeled
+       |  FROM verts v LEFT JOIN sup s ON v.id = s.id WHERE v.id % $mod = 0),
+       |prs AS MATERIALIZED (SELECT a.id AS u, b.id AS v,
+       |  least(a.m, b.m) AS cu, greatest(a.m, b.m) AS cv,
+       |  a.peeled + b.peeled AS peels FROM ss a JOIN ss b ON a.id < b.id),
+       |cp AS MATERIALIZED (SELECT DISTINCT cu, cv FROM prs WHERE cu <> cv),
+       |qs AS MATERIALIZED (SELECT cu * $Q + cv AS q FROM cp),
+       |pb AS MATERIALIZED (SELECT id, q, sum(b) AS b FROM (
+       |  SELECT cu AS id, cu * $Q + cv AS q, 1 AS b FROM cp
+       |  UNION ALL SELECT cv, cu * $Q + cv, -1 FROM cp) GROUP BY 1, 2),
+       |bb AS MATERIALIZED (SELECT v.id, q.q,
+       |  coalesce(d.deg, 0) AS deg, coalesce(p.b, 0) AS b
+       |  FROM cverts v CROSS JOIN qs q
+       |  LEFT JOIN cdeg d ON v.id = d.id
+       |  LEFT JOIN pb p ON v.id = p.id AND q.q = p.q),
+       |x0 AS MATERIALIZED (SELECT id, q, CAST(0 AS BIGINT) AS x FROM bb),
+       |$steps,
+       |xr AS MATERIALIZED (SELECT cp.cu, cp.cv, xu.x - xv.x AS r FROM cp
+       |  JOIN x$iters xu ON xu.id = cp.cu AND xu.q = cp.cu * $Q + cp.cv
+       |  JOIN x$iters xv ON xv.id = cp.cv AND xv.q = cp.cu * $Q + cp.cv)
+       |SELECT p.u, p.v,
+       |  CAST(coalesce(xr.r, 0) + p.peels * $scale AS BIGINT) AS r_scaled,
+       |  (coalesce(xr.r, 0) + p.peels * $scale)::double / $scale AS r
+       |FROM prs p LEFT JOIN xr ON p.cu = xr.cu AND p.cv = xr.cv""".stripMargin
+  }
+
   /** JLT spanning-edge centrality (mirrors Electrical.spanningEdgeCentrality). */
   def spanningEdge(k: Int, iters: Int, seed: Long, scale: Long): String = {
     val denom = k.toDouble * scale * scale

@@ -8,7 +8,8 @@ import org.apache.spark.storage.StorageLevel
 
 /** Dynamic-graph event streaming — the Structured Streaming analog of the reference's
   * dynamics stack (/root/reference/networkit/cpp/dynamics/GraphEvent.h:24-39,
-  * DGSStreamParser.cpp:18-120, GraphUpdater.cpp, base/DynAlgorithm.h:21-26).
+  * DGSStreamParser.cpp:18-120 + io/DGSReader.h, GraphUpdater.cpp,
+  * base/DynAlgorithm.h:21-26, dynamics/GraphEventHandler.h).
   *
   * Events: EDGE_ADDITION ("ae"), EDGE_REMOVAL ("re"), EDGE_WEIGHT_UPDATE ("ce"),
   * NODE_ADDITION ("an"), NODE_REMOVAL ("rn"), TIME_STEP ("st"). The reference replays a
