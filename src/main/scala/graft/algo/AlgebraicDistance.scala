@@ -9,7 +9,8 @@ import org.apache.spark.storage.StorageLevel
 import graft.model.LinkGraph
 
 /** Algebraic distance (/root/reference/networkit/cpp/distance/AlgebraicDistance.cpp:
-  * 23-120): K independent "load" systems are smoothed over the graph —
+  * 23-120; one of the NodeDistance.h pairwise-distance implementations, like
+  * JaccardDistance): K independent "load" systems are smoothed over the graph —
   * x'(u) = (1−ω)·x(u) + ω·(Σ_v w(u,v)·x(v)) / wdeg(u) — and the distance between
   * adjacent nodes is the L1 gap of their converged loads: structurally close nodes
   * (many short paths) end up with similar loads, so small distance = strong tie. Used

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.model.LinkGraph
 
-/** The coarsening-module tail beyond ParallelPartitionCoarsening (Measures.coarsen):
+/** The coarsening-module tail beyond ParallelPartitionCoarsening (Measures.coarsen)
+  * — the coarsening/GraphCoarsening.h surface:
   *
   *   - MatchingCoarsening (/root/reference/networkit/cpp/coarsening/
   *     MatchingCoarsening.cpp:14-45): contract each matched pair to one coarse node —

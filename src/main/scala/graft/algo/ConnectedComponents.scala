@@ -7,7 +7,8 @@ import org.apache.spark.storage.StorageLevel
 import graft.model.LinkGraph
 import graft.iterate.IterativeJob
 
-/** Connected components by union-by-min label propagation, the algorithm of
+/** Connected components by union-by-min label propagation (the role the reference's
+  * structures/UnionFind.h sequential DSU plays), the algorithm of
   * ParallelConnectedComponents
   * (/root/reference/networkit/cpp/components/ParallelConnectedComponents.cpp:20-95):
   *

@@ -12,7 +12,8 @@ import graft.synth.Generators
 
 /** GlobalCurveball — degree-preserving graph randomization
   * (/root/reference/networkit/cpp/randomization/GlobalCurveball.cpp:34-44,
-  * CurveballImpl.cpp trade mechanics): R global trade rounds; each round pairs every
+  * GlobalCurveballImpl.h + CurveballImpl.cpp trade mechanics,
+  * CurveballGlobalTradeGenerator.h / GlobalTradeSequence.h pairing): R global trade rounds; each round pairs every
   * node with a partner and redistributes the pair's disjoint neighbors while common
   * neighbors (and the intra-pair edge) stay put — the degree sequence is exactly
   * preserved and the graph stays simple.

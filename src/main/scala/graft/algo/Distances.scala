@@ -113,7 +113,8 @@ object Distances {
     dist.select(col("id"), when(col("dist") >= inf, -1L).otherwise(col("dist")).as("dist"))
   }
 
-  /** IncompleteDijkstra (/root/reference/networkit/cpp/distance/
+  /** IncompleteDijkstra (the concrete distance/IncompleteSSSP.h implementation —
+    * /root/reference/networkit/cpp/distance/
     * IncompleteDijkstra.cpp — the bounded-exploration Dijkstra the pruning
     * centralities consume): weighted SSSP that never relaxes past `bound`. Same
     * frontier relaxation as [[weightedSssp]] with the relax join PRE-FILTERED to

@@ -7,7 +7,9 @@ import org.apache.spark.storage.StorageLevel
 import graft.model.LinkGraph
 
 /** Per-edge scores + sparsification (/root/reference/networkit/cpp/edgescores/
-  * TriangleEdgeScore.cpp:18-110, JaccardSimilarityAttributizer, and sparsification/
+  * TriangleEdgeScore.cpp:18-110 — ChibaNishizekiTriangleEdgeScore.h computes the same
+  * per-edge triangle counts — JaccardSimilarityAttributizer, the scoring/EdgeScoring.h
+  * surface, and sparsification/
   * GlobalThresholdFilter.cpp):
   *
   *   - triangle count per logical undirected edge, via the same degree-ordered

@@ -11,7 +11,9 @@ import graft.model.LinkGraph
 import graft.iterate.IterativeJob
 
 /** PLP — community detection by label propagation
-  * (/root/reference/networkit/cpp/community/PLP.cpp:25-118).
+  * (/root/reference/networkit/cpp/community/PLP.cpp:25-118; the
+  * CommunityDetectionAlgorithm.h run/getPartition surface maps to these
+  * fixed-rounds/converged entry points).
   *
   * Semantics per round, for every node with degree > 0:
   *   - weighted label frequencies over *neighbors* (not self): labelWeights[zeta[w]] += w

@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 
 import graft.model.LinkGraph
 
-/** The remaining LinkPredictor index family + candidate/selection utilities —
+/** The remaining LinkPredictor index family + candidate/selection utilities
+  * (the NeighborhoodUtility.h set-algebra helpers become joins; ranked outputs
+  * replace PredictionsSorter.h's in-place sorts) —
   * the long tail of /root/reference/networkit/cpp/linkprediction/ beyond the
   * CN/Jaccard/AA/PA block (LinkPrediction.scala) and RA/Katz/ROC (LinkPredEval.scala):
   *

@@ -5,7 +5,10 @@ import org.apache.spark.sql.functions._
 
 import graft.model.LinkGraph
 
-/** Partition quality measures and partition ops over `labels(id, label)`:
+/** Partition quality measures and partition ops over `labels(id, label)` — the
+  * reference's QualityMeasure.h / DissimilarityMeasure.h / LocalCommunityEvaluation.h
+  * / LocalPartitionEvaluation.h / LocalCoverEvaluation.h surfaces as plain
+  * aggregations:
   *
   *   - Modularity (/root/reference/networkit/cpp/community/Modularity.cpp:28-92):
   *     Q = coverage − Σ_c (vol_c/ω)²/4 with vol_c = Σ_{v∈c} weightedDegree(v) and

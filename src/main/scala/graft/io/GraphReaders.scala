@@ -17,7 +17,10 @@ import graft.model.LinkGraph
   *     an EdgeList configuration.
   *
   * Everything is `spark.read.text` + split/posexplode + joins: the file parallelizes by
-  * line ranges, so a 1 TB edge list scans on all executors.
+  * line ranges, so a 1 TB edge list scans on all executors. (The reference's
+  * io/METISParser.h tokenizer, io/MatrixReader.h base, and io/MemoryMappedFile.h
+  * mmap plumbing dissolve into these scans — Spark's splittable text/binaryFile
+  * sources are the distributed replacement for a single mmap'd buffer.)
   */
 object GraphReaders extends Serializable {
 
@@ -512,6 +515,68 @@ object GraphReaders extends Serializable {
           var j = w - 1
           while (j >= 0) { v = (v << 8) | (bytes(i * w + j) & 0xFFL); j -= 1 }
           (base + i, v)
+        }
+      }
+      .toDF("id", "label")
+  }
+
+  /** BinaryEdgeListPartitionWriter (io/BinaryEdgeListPartitionWriter.cpp:10-45):
+    * explicit little-endian (node, partition) PAIRS of `width` bytes each — unlike
+    * [[writeBinaryPartition]]'s implicit-id stream — node ids shifted by
+    * `firstNode`; sharded one part file per range partition (the reference reads
+    * multi-file vectors natively, BinaryEdgeListPartitionReader.cpp:14-70). */
+  def writeBinaryEdgeListPartition(labels: DataFrame, path: String,
+                                   firstNode: Long = 0L, width: Int = 8,
+                                   partitions: Int = 0): Unit = {
+    require(width == 4 || width == 8, "Only width 4 and 8 are supported")
+    val spark = labels.sparkSession
+    val parts = if (partitions > 0) partitions
+                else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs0 = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs0.delete(dir, true); fs0.mkdirs(dir)
+    val pathStr = path
+    val w = width
+    labels.select((col("id") + firstNode).as("id"), col("label"))
+      .repartitionByRange(parts, col("id"))
+      .sortWithinPartitions("id")
+      .queryExecution.toRdd
+      .mapPartitionsWithIndex { (pid, rows) =>
+        val buf = new java.io.ByteArrayOutputStream(1 << 20)
+        def le(x0: Long): Unit = {
+          var x = x0; var i = 0
+          while (i < w) { buf.write((x & 0xFFL).toInt); x >>= 8; i += 1 }
+        }
+        rows.foreach { r => le(r.getLong(0)); le(r.getLong(1)) }
+        if (buf.size() > 0) {
+          val f = new org.apache.hadoop.fs.Path(pathStr, f"part-$pid%05d.belpart")
+          val os = f.getFileSystem(new org.apache.hadoop.conf.Configuration()).create(f, true)
+          os.write(buf.toByteArray); os.close()
+        }
+        Iterator.empty
+      }.count(): Unit
+  }
+
+  /** BinaryEdgeListPartitionReader (io/BinaryEdgeListPartitionReader.cpp:14-70):
+    * explicit ids make every part file independent — no offset pass at all. */
+  def readBinaryEdgeListPartition(spark: SparkSession, path: String,
+                                  firstNode: Long = 0L, width: Int = 8): DataFrame = {
+    require(width == 4 || width == 8, "Only width 4 and 8 are supported")
+    import spark.implicits._
+    val w = width
+    spark.read.format("binaryFile")
+      .load(if (new java.io.File(path).isDirectory) s"$path/part-*.belpart" else path)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap { bytes =>
+        require(bytes.length % (2 * w) == 0,
+          "file length must be a multiple of 2*width (node, partition pairs)")
+        def le(off: Int): Long = {
+          var v = 0L; var j = w - 1
+          while (j >= 0) { v = (v << 8) | (bytes(off + j) & 0xFFL); j -= 1 }
+          v
+        }
+        (0 until bytes.length / (2 * w)).iterator.map { i =>
+          (le(2 * i * w) - firstNode, le((2 * i + 1) * w))
         }
       }
       .toDF("id", "label")

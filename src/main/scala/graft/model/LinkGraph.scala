@@ -131,6 +131,7 @@ object LinkGraph {
 
   /** A graph directly from an explicit edge list (fixtures, readers). Vertex universe =
     * endpoints unless a vertex table is supplied (isolated nodes need one). */
+  /** Construct from an edge table (the graph/GraphBuilder.h entry point analog). */
   def fromEdges(spark: SparkSession, edges: DataFrame, vertices: Option[DataFrame] = None): LinkGraph = {
     val withW = if (edges.columns.contains("weight")) edges
                 else edges.withColumn("weight", lit(1.0))

@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 
 import graft.synth.Generators
 
-/** Dynamic graph sources — the reference's dynamics-side generators
-  * (/root/reference/networkit/cpp/dynamics/ + generators/DynamicBarabasiAlbert
-  * Generator.cpp: each time step adds one node plus k preferential-attachment
+/** Dynamic graph sources — the reference's dynamics-side generators (the
+  * DynamicGraphGenerator.h surface; timestamped DGS replay per io/DynamicGraphReader.h
+  * + generators/DynamicDGSParser.h lives in GraphEvents.parseDgs)
+  * (/root/reference/networkit/cpp/dynamics/ + generators/DynamicBarabasiAlbertGenerator.cpp: each time step adds one node plus k preferential-attachment
   * edges, emitted as a GraphEvent stream).
   *
   * The engine's static Barabási–Albert generator is already a pure (seed, index)

@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 import graft.DataFrameLineageOps
 import graft.model.LinkGraph
 
-/** Deterministic distributed graph generators — every edge is a pure function of
+/** Deterministic distributed graph generators (the StaticGraphGenerator.h surface;
+  * hyperbolic uses the geometric/HyperbolicSpace.h native-coordinate formulas and the
+  * planar ones geometric/Point2D.h-style integer points) — every edge is a pure function of
   * (seed, index), generated via `spark.range(m)` + column arithmetic: reproducible at
   * any parallelism, no RNG state, no shuffle until the final layout.
   *

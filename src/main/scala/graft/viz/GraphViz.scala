@@ -8,7 +8,9 @@ import org.apache.spark.sql.functions._
 import graft.model.LinkGraph
 import graft.synth.GraphSpec
 
-/** Graph-drawing family — the reference's viz stack re-expressed as iterative
+/** Graph-drawing family — the reference's viz stack (GraphLayoutAlgorithm.h /
+  * layout/LayoutAlgorithm.h surfaces; the far-field grid replaces viz/Octree.h)
+  * re-expressed as iterative
   * DataFrame pipelines over a coordinate table (id, x, y):
   *
   *   - FruchtermanReingold (viz/FruchtermanReingold.cpp:23-160): spring embedder;

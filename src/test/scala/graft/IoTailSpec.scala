@@ -28,6 +28,17 @@ class IoTailSpec extends AnyFunSuite {
     }
   }
 
+  test("binary edge-list partition (explicit pairs) roundtrips at width 4 and 8 with firstNode") {
+    import spark.implicits._
+    val labels = (0L until 80L).map(i => (i, i * 31 % 9)).toDF("id", "label")
+    for (w <- Seq(4, 8)) {
+      val p = tmp(s"belp$w")
+      GraphReaders.writeBinaryEdgeListPartition(labels, p, firstNode = 2L, width = w)
+      assert(labelMap(GraphReaders.readBinaryEdgeListPartition(spark, p, firstNode = 2L,
+        width = w)) == labelMap(labels))
+    }
+  }
+
   test("edge-list partition roundtrips with firstNode shift") {
     import spark.implicits._
     val labels = (0L until 50L).map(i => (i, i % 7)).toDF("id", "label")
