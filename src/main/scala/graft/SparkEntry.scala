@@ -581,6 +581,27 @@ object SparkEntry {
         .select(col("id").as("q"), lit(0L).as("u"), col("id").as("v"))
       graft.algo.Electrical.effectiveResistance(s, g, pairs, iters = 40)
     }),
+    // LAMG-style two-level multigrid solve of the same grounded pair probes:
+    // matching aggregation + Galerkin contraction + V(2,2)-cycles, all int64.
+    "q_lamg" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val scale = graft.algo.Multigrid.Scale
+      val pairs = g.vertices.filter(col("id") % 500 === 0 && col("id") =!= 0L)
+        .select(col("id").as("q"), lit(0L).as("u"), col("id").as("v"))
+      val b = pairs.select(col("u").as("id"), col("q"), lit(1L).as("b"))
+        .union(pairs.select(col("v").as("id"), col("q"), lit(-1L).as("b")))
+        .groupBy("id", "q").agg(sum("b").as("b"))
+      val x = graft.algo.Multigrid.solve(s, g, b, levels = 2, matchRounds = 2,
+        nu1 = 2, nu2 = 2, coarseIters = 16, cycles = 3)
+      val xv = x.join(pairs.select(col("q"), col("v").as("id")), Seq("q", "id"))
+        .select(col("q"), (-col("x")).as("r_scaled"))
+      x.groupBy("q")
+        .agg(sum("x").as("chk"), sum(abs(col("x"))).as("chk_abs"))
+        .join(xv, Seq("q"))
+        .select(col("q"), col("r_scaled"),
+          (col("r_scaled").cast("double") / scale).as("r"),
+          col("chk"), col("chk_abs"))
+    }),
     "q_spanning_edge" -> ((s, dir) =>
       graft.algo.Electrical.spanningEdgeCentrality(s, graph(s, dir), k = 6,
         iters = 40, seed = 42L)),
@@ -871,6 +892,23 @@ object SparkEntry {
       UrlOps.domainFilter(pages, blocked).select(col("doc_id"), col("domain"))
     }),
     "q_dedup_exact" -> ((s, dir) => TextOps.dedupExact(docs(s, dir))),
+    // CCNet-style span-level dedup: 8-token chunks, keep-first corpus-wide.
+    "q_span_dedup" -> ((s, dir) => Dedup.spanDedup(docs(s, dir), span = 8)),
+    // Bloom-prefiltered blocklist membership: broadcast (word,bits) filter +
+    // exact verification of the candidate superset.
+    "q_bloom_filter" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), TextOps.mdint(col("text")).as("key"))
+      val block = d.filter(col("doc_id") % 37 === 0).select(col("key"))
+      val words = graft.text.Bloom.build(block, "key", mBits = 4096L, k = 3)
+      val cand = graft.text.Bloom
+        .candidates(d, "key", "doc_id", words, mBits = 4096L, k = 3)
+      val actual = d
+        .join(block.distinct().withColumnRenamed("key", "bkey"),
+          col("key") === col("bkey"), "left")
+        .select(col("doc_id"),
+          when(col("bkey").isNotNull, 1L).otherwise(0L).as("in_blocklist"))
+      cand.select(col("doc_id"), col("candidate")).join(actual, Seq("doc_id"))
+    }),
 
     // --- near-duplicate detection (shingle Jaccard / MinHash-LSH / SimHash) ---
     "q_neardup_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), 0.5)),
@@ -894,6 +932,9 @@ object SparkEntry {
       graft.text.Corpus.semanticDedup(s, s.read.parquet(s"$dir/embeddings.parquet"), 0.35)),
     // Per-domain quota and exact-quota stratified sampling over the documents table.
     "q_source_cap" -> ((s, dir) => graft.text.Corpus.sourceCap(docs(s, dir), k = 20)),
+    // GPT-style concat-then-chunk sample packing over the distributed prefix sum.
+    "q_pack_sequences" -> ((s, dir) =>
+      graft.text.Corpus.packSequences(docs(s, dir), budget = 512L)),
     "q_stratified_sample" -> ((s, dir) =>
       graft.text.Corpus.stratifiedSample(docs(s, dir), frac = 0.25)),
     // IVF ANN: deterministic k-means coarse quantizer (16 lists, 3 Lloyd rounds) +
@@ -1005,6 +1046,7 @@ object SparkEntry {
     "q_incomplete_dijkstra" -> OracleSql.incompleteDijkstra(0L, 40, 12L),
     "q_cf_group_closeness"  -> OracleSql.cfGroupCloseness(4, 500L, 100L, 6, 40, 42L, 16384L),
     "q_eff_resistance"   -> OracleSql.effectiveResistance(500L, 40, 16384L),
+    "q_lamg"             -> OracleSql.lamg(500L, 2, 2, 2, 16, 3, 16384L),
     "q_erd_matrix"       -> OracleSql.erdMatrix(997L, 40, 16384L),
     "q_spanning_edge"    -> OracleSql.spanningEdge(6, 40, 42L, 16384L),
     "q_electrical_closeness" -> OracleSql.electricalCloseness(6, 40, 42L, 16384L),
@@ -1065,9 +1107,12 @@ object SparkEntry {
     "q_semantic_dedup"   -> EmbOracleSql.semanticDedup(0.35),
     "q_source_cap"       -> DocOracleSql.sourceCap(20),
     "q_stratified_sample" -> DocOracleSql.stratifiedSample(0.25, 42L),
+    "q_pack_sequences"   -> DocOracleSql.packSequences(512L),
     "q_url_dedup"        -> DocOracleSql.urlDedup,
     "q_domain_filter"    -> DocOracleSql.domainFilter,
     "q_dedup_exact"      -> DocOracleSql.dedupExact,
+    "q_span_dedup"       -> DedupOracleSql.spanDedup(8),
+    "q_bloom_filter"     -> DedupOracleSql.bloomPrefilter(37L, 4096L, 3),
     "q_neardup_jaccard"  -> DedupOracleSql.ngramJaccard(0.5),
     "q_neardup_minhash"  -> DedupOracleSql.minhashNearDups(0.5),
     "q_dedup_clusters"   -> DedupOracleSql.nearDupClusters(0.5),

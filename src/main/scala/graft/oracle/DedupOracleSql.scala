@@ -98,6 +98,56 @@ object DedupOracleSql {
        |SELECT id AS doc_id, label AS rep FROM dl$rounds""".stripMargin
   }
 
+  /** Mirrors Dedup.spanDedup: fixed `span`-token chunks, md5-hash each, keep only
+    * the min-(doc_id, ci) occurrence corpus-wide, reassemble in order. */
+  def spanDedup(span: Int): String = {
+    val terms = (1 to span).map(k => s"ts[i*$span+$k]").mkString(", ")
+    s"""WITH td AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |sp AS MATERIALIZED (SELECT doc_id, ci, s,
+       |    ('0x' || substr(md5(s), 1, 15))::bigint AS h,
+       |    doc_id * 1048576 + ci AS fkey
+       |  FROM (SELECT doc_id, i AS ci, concat_ws(' ', $terms) AS s
+       |    FROM (SELECT doc_id, ts,
+       |      unnest(generate_series(0, (len(ts) + ${span - 1}) // $span - 1)) AS i
+       |      FROM td))),
+       |fi AS MATERIALIZED (SELECT h, min(fkey) AS mk FROM sp GROUP BY h),
+       |kp AS MATERIALIZED (SELECT sp.doc_id, sp.ci, sp.s FROM sp
+       |  JOIN fi ON sp.h = fi.h AND sp.fkey = fi.mk),
+       |rb AS MATERIALIZED (SELECT doc_id, count(*) AS n_kept,
+       |  string_agg(s, ' ' ORDER BY ci) AS text_clean FROM kp GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST((len(string_split(d.text, ' ')) + ${span - 1}) // $span AS BIGINT) AS n_spans,
+       |  CAST(coalesce(rb.n_kept, 0) AS BIGINT) AS n_kept,
+       |  coalesce(rb.text_clean, '') AS text_clean
+       |FROM documents d LEFT JOIN rb ON d.doc_id = rb.doc_id""".stripMargin
+  }
+
+  /** Mirrors the q_bloom_filter composition: blocklist = text fingerprints of docs
+    * with doc_id % blockMod = 0, k md5 probes into an mBits bloom of 60-bit words,
+    * candidate = all probe bits set, in_blocklist = exact membership. */
+  def bloomPrefilter(blockMod: Long, mBits: Long, k: Int): String = {
+    val is = (0 until k).map(_.toString).mkString(", ")
+    def posOf(keyExpr: String) =
+      s"('0x' || substr(md5($keyExpr::varchar || '#' || i), 1, 15))::bigint % $mBits"
+    s"""WITH dk AS MATERIALIZED (SELECT doc_id,
+       |    ('0x' || substr(md5(text), 1, 15))::bigint AS key FROM documents),
+       |bl AS MATERIALIZED (SELECT key FROM dk WHERE doc_id % $blockMod = 0),
+       |bpos AS MATERIALIZED (SELECT ${posOf("key")} AS pos
+       |  FROM bl CROSS JOIN (SELECT unnest([$is]) AS i)),
+       |words AS MATERIALIZED (SELECT pos // 60 AS word,
+       |  bit_or(1::BIGINT << CAST(pos % 60 AS INT)) AS bits FROM bpos GROUP BY 1),
+       |pr AS MATERIALIZED (SELECT doc_id, ${posOf("key")} AS pos
+       |  FROM dk CROSS JOIN (SELECT unnest([$is]) AS i)),
+       |hits AS MATERIALIZED (SELECT p.doc_id,
+       |  min(CASE WHEN (coalesce(w.bits, 0) & (1::BIGINT << CAST(p.pos % 60 AS INT))) != 0
+       |      THEN 1 ELSE 0 END) AS candidate
+       |  FROM pr p LEFT JOIN words w ON p.pos // 60 = w.word GROUP BY 1)
+       |SELECT dk.doc_id, CAST(h.candidate AS BIGINT) AS candidate,
+       |  CAST(CASE WHEN dk.key IN (SELECT key FROM bl) THEN 1 ELSE 0 END AS BIGINT)
+       |    AS in_blocklist
+       |FROM dk JOIN hits h ON dk.doc_id = h.doc_id""".stripMargin
+  }
+
   private val simCte = {
     val bitSums = (0 until Dedup.SimBits).map(j =>
       s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n    ")

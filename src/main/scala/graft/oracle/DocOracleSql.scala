@@ -186,6 +186,22 @@ object DocOracleSql {
        |WHERE r.rnk <= ceil($frac * cnt.n)""".stripMargin
   }
 
+  /** Mirrors Corpus.packSequences: exclusive prefix sum of token counts in doc_id
+    * order, then fixed-budget sequence arithmetic. */
+  def packSequences(budget: Long): String =
+    s"""WITH tn AS MATERIALIZED (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+       |ps AS MATERIALIZED (SELECT doc_id, n_tokens,
+       |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+       |  FROM tn)
+       |SELECT doc_id, n_tokens, start_tok,
+       |  CAST(start_tok // $budget AS BIGINT) AS seq_id,
+       |  CAST(start_tok % $budget AS BIGINT) AS seq_offset,
+       |  CAST((start_tok + n_tokens - 1) // $budget - start_tok // $budget + 1 AS BIGINT)
+       |    AS n_seqs
+       |FROM ps""".stripMargin
+
   /** Mirrors q_domain_filter: 3-domain spread, 2 blocklisted. */
   val domainFilter: String = {
     s"""WITH c AS MATERIALIZED (SELECT doc_id,

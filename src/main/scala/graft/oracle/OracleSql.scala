@@ -3010,4 +3010,109 @@ object OracleSql {
        |FROM ys JOIN st ON ys.q = st.q
        |GROUP BY 1""".stripMargin
   }
+
+  /** LAMG-style two-level multigrid solve (mirrors Multigrid.solve with levels = 2):
+    * heavy-edge-matching aggregation (ground pinned out), Galerkin coarse operator =
+    * contracted weight-summed graph, damped truncating-integer weighted Jacobi
+    * smoothing, `cycles` unrolled V(ν₁,ν₂)-cycles with a `coarseIters`-sweep coarsest
+    * solve. Everything is int64 with `//` truncation, replaying the engine
+    * bit-exactly. Output per probe q (= node id, pair (0, q)): r_scaled = −x(q),
+    * plus whole-vector checksums. */
+  def lamg(mod: Long, matchRounds: Int, nu1: Int, nu2: Int, coarseIters: Int,
+           cycles: Int, scale: Long, overNum: Long = 3L, overDen: Long = 2L): String = {
+    // One damped-Jacobi sweep `to` from state `from` over (baseT, biT); rhs comes
+    // from baseT.rhs (fine) or an rhs CTE (coarse correction systems).
+    def sweep(to: String, from: String, baseT: String, biT: String,
+              rhsExpr: String, rhsJoin: String): String =
+      s"""${to}_m AS MATERIALIZED (SELECT bw.b AS id, x.q, sum(bw.w * x.x) AS m
+         |  FROM $from x JOIN $biT bw ON x.id = bw.a GROUP BY 1, 2),
+         |$to AS MATERIALIZED (SELECT b.id, b.q,
+         |  CAST(CASE WHEN b.id = 0 OR b.wdeg = 0 THEN 0
+         |       ELSE (x.x + ($rhsExpr + coalesce(m.m, 0)) // b.wdeg) // 2
+         |  END AS BIGINT) AS x
+         |  FROM $baseT b
+         |  JOIN $from x ON b.id = x.id AND b.q = x.q$rhsJoin
+         |  LEFT JOIN ${to}_m m ON b.id = m.id AND b.q = m.q)""".stripMargin
+    val cycleCtes = (1 to cycles).map { c =>
+      val preIn = if (c == 1) "y0" else s"y${c - 1}"
+      val pre = (1 to nu1).map { j =>
+        sweep(s"f${c}s$j", if (j == 1) preIn else s"f${c}s${j - 1}",
+          "bb", "bi0", "b.rhs", "")
+      }.mkString(",\n")
+      val top = s"f${c}s$nu1"
+      val coarse = (1 to coarseIters).map { k =>
+        sweep(s"e$c$k", if (k == 1) s"e${c}0" else s"e$c${k - 1}",
+          "cb", "cbi", "coalesce(rc.rhs, 0)",
+          s"\n  LEFT JOIN rc$c rc ON b.id = rc.id AND b.q = rc.q")
+      }.mkString(",\n")
+      val post = (1 to nu2).map { j =>
+        sweep(s"g${c}s$j", if (j == 1) s"pc$c" else s"g${c}s${j - 1}",
+          "bb", "bi0", "b.rhs", "")
+      }.mkString(",\n")
+      s"""$pre,
+         |rm$c AS MATERIALIZED (SELECT bw.b AS id, x.q, sum(bw.w * x.x) AS m
+         |  FROM $top x JOIN bi0 bw ON x.id = bw.a GROUP BY 1, 2),
+         |rr$c AS MATERIALIZED (SELECT b.id, b.q,
+         |  CAST(CASE WHEN b.id = 0 OR b.wdeg = 0 THEN 0
+         |       ELSE b.rhs - b.wdeg * x.x + coalesce(m.m, 0) END AS BIGINT) AS r
+         |  FROM bb b JOIN $top x ON b.id = x.id AND b.q = x.q
+         |  LEFT JOIN rm$c m ON b.id = m.id AND b.q = m.q),
+         |rc$c AS MATERIALIZED (SELECT p.label AS id, r.q, CAST(sum(r.r) AS BIGINT) AS rhs
+         |  FROM rr$c r JOIN mpart p ON r.id = p.id GROUP BY 1, 2),
+         |e${c}0 AS MATERIALIZED (SELECT id, q, CAST(0 AS BIGINT) AS x FROM cb),
+         |$coarse,
+         |pc$c AS MATERIALIZED (SELECT x.id, x.q,
+         |  CAST(x.x + (coalesce(e.x, 0) * $overNum) // $overDen AS BIGINT) AS x
+         |  FROM $top x JOIN mpart p ON x.id = p.id
+         |  LEFT JOIN e$c$coarseIters e ON p.label = e.id AND x.q = e.q),
+         |$post,
+         |y$c AS MATERIALIZED (SELECT id, q, x FROM g${c}s$nu2)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |und0 AS MATERIALIZED (SELECT least(src, dst) AS src, greatest(src, dst) AS dst,
+       |  CAST(1 AS BIGINT) AS w FROM (SELECT DISTINCT least(src, dst) AS src,
+       |  greatest(src, dst) AS dst FROM edges)),
+       |bi0 AS MATERIALIZED (SELECT src AS a, dst AS b, w FROM und0
+       |  UNION ALL SELECT dst, src, w FROM und0),
+       |wd0 AS MATERIALIZED (SELECT a AS id, sum(w) AS wdeg FROM bi0 GROUP BY 1),
+       |pr AS MATERIALIZED (SELECT id AS q, CAST(0 AS BIGINT) AS u, id AS v
+       |  FROM verts WHERE id % $mod = 0 AND id != 0),
+       |qs AS MATERIALIZED (SELECT q FROM pr),
+       |pb AS MATERIALIZED (SELECT id, q, sum(b) AS b FROM (
+       |  SELECT u AS id, q, 1 AS b FROM pr
+       |  UNION ALL SELECT v AS id, q, -1 AS b FROM pr) GROUP BY 1, 2),
+       |bb AS MATERIALIZED (SELECT v.id, q.q,
+       |  coalesce(d.wdeg, 0) AS wdeg, coalesce(p.b, 0) * $scale AS rhs
+       |  FROM verts v CROSS JOIN qs q
+       |  LEFT JOIN wd0 d ON v.id = d.id
+       |  LEFT JOIN pb p ON v.id = p.id AND q.q = p.q),
+       |mr0 AS MATERIALIZED (SELECT src, dst,
+       |  w * ${graft.synth.GraphSpec.M} +
+       |  ${graft.synth.Generators.drawSql("src * 1000003 + dst * 31 + 7", duck = true)} AS w
+       |  FROM und0 WHERE src != 0 AND dst != 0),
+       |ma0 AS MATERIALIZED (SELECT src, dst, w FROM mr0 WHERE 1 = 0),
+       |${matchSteps("m", matchRounds)},
+       |mpart AS MATERIALIZED (SELECT v.id, coalesce(m.nc, v.id) AS label FROM verts v
+       |  LEFT JOIN (SELECT src AS c, src AS nc FROM ma$matchRounds
+       |             UNION ALL SELECT dst, src FROM ma$matchRounds) m ON v.id = m.c),
+       |ce AS MATERIALIZED (SELECT least(ls.label, ld.label) AS src,
+       |  greatest(ls.label, ld.label) AS dst, CAST(sum(u.w) AS BIGINT) AS w
+       |  FROM und0 u JOIN mpart ls ON u.src = ls.id JOIN mpart ld ON u.dst = ld.id
+       |  WHERE ls.label != ld.label GROUP BY 1, 2),
+       |cbi AS MATERIALIZED (SELECT src AS a, dst AS b, w FROM ce
+       |  UNION ALL SELECT dst, src, w FROM ce),
+       |cwd AS MATERIALIZED (SELECT a AS id, sum(w) AS wdeg FROM cbi GROUP BY 1),
+       |cb AS MATERIALIZED (SELECT cv.id, q.q, coalesce(d.wdeg, 0) AS wdeg
+       |  FROM (SELECT DISTINCT label AS id FROM mpart) cv CROSS JOIN qs q
+       |  LEFT JOIN cwd d ON cv.id = d.id),
+       |y0 AS MATERIALIZED (SELECT id, q, CAST(0 AS BIGINT) AS x FROM bb),
+       |$cycleCtes,
+       |chks AS MATERIALIZED (SELECT q, CAST(sum(x) AS BIGINT) AS chk,
+       |  CAST(sum(abs(x)) AS BIGINT) AS chk_abs FROM y$cycles GROUP BY 1)
+       |SELECT p.q, CAST(-x.x AS BIGINT) AS r_scaled,
+       |  CAST(-x.x AS DOUBLE) / $scale AS r, c.chk, c.chk_abs
+       |FROM pr p
+       |JOIN y$cycles x ON x.id = p.v AND x.q = p.q
+       |JOIN chks c ON c.q = p.q""".stripMargin
+  }
 }

@@ -79,4 +79,28 @@ object Corpus {
       .filter(col("rnk") <= ceil(lit(frac) * col("n")))
       .select(col("doc_id"), col("lang"), col("rnk").cast("long").as("rnk"))
   }
+
+  /** GPT-style training-sample packing (concat-then-chunk): tokens of all documents
+    * are laid out consecutively in doc_id order and cut into fixed `budget`-token
+    * sequences; documents may straddle sequence boundaries. Per doc:
+    * its global start offset, owning sequence, in-sequence offset, and how many
+    * sequences it spans — everything a loader needs to materialize sample tensors.
+    *
+    * Scale shape: the global token layout is [[graft.layout.Layout.prefixSum]] —
+    * the engine's distributed two-job prefix sum (range-partition + per-partition
+    * cumsum + broadcast partition offsets), NO single-partition window. The returned
+    * frame keeps prefixSum's persisted layout; the caller owns the blocks (same
+    * ownership contract as zipWithRank). */
+  def packSequences(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0)
+    val withN = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val ps = graft.layout.Layout.prefixSum(withN, Seq(col("doc_id")), "n_tokens",
+      "start_tok")
+    ps.select(col("doc_id"), col("n_tokens"), col("start_tok"),
+      expr(s"start_tok div $budget").as("seq_id"),
+      expr(s"start_tok % $budget").as("seq_offset"),
+      expr(s"(start_tok + n_tokens - 1) div $budget - start_tok div $budget + 1")
+        .as("n_seqs"))
+  }
 }

@@ -212,6 +212,43 @@ object Dedup {
     * n-grams hitting more than `maxGramFreq` corpus docs are dropped (boilerplate
     * headers would otherwise fan out quadratically — same rationale as
     * maxShingleFreq). Output (doc_id, bench_id, overlap). */
+  /** CCNet-style span-level exact dedup (Wenzek et al. 2020 §3.1's paragraph
+    * dedup, with deterministic fixed-size chunking because the synthetic corpus has
+    * no newline structure): split each document into consecutive `span`-token
+    * chunks, hash each chunk (md5-derived, cross-engine exact), and keep only the
+    * FIRST occurrence of every chunk corpus-wide — first = min (doc_id, chunk_idx),
+    * encoded as one integer key so both engines agree without struct comparisons.
+    * Repeated boilerplate vanishes from every later document; the kept chunks are
+    * reassembled in order.
+    *
+    * Scale shape: one explode (m·spans rows), one groupBy-min keyed by chunk hash
+    * (uniform md5 keys — no skew guard needed: the argmin fold is a partial
+    * aggregation, so a boilerplate chunk in 10^9 docs still reduces map-side), one
+    * join back, one per-doc ordered reassembly. All linear, all hash-partitioned.
+    *
+    * Output: (doc_id, n_spans, n_kept, text_clean). */
+  def spanDedup(docs: DataFrame, span: Int = 8): DataFrame = {
+    val nSpansExpr = s"(size(split(text, ' ')) + ${span - 1}) div $span"
+    val spans = docs.select(col("doc_id"),
+      posexplode(expr(
+        s"""transform(sequence(0, CAST($nSpansExpr AS INT) - 1),
+           |  i -> array_join(slice(split(text, ' '), i * $span + 1, $span), ' '))"""
+          .stripMargin)).as(Seq("ci", "s")))
+      .withColumn("h", TextOps.mdint(col("s")))
+      .withColumn("fkey", col("doc_id") * lit(1048576L) + col("ci"))
+    val firsts = spans.groupBy("h").agg(min("fkey").as("minKey"))
+    val kept = spans.join(firsts, Seq("h")).filter(col("fkey") === col("minKey"))
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      expr("array_join(transform(array_sort(collect_list(struct(ci, s))), x -> x.s), ' ')")
+        .as("text_clean"))
+    docs.select(col("doc_id"), expr(nSpansExpr).cast("long").as("n_spans"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   def contamination(docs: DataFrame, bench: DataFrame, n: Int = 8,
                     minOverlap: Long = 1L,
                     maxGramFreq: Long = 100L): DataFrame = {

@@ -48,4 +48,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(byLang("en") == 9) // ceil(0.3*30)
     assert(byLang("de") == 3) // ceil(0.3*10)
   }
+
+  test("packSequences: contiguous layout, straddling docs span the right count") {
+    val s = spark; import s.implicits._
+    // token counts: 6, 4, 3, 10, 2  → starts 0, 6, 10, 13, 23 (budget 8)
+    val docs = Seq(
+      (0L, (1 to 6).map(i => s"a$i").mkString(" ")),
+      (1L, (1 to 4).map(i => s"b$i").mkString(" ")),
+      (2L, (1 to 3).map(i => s"c$i").mkString(" ")),
+      (3L, (1 to 10).map(i => s"d$i").mkString(" ")),
+      (4L, (1 to 2).map(i => s"e$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Corpus.packSequences(docs, budget = 8L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(out(0L) == ((6L, 0L, 0L, 0L, 1L)))   // [0,6) in seq 0
+    assert(out(1L) == ((4L, 6L, 0L, 6L, 2L)))   // [6,10) straddles seqs 0-1
+    assert(out(2L) == ((3L, 10L, 1L, 2L, 1L)))  // [10,13) in seq 1
+    assert(out(3L) == ((10L, 13L, 1L, 5L, 2L))) // [13,23) straddles seqs 1-2
+    assert(out(4L) == ((2L, 23L, 2L, 7L, 2L)))  // [23,25) straddles seqs 2-3
+    // global layout is gap-free: sum of tokens == last start + last count
+    assert(out.values.map(_._1).sum == out(4L)._2 + out(4L)._1)
+  }
 }
