@@ -56,6 +56,13 @@ object SparkEntry {
     "q_pagerank_fixed" -> ((s, dir) =>
       PageRank.fixedPoint(s, graph(s, dir), iterations = 20)),
 
+    // TrustRank: teleport restricted to the id % 100 trusted-seed set.
+    "q_trustrank" -> ((s, dir) => {
+      val g = graph(s, dir)
+      PageRank.trustRankFixed(s, g, g.vertices.filter(col("id") % 100 === 0),
+        iterations = 20)
+    }),
+
     "q_components" -> ((s, dir) =>
       ConnectedComponents.run(s, graph(s, dir)).labels),
 
@@ -843,6 +850,8 @@ object SparkEntry {
     // --- training-data pipeline: text analysis + dedup over `documents` ---
     "q_text_stats"  -> ((s, dir) => TextOps.stats(docs(s, dir))),
     "q_repetition"  -> ((s, dir) => TextOps.repetitionStats(docs(s, dir))),
+    // Gopher-rules keep/drop verdict with per-rule failure bitmask.
+    "q_gopher_filter" -> ((s, dir) => TextOps.gopherFilter(docs(s, dir))),
     "q_redact_pii"  -> ((s, dir) => TextOps.redactPii(docs(s, dir),
       when(pmod(col("doc_id"), lit(10L)) === 0L,
         concat(col("text"),
@@ -947,6 +956,7 @@ object SparkEntry {
     "q_edges"            -> OracleSql.edges,
     "q_degrees"          -> OracleSql.degrees,
     "q_pagerank_fixed"   -> OracleSql.pagerankFixed(20),
+    "q_trustrank"        -> OracleSql.trustRankFixed(100L, 20),
     "q_components"       -> OracleSql.components(12),
     "q_plp"              -> OracleSql.plp(10),
     "q_lp_degree_ordered" -> OracleSql.lpDegreeOrdered(3, 4),
@@ -1097,6 +1107,7 @@ object SparkEntry {
     "q_random_node_edge" -> OracleSql.randomNodeEdge(0.8, 42L),
     "q_text_stats"       -> DocOracleSql.stats,
     "q_repetition"       -> DocOracleSql.repetitionStats,
+    "q_gopher_filter"    -> DocOracleSql.gopherFilter,
     "q_redact_pii"       -> DocOracleSql.redactPii,
     "q_contamination"    -> DocOracleSql.contamination(8, 101L, 1L, 100L),
     "q_langid"           -> DocOracleSql.langId,

@@ -129,4 +129,47 @@ object PageRank {
     e.unpersist()
     ranks
   }
+
+  /** TrustRank / personalized PageRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB
+    * 2004 — the canonical web-spam analysis operator; beyond the reference's
+    * uniform-teleport PageRank but the same iteration): teleport mass goes ONLY to
+    * a trusted seed set, so scores measure link-proximity to the seeds and pages
+    * unreachable from them converge to 0. Scaled-integer fixed-point twin of
+    * [[fixedPoint]] (same per-iteration plan: one co-partitioned m-row join +
+    * partial aggregation; the seed flag rides the vertex table as a 0/1 column).
+    * Output (id, pr) with pr ≈ scale · trust score. */
+  def trustRankFixed(spark: SparkSession, g: LinkGraph, seeds: DataFrame,
+                     iterations: Int, scale: Long = 1000000000000L): DataFrame = {
+    val sc = seeds.count()
+    require(sc > 0, "trustRank needs a non-empty seed set")
+    val init = scale / sc
+    val tele = (15L * init) / 100L
+    val sTbl = seeds.select(col("id"), lit(1L).as("s"))
+    val verts = g.vertices.join(sTbl, Seq("id"), "left")
+      .select(col("id"), coalesce(col("s"), lit(0L)).as("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    verts.count()
+    val outDeg = g.edges.groupBy("src").agg(count(lit(1)).as("outDeg"))
+    val e = g.edges.select(col("src"), col("dst"))
+      .join(outDeg, "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = verts.select(col("id"), (col("s") * init).as("pr")).cutLineage
+    var i = 0
+    while (i < iterations) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), expr("pr div outDeg").as("c"))
+        .groupBy("dst").agg(sum("c").as("mass"))
+      val prev = ranks
+      ranks = verts
+        .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          (expr("85 * coalesce(mass, 0L) div 100") + col("s") * tele).as("pr"))
+        .cutLineage
+      prev.releaseState()
+      i += 1
+    }
+    e.unpersist(); verts.unpersist()
+    ranks
+  }
 }

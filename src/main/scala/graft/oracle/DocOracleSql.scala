@@ -186,6 +186,40 @@ object DocOracleSql {
        |WHERE r.rnk <= ceil($frac * cnt.n)""".stripMargin
   }
 
+  /** Mirrors TextOps.gopherFilter: integer cross-multiplied Gopher rule bitmask. */
+  val gopherFilter: String = {
+    def share(n: Int): String =
+      s"""t$n AS MATERIALIZED (SELECT doc_id, sum(c) AS n$n, max(c) AS top$n FROM (
+         |  SELECT doc_id, g, count(*) AS c FROM g$n GROUP BY doc_id, g) GROUP BY doc_id)""".stripMargin
+    s"""WITH ${gramCte("g2", 2)},
+       |${gramCte("g3", 3)},
+       |${gramCte("g5", 5)},
+       |${share(2)},
+       |${share(3)},
+       |d5 AS MATERIALIZED (SELECT doc_id, count(*) AS n5, count(DISTINCT g) AS d5
+       |  FROM g5 GROUP BY doc_id),
+       |bs AS MATERIALIZED (SELECT doc_id,
+       |  CAST(len($ts) AS BIGINT) AS nt,
+       |  CAST(list_sum(list_transform($ts, t -> length(t))) AS BIGINT) AS stl,
+       |  CAST(${stopCount(graft.text.TextOps.StopEn)} AS BIGINT) AS nstop
+       |  FROM documents),
+       |mk AS MATERIALIZED (SELECT b.doc_id, b.nt AS n_tokens,
+       |  CAST((CASE WHEN b.nt < 50 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN b.nt > 100000 THEN 2 ELSE 0 END)
+       |     + (CASE WHEN b.stl < 3 * b.nt THEN 4 ELSE 0 END)
+       |     + (CASE WHEN b.stl > 10 * b.nt THEN 8 ELSE 0 END)
+       |     + (CASE WHEN b.nstop < 2 THEN 16 ELSE 0 END)
+       |     + (CASE WHEN coalesce(t2.top2, 0) * 5 > coalesce(t2.n2, 0) THEN 32 ELSE 0 END)
+       |     + (CASE WHEN coalesce(t3.top3, 0) * 50 > coalesce(t3.n3, 0) * 9 THEN 64 ELSE 0 END)
+       |     + (CASE WHEN (coalesce(d5.n5, 0) - coalesce(d5.d5, 0)) * 10
+       |             > coalesce(d5.n5, 0) * 3 THEN 128 ELSE 0 END) AS BIGINT) AS fail_mask
+       |  FROM bs b LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+       |  LEFT JOIN d5 USING (doc_id))
+       |SELECT doc_id, n_tokens, fail_mask,
+       |  CAST(CASE WHEN fail_mask = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM mk""".stripMargin
+  }
+
   /** Mirrors Corpus.packSequences: exclusive prefix sum of token counts in doc_id
     * order, then fixed-budget sequence arithmetic. */
   def packSequences(budget: Long): String =

@@ -61,6 +61,30 @@ object OracleSql {
        |SELECT id, pr FROM pr$iters""".stripMargin
   }
 
+  /** Mirrors PageRank.trustRankFixed: teleport only to seeds (id % seedMod = 0). */
+  def trustRankFixed(seedMod: Long, iters: Int,
+                     scale: Long = 1000000000000L): String = {
+    val steps = (1 to iters).map { i =>
+      s"""tr$i AS MATERIALIZED (SELECT v.id,
+         |  CAST(85 * coalesce(m.mass, 0) // 100 + v.s * (SELECT t FROM tl) AS BIGINT) AS pr
+         |  FROM sv v LEFT JOIN (
+         |    SELECT e.dst AS id, CAST(sum(p.pr // e.d) AS BIGINT) AS mass
+         |    FROM ed e JOIN tr${i - 1} p ON e.src = p.id GROUP BY e.dst) m
+         |  ON v.id = m.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |od AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY src),
+       |ed AS MATERIALIZED (SELECT edges.src, edges.dst, od.d FROM edges JOIN od USING (src)),
+       |sv AS MATERIALIZED (SELECT id,
+       |  CASE WHEN id % $seedMod = 0 THEN 1 ELSE 0 END AS s FROM verts),
+       |sc AS MATERIALIZED (SELECT count(*) AS c FROM sv WHERE s = 1),
+       |ini AS MATERIALIZED (SELECT CAST($scale // c AS BIGINT) AS v FROM sc),
+       |tl AS MATERIALIZED (SELECT CAST((15 * (SELECT v FROM ini)) // 100 AS BIGINT) AS t),
+       |tr0 AS MATERIALIZED (SELECT id, CAST(s * (SELECT v FROM ini) AS BIGINT) AS pr FROM sv),
+       |$steps
+       |SELECT id, pr FROM tr$iters""".stripMargin
+  }
+
   private val biCte =
     "bi AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges)"
 

@@ -86,6 +86,46 @@ object TextOps {
         coalesce(col("dup5_frac"), lit(0.0)).as("dup5_frac"))
   }
 
+  /** Gopher-style document quality FILTER (Rae et al. 2021 Table A1's repetition +
+    * length rules adapted to the whitespace-token corpus): a hard keep/drop verdict
+    * with a per-rule failure BITMASK, so a pipeline can both filter and report why.
+    * Every threshold compares exact integers by cross-multiplication (no float
+    * compares), making the verdict bit-exact cross-engine. Bits: 1 = under 50
+    * tokens, 2 = over 100 000 tokens, 4 = mean token length < 3, 8 = mean token
+    * length > 10, 16 = fewer than 2 stopwords, 32 = top 2-gram share > 20%,
+    * 64 = top 3-gram share > 18%, 128 = duplicate 5-gram fraction > 30%.
+    * Output (doc_id, n_tokens, fail_mask, keep). */
+  def gopherFilter(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val bs = docs.select(col("doc_id"),
+      size(t).cast("long").as("nt"),
+      aggregate(t, lit(0L), (a, x) => a + length(x)).as("stl"),
+      stopCount(t, StopEn).cast("long").as("nstop"))
+    def gramTbl(n: Int) = docs.filter(size(t) >= n).select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n))))).as("g"))
+    def topStats(n: Int) = gramTbl(n)
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as(s"n$n"), max("c").as(s"top$n"))
+    val d5 = gramTbl(5).groupBy("doc_id")
+      .agg(count(lit(1)).as("n5"), countDistinct("g").as("d5"))
+    bs.join(topStats(2), Seq("doc_id"), "left")
+      .join(topStats(3), Seq("doc_id"), "left")
+      .join(d5, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n2", "top2", "n3", "top3", "n5", "d5"))
+      .select(col("doc_id"), col("nt").as("n_tokens"),
+        (when(col("nt") < 50L, 1L).otherwise(0L)
+          + when(col("nt") > 100000L, 2L).otherwise(0L)
+          + when(col("stl") < lit(3L) * col("nt"), 4L).otherwise(0L)
+          + when(col("stl") > lit(10L) * col("nt"), 8L).otherwise(0L)
+          + when(col("nstop") < 2L, 16L).otherwise(0L)
+          + when(col("top2") * lit(5L) > col("n2"), 32L).otherwise(0L)
+          + when(col("top3") * lit(50L) > col("n3") * lit(9L), 64L).otherwise(0L)
+          + when((col("n5") - col("d5")) * lit(10L) > col("n5") * lit(3L), 128L)
+            .otherwise(0L)).as("fail_mask"))
+      .withColumn("keep", when(col("fail_mask") === 0L, 1L).otherwise(0L))
+  }
+
   /** Email / phone / IPv4 patterns shared by the Spark and DuckDB sides — kept to
     * the regex subset where Java regex and RE2 agree (no backrefs, no lookaround). */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
