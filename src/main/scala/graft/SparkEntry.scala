@@ -56,6 +56,10 @@ object SparkEntry {
     "q_pagerank_fixed" -> ((s, dir) =>
       PageRank.fixedPoint(s, graph(s, dir), iterations = 20)),
 
+    // HITS hubs & authorities, L1-normalized scaled-integer fixed point.
+    "q_hits" -> ((s, dir) =>
+      PageRank.hitsFixed(s, graph(s, dir), iterations = 12)),
+
     // TrustRank: teleport restricted to the id % 100 trusted-seed set.
     "q_trustrank" -> ((s, dir) => {
       val g = graph(s, dir)
@@ -957,6 +961,7 @@ object SparkEntry {
     "q_degrees"          -> OracleSql.degrees,
     "q_pagerank_fixed"   -> OracleSql.pagerankFixed(20),
     "q_trustrank"        -> OracleSql.trustRankFixed(100L, 20),
+    "q_hits"             -> OracleSql.hitsFixed(12),
     "q_components"       -> OracleSql.components(12),
     "q_plp"              -> OracleSql.plp(10),
     "q_lp_degree_ordered" -> OracleSql.lpDegreeOrdered(3, 4),

@@ -172,4 +172,47 @@ object PageRank {
     e.unpersist(); verts.unpersist()
     ranks
   }
+
+  /** HITS hubs & authorities (Kleinberg, JACM 1999 — the other canonical web-link
+    * eigenvector pair; beyond the reference, which ships only PageRank/eigenvector).
+    * Fixed-point scaled-integer twin: per iteration the authority vector is the
+    * in-edge sum of hub scores L1-normalized to `scale` (truncating division by the
+    * collected total — a scalar, so the normalize stays one Catalyst expression),
+    * then hubs likewise from the new authorities over out-edges. Two m-row
+    * join+partial-agg exchanges per iteration — the PageRank plan shape, twice.
+    * Output (id, hub, auth). */
+  def hitsFixed(spark: SparkSession, g: LinkGraph, iterations: Int,
+                scale: Long = 1000000L): DataFrame = {
+    val e = g.edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def normalized(raw: DataFrame, valCol: String): DataFrame = {
+      // raw: (id, r) over a SUBSET of vertices; normalize over the full vertex set.
+      val total = raw.agg(coalesce(sum("r"), lit(0L))).head().getLong(0)
+      g.vertices.join(raw, Seq("id"), "left")
+        .select(col("id"),
+          (if (total == 0L) lit(0L)
+           else expr(s"coalesce(r, 0L) * $scale div $total")).as(valCol))
+        .cutLineage
+    }
+    var hub = g.vertices.select(col("id"), lit(scale).as("h")).cutLineage
+    var auth: DataFrame = g.vertices.select(col("id"), lit(0L).as("a")).cutLineage
+    var i = 0
+    while (i < iterations) {
+      val aRaw = e.join(hub.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(sum("h").as("r"))
+      val prevA = auth
+      auth = normalized(aRaw, "a")
+      prevA.releaseState()
+      val hRaw = e.join(auth.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(sum("a").as("r"))
+      val prevH = hub
+      hub = normalized(hRaw, "h")
+      prevH.releaseState()
+      i += 1
+    }
+    val out = hub.join(auth, Seq("id"))
+      .select(col("id"), col("h").as("hub"), col("a").as("auth"))
+    e.unpersist()
+    out
+  }
 }

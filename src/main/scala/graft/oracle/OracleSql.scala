@@ -61,6 +61,32 @@ object OracleSql {
        |SELECT id, pr FROM pr$iters""".stripMargin
   }
 
+  /** Mirrors PageRank.hitsFixed: alternating in-/out-edge sums, L1-normalized to
+    * `scale` by truncating division each half-step. */
+  def hitsFixed(iters: Int, scale: Long = 1000000L): String = {
+    val steps = (1 to iters).map { i =>
+      s"""ar$i AS MATERIALIZED (SELECT e.dst AS id, CAST(sum(h.h) AS BIGINT) AS r
+         |  FROM edges e JOIN h${i - 1} h ON e.src = h.id GROUP BY 1),
+         |at$i AS MATERIALIZED (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS t FROM ar$i),
+         |a$i AS MATERIALIZED (SELECT v.id,
+         |  CAST(CASE WHEN (SELECT t FROM at$i) = 0 THEN 0
+         |       ELSE coalesce(ar.r, 0) * $scale // (SELECT t FROM at$i) END AS BIGINT) AS a
+         |  FROM verts v LEFT JOIN ar$i ar ON v.id = ar.id),
+         |hr$i AS MATERIALIZED (SELECT e.src AS id, CAST(sum(a.a) AS BIGINT) AS r
+         |  FROM edges e JOIN a$i a ON e.dst = a.id GROUP BY 1),
+         |ht$i AS MATERIALIZED (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS t FROM hr$i),
+         |h$i AS MATERIALIZED (SELECT v.id,
+         |  CAST(CASE WHEN (SELECT t FROM ht$i) = 0 THEN 0
+         |       ELSE coalesce(hr.r, 0) * $scale // (SELECT t FROM ht$i) END AS BIGINT) AS h
+         |  FROM verts v LEFT JOIN hr$i hr ON v.id = hr.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |h0 AS MATERIALIZED (SELECT id, CAST($scale AS BIGINT) AS h FROM verts),
+       |$steps
+       |SELECT h.id, h.h AS hub, a.a AS auth
+       |FROM h$iters h JOIN a$iters a ON h.id = a.id""".stripMargin
+  }
+
   /** Mirrors PageRank.trustRankFixed: teleport only to seeds (id % seedMod = 0). */
   def trustRankFixed(seedMod: Long, iters: Int,
                      scale: Long = 1000000000000L): String = {
