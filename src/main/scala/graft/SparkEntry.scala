@@ -345,6 +345,11 @@ object SparkEntry {
     // PlantedRecoverySpec (planted recovery + determinism + density).
     "q_clustered_random" -> ((s, _) =>
       graft.synth.Generators.clusteredRandomGraph(s, 3000L, 5, 0.02, 0.002, 42L)._2),
+    // Exact-LFR node table: powerlaw degrees + community sizes + integer mu-split;
+    // the edge realization (deterministic stub matching) is spec-gated (Round16Spec:
+    // degree exactness within slack, mu mixing, planted NMI recovery).
+    "q_gen_lfr" -> ((s, _) =>
+      graft.synth.Generators.lfrExactNodes(s, 3000L, 4L, 60L, 40L, 300L, 1L, 4L)),
     // Dynamic generator event streams (etype,u,v,w,t), each foldable back to the
     // static graph at any prefix (DynamicGeneratorsSpec): path + DM + pubweb have
     // exact oracles; hyperbolic is rows-only (geometric floats).
@@ -515,6 +520,12 @@ object SparkEntry {
     "q_kadabra_est" -> ((s, dir) =>
       graft.algo.PathSampling.betweennessEstimate(s, graph(s, dir),
         samples = 64, seed = 42L)),
+    // Adaptive ApproxBetweenness: Riondato–Kornaropoulos ε-δ sample bound from the
+    // two-sweep vertex-diameter estimate (integer log2, literal −ln δ — no library
+    // log whose ulp could flip the ceil across engines), then the path-sampling
+    // harness at that budget.
+    "q_approx_betweenness" -> ((s, dir) =>
+      graft.algo.PathSampling.approxBetweennessAdaptive(s, graph(s, dir))),
     // Mahmoody greedy max-coverage group betweenness over the same sampled paths.
     "q_group_betweenness" -> ((s, dir) =>
       graft.algo.PathSampling.approxGroupBetweenness(s, graph(s, dir), k = 4,
@@ -772,6 +783,15 @@ object SparkEntry {
       Distances.diameterExact(s,
         g.subgraphFromNodes(g.vertices.filter(col("id") % 7 === 0)), 0L)
     }),
+    // EXACT effective diameter (hop CDF from a batched all-source msBFS) on the
+    // component of node 0 in the same id % 7 induced subgraph as q_diameter_exact;
+    // the ANF sketch twin (q_eff_diameter) is the whole-graph scale path.
+    "q_eff_diameter_exact" -> ((s, dir) => {
+      val g = graph(s, dir)
+      Distances.effectiveDiameterExact(s,
+        g.subgraphFromNodes(g.vertices.filter(col("id") % 7 === 0)),
+        ratio = 0.9, start = 0L)
+    }),
     // Network-profile battery: one exact-integer summary row (profiling.py analog).
     "q_graph_profile" -> ((s, dir) =>
       graft.algo.Profile.run(s, graph(s, dir))),
@@ -781,6 +801,10 @@ object SparkEntry {
     // spec asserts maximality on fixtures); strict (w DESC, src, dst) total order.
     "q_matching" -> ((s, dir) =>
       graft.algo.Matching.localMaxMatching(s, graph(s, dir), rounds = 15)),
+    // PathGrowingMatcher pointer-forest twin: grow all heaviest-edge paths at once,
+    // 2-color by depth parity, keep the heavier class per path.
+    "q_path_growing" -> ((s, dir) =>
+      graft.algo.Matching.pathGrowingMatching(s, graph(s, dir))),
     // GlobalCurveball degree-preserving randomization, 2 global trade rounds;
     // the oracle replays the identical pairing/ownership/pool-deal arithmetic.
     "q_curveball" -> ((s, dir) =>
@@ -1003,6 +1027,7 @@ object SparkEntry {
     "q_group_closeness"  -> OracleSql.groupCloseness(4, 16, 15),
     "q_gen_er"           -> OracleSql.generatorEr(5000L, 20000L, 42L),
     "q_clustered_random" -> OracleSql.clusteredRandomMembership(3000L, 5, 42L),
+    "q_gen_lfr"          -> OracleSql.lfrNodes(3000L, 4L, 60L, 40L, 300L, 1L, 4L),
     "q_erdos_gallai"     -> OracleSql.erdosGallai,
     "q_dyn_path"         -> OracleSql.dynPath(50L),
     "q_dyn_dm"           -> OracleSql.dynDm(2000L, 42L),
@@ -1057,6 +1082,8 @@ object SparkEntry {
     "q_dyn_apsp"         -> OracleSql.apspDyn(100, 15),
     "q_dyn_bet_one_node" -> OracleSql.dynBetweennessOneNode(100, 7L, 15),
     "q_kadabra_est"      -> OracleSql.kadabraEstimate(64, 42L, 18),
+    "q_approx_betweenness" -> OracleSql.approxBetweennessAdaptive(
+      25L, 2.302585092994046, 512, 42L, 15, 18),
     "q_group_betweenness" -> OracleSql.approxGroupBetweenness(4, 64, 42L, 18),
     "q_incomplete_dijkstra" -> OracleSql.incompleteDijkstra(0L, 40, 12L),
     "q_cf_group_closeness"  -> OracleSql.cfGroupCloseness(4, 500L, 100L, 6, 40, 42L, 16384L),
@@ -1085,12 +1112,14 @@ object SparkEntry {
     "q_local_degree"     -> OracleSql.localDegree,
     "q_neighborhood_fn"  -> OracleSql.neighborhoodFunction(10),
     "q_eff_diameter"     -> OracleSql.effectiveDiameter(15),
+    "q_eff_diameter_exact" -> OracleSql.effectiveDiameterExact(7L, 0L, 35, 0.9),
     "q_sssp_weighted"    -> OracleSql.weightedSssp(0L, 40),
     "q_subgraph"         -> OracleSql.subgraph7,
     "q_top_closeness"    -> OracleSql.topCloseness(7, 25, 28),
     "q_plm"              -> OracleSql.plm(6, 2),
     "q_graph_profile"    -> OracleSql.graphProfile(12),
     "q_matching"         -> OracleSql.localMaxMatching(15),
+    "q_path_growing"     -> OracleSql.pathGrowingMatching(12),
     "q_matching_coarsen" -> OracleSql.matchingCoarsen(15),
     "q_project_back"     -> OracleSql.projectBack(15),
     "q_curveball"        -> OracleSql.globalCurveball(2),

@@ -186,6 +186,42 @@ object Distances {
     Seq(lb).toDF("diameter")
   }
 
+  /** EXACT effective diameter (/root/reference/networkit/cpp/distance/
+    * EffectiveDiameter.cpp:20-88 — per-node reachability bitsets grown one hop per
+    * round; a node finishes at hop h when |B(v,h)| ≥ ⌈ratio·n⌉; result =
+    * Σ finish-hops / n): re-architected as ONE batched multi-source BFS from every
+    * node (the Betweenness forward harness — the reference's O(n²) bitset matrix
+    * becomes the (s, id, dist) pair table), then per-source hop CDF: h_v =
+    * max(1, min d with |{u : dist(v,u) ≤ d}| ≥ threshold) — the max(1,·) mirrors the
+    * reference's h starting at 1. The cumulative count is a window PARTITIONED BY
+    * source (never a global window). Connected-component semantics as the reference:
+    * it throws on disconnected input; we run on the component containing `start`.
+    * Exact all-pairs is Θ(n·reach) state — for the giant web component use the ANF
+    * sketch twin ([[graft.algo.Anf.effectiveDiameter]]); exact is for
+    * fixture/component scale, like the reference's own use.
+    * One row (n, sum_hops, eff_diameter). */
+  def effectiveDiameterExact(spark: SparkSession, g: LinkGraph,
+                             ratio: Double = 0.9, start: Long = 0L): DataFrame = {
+    val comp = bfsHops(spark, g, start).filter(col("dist") >= 0L).select("id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nC = comp.count()
+    val sub = g.subgraphFromNodes(comp)
+    // reference threshold: (uint64)(ceil(ratio * n) + 0.5) = ceil(ratio * n)
+    val threshold = math.ceil(ratio * nC).toLong
+    val (state, _) = Betweenness.msBfs(spark, sub, comp)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("s").orderBy("dist")
+    val hops = state.groupBy("s", "dist").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(w))
+      .filter(col("cum") >= threshold)
+      .groupBy("s").agg(greatest(lit(1L), min("dist")).as("hop"))
+    val out = hops.agg(count(lit(1)).as("n"), sum("hop").as("sum_hops"))
+      .select(col("n"), col("sum_hops"),
+        (col("sum_hops").cast("double") / col("n")).as("eff_diameter"))
+    comp.unpersist()
+    out
+  }
+
   /** APSP (/root/reference/networkit/cpp/distance/APSP.cpp — per-source BFS loop),
     * re-architected as ONE batched multi-source BFS (the Betweenness forward harness):
     * output (s, id, dist) for every (source, reached node) pair. With `sources` = all

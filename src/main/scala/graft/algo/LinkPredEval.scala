@@ -134,11 +134,14 @@ object LinkPredEval {
       .map(i => math.ceil((nPred * i).toDouble / (numThresholds - 1)).toLong)
       .distinct.sorted
     val thrDf = broadcast(thrs.toDF("thr"))
-    flagged.join(thrDf, col("rnk") < col("thr"))
+    val counts = flagged.join(thrDf, col("rnk") < col("thr"))
       .groupBy("thr")
       .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("tp"),
         sum(when(col("pos"), 0L).otherwise(1L)).as("fp"))
-      .join(thrDf, Seq("thr"), "right") // thr=0 has no rows: tp=fp=0
+    // thr=0 has no rows: tp=fp=0. Left join FROM the threshold table with the
+    // (≤ numThresholds-row) counts broadcast — a broadcast hint on the stream side
+    // of a right-outer join is unsupported and was dead code (VERDICT r3 nit).
+    thrDf.join(broadcast(counts), Seq("thr"), "left")
       .select(col("thr"),
         coalesce(col("tp"), lit(0L)).as("tp"),
         coalesce(col("fp"), lit(0L)).as("fp"))

@@ -81,6 +81,107 @@ object Matching {
     acc
   }
 
+  /** PathGrowingMatcher (/root/reference/networkit/cpp/matching/
+    * PathGrowingMatcher.cpp:26-140 — Drake–Hougardy: grow a path by repeatedly
+    * following the heaviest incident edge, 2-color the path edges alternately into
+    * M1/M2, keep the heavier side; ½-approximation): the reference's single
+    * sequential walk with a global bucket-PQ cannot distribute, so this is the
+    * pointer-forest twin — the SAME grow-by-heaviest-edge / alternate / keep-heavier
+    * structure, executed for ALL paths at once:
+    *
+    *  1. every vertex points to its heaviest incident edge (strict total order
+    *     w DESC, neighbor ASC — the same determinism substitution LocalMaxMatcher
+    *     uses for the reference's RNG jitter);
+    *  2. each vertex additionally ACCEPTS at most its best incoming pointer, so the
+    *     kept pointer edges form a max-degree-2 subgraph. Following pointers
+    *     strictly increases (w, tiebreak), so the only cycles are mutual pairs —
+    *     the components are exactly the grown paths;
+    *  3. edge depth along each path = pointer-hop distance of its owner to the
+    *     path's anchor (its mutual pair, or the head whose own pointer was
+    *     rejected), computed by pointer doubling — O(log path-length) rounds of an
+    *     n-row self-join, no sequential walk;
+    *  4. depth parity 2-colors each path (adjacent edges have consecutive depths);
+    *     per component keep the heavier parity class (ties → even) — the
+    *     reference's max(M1, M2) taken per path, which is only stronger.
+    *
+    * Vertices whose pointer is rejected and that receive no accepted pointer leave
+    * unmatched — the reference likewise kills every traversed vertex, matched or
+    * not. Returns matched pairs (src, dst, w), src < dst; proper by construction
+    * (each vertex has ≤ 2 pointer edges, of consecutive depths → different
+    * parities). */
+  def pathGrowingMatching(spark: SparkSession, g: LinkGraph): DataFrame = {
+    val e = g.canonicalUndirected
+      .select(col("src"), col("dst"), syntheticWeight.as("w")).cutLineage
+    // p(x): heaviest incident edge per vertex — argmin of (-w, neighbor).
+    val inc = e.select(col("src").as("x"), col("dst").as("y"), col("w"))
+      .union(e.select(col("dst").as("x"), col("src").as("y"), col("w")))
+    val ptr = inc.groupBy("x")
+      .agg(min(struct((-col("w")).as("nw"), col("y"))).as("b"))
+      .select(col("x"), col("b.y").as("y"), (-col("b.nw")).as("w"))
+      .cutLineage
+    // acc(v): best incoming pointer per target — argmin of (-w, owner).
+    val acc = ptr.groupBy("y")
+      .agg(min(struct((-col("w")).as("nw"), col("x"))).as("b"))
+      .select(col("y"), col("b.x").as("accx"))
+    // Kept pointer edges: owner x -> y where x is y's accepted incoming.
+    val sedge = ptr.join(acc, Seq("y")).filter(col("x") === col("accx"))
+      .select(col("x"), col("y"), col("w")).cutLineage
+    // Mutual pairs p(p(x)) = x; anchors = mutual members ∪ rejected-pointer owners.
+    val mutual = ptr.select(col("x"), col("y"))
+      .join(ptr.select(col("y").as("x"), col("x").as("y")), Seq("x", "y"), "left_semi")
+      .select(col("x").as("id"))
+    val owners = sedge.select(col("x").as("id"))
+    val anchors = ptr.select(col("x").as("id"))
+      .join(owners, Seq("id"), "left_anti")
+      .union(mutual).distinct().cutLineage
+    // comp label of an anchor: min(a, p(a)) for mutual members, a itself for heads.
+    val anchorComp = anchors
+      .join(mutual.withColumn("m", lit(1L)), Seq("id"), "left")
+      .join(ptr.select(col("x").as("id"), col("y").as("py")), Seq("id"))
+      .select(col("id"),
+        when(col("m").isNotNull, least(col("id"), col("py")))
+          .otherwise(col("id")).as("comp"))
+    // Pointer doubling to (anchor, depth): state (id, t, d, fin).
+    val aFlag = anchors.withColumn("fin0", lit(true))
+    var state = ptr.select(col("x").as("id"), col("y").as("t"))
+      .join(aFlag.select(col("id"), col("fin0")), Seq("id"), "left")
+      .select(col("id"),
+        when(col("fin0"), col("id")).otherwise(col("t")).as("t"),
+        when(col("fin0"), lit(0L)).otherwise(lit(1L)).as("d"),
+        coalesce(col("fin0"), lit(false)).as("fin"))
+      .cutLineage
+    var unfinished = state.filter(!col("fin")).limit(1).count() > 0
+    while (unfinished) {
+      val hop = state.select(col("id").as("t"), col("t").as("t2"),
+        col("d").as("d2"), col("fin").as("fin2"))
+      val prev = state
+      state = state.join(hop, Seq("t"), "left")
+        .select(col("id"),
+          when(col("fin"), col("t")).otherwise(col("t2")).as("t"),
+          when(col("fin"), col("d")).otherwise(col("d") + col("d2")).as("d"),
+          when(col("fin"), col("fin")).otherwise(col("fin2")).as("fin"))
+        .cutLineage
+      prev.releaseState()
+      unfinished = state.filter(!col("fin")).limit(1).count() > 0
+    }
+    // Canonical S edges with (comp, parity): owner x carries depth d(x); mutual
+    // edges appear from both owners at depth 0 and collapse under DISTINCT.
+    val edged = sedge
+      .join(state.select(col("id").as("x"), col("t"), col("d")), Seq("x"))
+      .join(anchorComp.select(col("id").as("t"), col("comp")), Seq("t"))
+      .select(least(col("x"), col("y")).as("src"),
+        greatest(col("x"), col("y")).as("dst"), col("w"),
+        col("comp"), pmod(col("d"), lit(2L)).as("parity"))
+      .distinct().cutLineage
+    // Heavier parity class per component (ties -> even parity).
+    val pick = edged.groupBy("comp", "parity").agg(sum("w").as("pw"))
+      .groupBy("comp")
+      .agg(min(struct((-col("pw")).as("npw"), col("parity"))).as("b"))
+      .select(col("comp"), col("b.parity").as("parity"))
+    edged.join(pick, Seq("comp", "parity"), "left_semi")
+      .select(col("src"), col("dst"), col("w"))
+  }
+
   /** True iff `matching(src,dst)` is a valid matching of g (no shared endpoints,
     * edges exist) — spec helper mirroring Matching::isProper
     * (matching/Matching.cpp:20-60). */

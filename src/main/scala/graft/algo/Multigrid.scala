@@ -88,11 +88,15 @@ object Multigrid {
       // per round on a path) — the reference's LocalMaxMatcher jitters weights with
       // an RNG for exactly this reason (matching/LocalMaxMatcher.cpp:36). We jitter
       // deterministically with the shared LCG draw so the DuckDB twin replays it:
-      // key = w·2³¹ + draw(src,dst), i.e. lexicographic (w, draw) order.
+      // key = least(w, 2³¹−1)·2³¹ + draw(src,dst), i.e. lexicographic (w, draw)
+      // order with the weight clamped so the key stays < 2^62 no matter how much
+      // aggregated coarse weight accumulates across levels (ADVICE r3: unclamped,
+      // a coarse weight ≥ 2^32 wraps int64 in Spark while DuckDB raises). Ordering
+      // only needs a deterministic total order; above the clamp, `draw` decides.
       val matchable = fine.und
         .filter(col("src") =!= ground && col("dst") =!= ground)
         .select(col("src"), col("dst"),
-          (col("w") * lit(graft.synth.GraphSpec.M) +
+          (least(col("w"), lit(graft.synth.GraphSpec.M - 1L)) * lit(graft.synth.GraphSpec.M) +
             expr(graft.synth.Generators.drawSql("src * 1000003 + dst * 31 + 7",
               duck = false))).as("w"))
       val matched = Matching.matchEdges(matchable, matchRounds)

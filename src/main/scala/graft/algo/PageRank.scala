@@ -140,15 +140,18 @@ object PageRank {
     * Output (id, pr) with pr ≈ scale · trust score. */
   def trustRankFixed(spark: SparkSession, g: LinkGraph, seeds: DataFrame,
                      iterations: Int, scale: Long = 1000000000000L): DataFrame = {
-    val sc = seeds.count()
-    require(sc > 0, "trustRank needs a non-empty seed set")
-    val init = scale / sc
-    val tele = (15L * init) / 100L
-    val sTbl = seeds.select(col("id"), lit(1L).as("s"))
+    val sTbl = seeds.select(col("id")).distinct().withColumn("s", lit(1L))
     val verts = g.vertices.join(sTbl, Seq("id"), "left")
       .select(col("id"), coalesce(col("s"), lit(0L)).as("s"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     verts.count()
+    // Seed count derived from the PERSISTED flag column, not a second evaluation of
+    // the caller's `seeds` plan (ADVICE r3: a nondeterministic seeds source could
+    // otherwise make the teleport scale disagree with the joined flags).
+    val sc = verts.agg(sum("s")).head().getLong(0)
+    require(sc > 0, "trustRank needs a non-empty seed set")
+    val init = scale / sc
+    val tele = (15L * init) / 100L
     val outDeg = g.edges.groupBy("src").agg(count(lit(1)).as("outDeg"))
     val e = g.edges.select(col("src"), col("dst"))
       .join(outDeg, "src")
@@ -194,7 +197,12 @@ object PageRank {
            else expr(s"coalesce(r, 0L) * $scale div $total")).as(valCol))
         .cutLineage
     }
-    var hub = g.vertices.select(col("id"), lit(scale).as("h")).cutLineage
+    // Hubs start at 1 (not `scale`): normalization makes the starting magnitude
+    // irrelevant — floor((r·k·S)/(t·k)) = floor(r·S/t) for any k — and the
+    // pre-normalization product indeg·h then stays < 2^63 for in-degrees up to
+    // ~9.2e12 instead of ~9.2e6 (ADVICE r3: a web hub above 9.2e6 in-links would
+    // have wrapped in Spark while DuckDB errors, breaking cross-engine parity).
+    var hub = g.vertices.select(col("id"), lit(1L).as("h")).cutLineage
     var auth: DataFrame = g.vertices.select(col("id"), lit(0L).as("a")).cutLineage
     var i = 0
     while (i < iterations) {

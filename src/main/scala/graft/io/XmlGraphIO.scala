@@ -50,6 +50,7 @@ object XmlGraphIO {
 
   private def slurp(spark: SparkSession, path: String): Vector[Tok] = {
     import spark.implicits._
+    GraphReaders.guardDriverParse(spark, path, "GraphML/GEXF reader")
     tokenize(spark.read.text(path).as[String].collect().mkString("\n"))
   }
 

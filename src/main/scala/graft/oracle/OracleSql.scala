@@ -81,7 +81,7 @@ object OracleSql {
          |  FROM verts v LEFT JOIN hr$i hr ON v.id = hr.id)""".stripMargin
     }.mkString(",\n")
     s"""$base,
-       |h0 AS MATERIALIZED (SELECT id, CAST($scale AS BIGINT) AS h FROM verts),
+       |h0 AS MATERIALIZED (SELECT id, CAST(1 AS BIGINT) AS h FROM verts),
        |$steps
        |SELECT h.id, h.h AS hub, a.a AS auth
        |FROM h$iters h JOIN a$iters a ON h.id = a.id""".stripMargin
@@ -950,6 +950,35 @@ object OracleSql {
        |SELECT id, ${genDraw(s"id + $base")} % $k AS block FROM t""".stripMargin
   }
 
+  /** Exact-LFR node table (mirrors Generators.lfrExactNodes): τ₁=3 sqrt powerlaw
+    * degrees through the hub-spreading affine permutation, τ₂=2 community sizes with
+    * gap-fill, contiguous-block membership, integer llround μ-split capped at deg and
+    * community size − 1. √ and round are the only float ops — both correctly rounded
+    * / identically defined in the two engines. */
+  def lfrNodes(n: Long, minDeg: Long, maxDeg: Long, minC: Long, maxC: Long,
+               muNum: Long, muDen: Long): String = {
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val aPerm = Iterator.iterate(1000003L)(_ + 2L).find(a => gcd(a, n) == 1L).get
+    val maxComms = math.max(4L, 4L * n / math.max(1L, minC))
+    s"""WITH ids AS (SELECT g AS id FROM generate_series(0, ${n - 1}) s(g)),
+       |degs AS (SELECT id, greatest($minDeg, least($maxDeg,
+       |    CAST(round(${maxDeg.toDouble} / sqrt(((id * $aPerm) % $n) + 1)) AS BIGINT))) AS deg
+       |  FROM ids),
+       |cs AS (SELECT g AS c, greatest($minC, least($maxC,
+       |    CAST(round(${maxC.toDouble} / (g + 1)) AS BIGINT))) AS w
+       |  FROM generate_series(0, ${maxComms - 1}) s(g)),
+       |ps AS (SELECT c, w, coalesce(sum(w) OVER (ORDER BY c
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM cs),
+       |blocks AS (SELECT c AS block, cum, least(w, $n - cum) AS sz FROM ps WHERE cum < $n),
+       |memb AS (SELECT i.id, b.block, b.sz FROM ids i
+       |  JOIN blocks b ON i.id >= b.cum AND i.id < b.cum + b.sz)
+       |SELECT m.id, d.deg,
+       |  least(d.deg, m.sz - 1,
+       |    greatest(1, (2 * ${muDen - muNum} * d.deg + $muDen) // ${2 * muDen})) AS intdeg,
+       |  m.block
+       |FROM memb m JOIN degs d ON m.id = d.id""".stripMargin
+  }
+
   def generatorEr(n: Long, m: Long, seed: Long): String =
     s"""WITH t AS (SELECT g AS id FROM generate_series(0, ${m - 1}) s(g))
        |SELECT DISTINCT
@@ -1636,6 +1665,39 @@ object OracleSql {
        |FROM ts$levels t JOIN ts$levels c ON c.s = $start AND c.id = t.s""".stripMargin
   }
 
+  /** Exact effective diameter of the component containing `start` on the id % mod
+    * induced undirected subgraph (mirrors Distances.effectiveDiameterExact): all-source
+    * BFS unrolled `levels` deep, cumulative reach CDF per source, finish hop =
+    * greatest(1, min d with cum ≥ ⌈ratio·n_comp⌉). One row (n, sum_hops,
+    * eff_diameter). */
+  def effectiveDiameterExact(mod: Long, start: Long, levels: Int,
+                             ratio: Double): String = {
+    val steps = (1 to levels).map { i =>
+      s"""tg$i AS MATERIALIZED (SELECT DISTINCT f.s, sbi.b AS id
+         |  FROM tf${i - 1} f JOIN sbi ON f.id = sbi.a),
+         |tf$i AS MATERIALIZED (SELECT m.s, m.id, $i AS dist FROM tg$i m
+         |  LEFT JOIN ts${i - 1} x ON m.s = x.s AND m.id = x.id WHERE x.s IS NULL),
+         |ts$i AS MATERIALIZED (SELECT * FROM ts${i - 1} UNION ALL SELECT * FROM tf$i)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |sv AS MATERIALIZED (SELECT id FROM verts WHERE id % $mod = 0),
+       |se AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges WHERE src % $mod = 0 AND dst % $mod = 0),
+       |sbi AS MATERIALIZED (SELECT a, b FROM se UNION SELECT b, a FROM se),
+       |tf0 AS MATERIALIZED (SELECT id AS s, id, 0 AS dist FROM sv),
+       |ts0 AS MATERIALIZED (SELECT * FROM tf0),
+       |$steps,
+       |cmp AS MATERIALIZED (SELECT id FROM ts$levels WHERE s = $start),
+       |thr AS MATERIALIZED (SELECT CAST(ceil($ratio * count(*)) AS BIGINT) AS t FROM cmp),
+       |cdf AS MATERIALIZED (SELECT s, dist, sum(count(*))
+       |    OVER (PARTITION BY s ORDER BY dist) AS cum
+       |  FROM ts$levels WHERE s IN (SELECT id FROM cmp) GROUP BY s, dist),
+       |hops AS MATERIALIZED (SELECT s, greatest(1, min(dist)) AS hop FROM cdf
+       |  WHERE cum >= (SELECT t FROM thr) GROUP BY s)
+       |SELECT count(*) AS n, CAST(sum(hop) AS BIGINT) AS sum_hops,
+       |  CAST(sum(hop) AS DOUBLE) / count(*) AS eff_diameter FROM hops""".stripMargin
+  }
+
   /** DynBetweennessOneNode twin: COLD (dist, sigma, sigmax) state for sources
     * {id % mod = 0} ∪ {x} on the MUTATED graph (edges + {0, max-id}) — the warm
     * closed-form repair must reproduce it exactly. sigmax(s,t) = σ(s,x)·σ(x,t)
@@ -2055,6 +2117,59 @@ object OracleSql {
        |ma0 AS MATERIALIZED (SELECT src, dst, w FROM mr0 WHERE 1 = 0),
        |${matchSteps("m", rounds)}
        |SELECT src, dst, CAST(w AS BIGINT) AS w FROM ma$rounds""".stripMargin
+
+  /** PathGrowingMatcher pointer-forest twin (mirrors Matching.pathGrowingMatching):
+    * heaviest-pointer + best-incoming acceptance → max-degree-2 path forest, pointer
+    * doubling (`doublingRounds` unrolled, covering paths up to 2^rounds long) for
+    * (anchor, depth), depth-parity 2-coloring, heavier parity per component. */
+  def pathGrowingMatching(doublingRounds: Int): String = {
+    val steps = (1 to doublingRounds).map { i =>
+      s"""ds$i AS MATERIALIZED (SELECT s.id,
+         |  CASE WHEN s.fin THEN s.t ELSE h.t END AS t,
+         |  CASE WHEN s.fin THEN s.d ELSE s.d + h.d END AS d,
+         |  CASE WHEN s.fin THEN s.fin ELSE h.fin END AS fin
+         |  FROM ds${i - 1} s LEFT JOIN ds${i - 1} h ON s.t = h.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |pge AS MATERIALIZED (SELECT src, dst, 1 + (src + dst) % 5 AS w FROM (
+       |  SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst FROM edges)),
+       |pinc AS MATERIALIZED (SELECT src AS x, dst AS y, w FROM pge
+       |  UNION ALL SELECT dst, src, w FROM pge),
+       |pptr AS MATERIALIZED (SELECT x, y, w FROM (
+       |  SELECT x, y, w, row_number() OVER (PARTITION BY x ORDER BY w DESC, y ASC) AS rn
+       |  FROM pinc) WHERE rn = 1),
+       |pacc AS MATERIALIZED (SELECT y, x AS accx FROM (
+       |  SELECT y, x, row_number() OVER (PARTITION BY y ORDER BY w DESC, x ASC) AS rn
+       |  FROM pptr) WHERE rn = 1),
+       |psed AS MATERIALIZED (SELECT p.x, p.y, p.w FROM pptr p
+       |  JOIN pacc a ON p.y = a.y AND p.x = a.accx),
+       |pmut AS MATERIALIZED (SELECT p.x AS id FROM pptr p
+       |  JOIN pptr q ON p.y = q.x AND q.y = p.x),
+       |panch AS MATERIALIZED (SELECT x AS id FROM pptr
+       |  WHERE x NOT IN (SELECT x FROM psed)
+       |  UNION SELECT id FROM pmut),
+       |pac AS MATERIALIZED (SELECT a.id,
+       |  CASE WHEN a.id IN (SELECT id FROM pmut) THEN least(a.id, p.y)
+       |       ELSE a.id END AS comp
+       |  FROM panch a JOIN pptr p ON a.id = p.x),
+       |ds0 AS MATERIALIZED (SELECT p.x AS id,
+       |  CASE WHEN p.x IN (SELECT id FROM panch) THEN p.x ELSE p.y END AS t,
+       |  CAST(CASE WHEN p.x IN (SELECT id FROM panch) THEN 0 ELSE 1 END AS BIGINT) AS d,
+       |  (p.x IN (SELECT id FROM panch)) AS fin
+       |  FROM pptr p),
+       |$steps,
+       |pedg AS MATERIALIZED (SELECT DISTINCT least(s.x, s.y) AS src,
+       |  greatest(s.x, s.y) AS dst, s.w, c.comp, d.d % 2 AS parity
+       |  FROM psed s
+       |  JOIN ds$doublingRounds d ON s.x = d.id
+       |  JOIN pac c ON d.t = c.id),
+       |ppick AS MATERIALIZED (SELECT comp, parity FROM (
+       |  SELECT comp, parity,
+       |    row_number() OVER (PARTITION BY comp ORDER BY pw DESC, parity ASC) AS rn
+       |  FROM (SELECT comp, parity, sum(w) AS pw FROM pedg GROUP BY 1, 2)) WHERE rn = 1)
+       |SELECT e.src, e.dst, CAST(e.w AS BIGINT) AS w
+       |FROM pedg e JOIN ppick k ON e.comp = k.comp AND e.parity = k.parity""".stripMargin
+  }
 
   /** Matched-pair partition CTEs (mpart(id, label)) from `rounds` local-max rounds —
     * shared by the MatchingCoarsening and ClusteringProjector oracles. */
@@ -2815,7 +2930,9 @@ object OracleSql {
   // --- Path-sampling family (mirrors algo/PathSampling): deterministic LCG pairs,
   // msBFS from the distinct sources, min-id predecessor backward walk → hyperedge
   // rows (j, id) over path interiors. ---
-  private def pathHyperedgeCtes(samples: Int, seed: Long, levels: Int): String = {
+  private def pathHyperedgeCtes(samples: Int, seed: Long, levels: Int,
+                                preCtes: String = "",
+                                sampleFilter: String = ""): String = {
     val b = seed * 92821L
     val walk = (1 to levels).map { r =>
       s"""wk$r AS MATERIALIZED (SELECT p.j, p.s, min(bi.a) AS cur, p.rem - 1 AS rem
@@ -2829,13 +2946,13 @@ object OracleSql {
       .map(r => s"SELECT j, cur AS id FROM wk$r").mkString("\n  UNION ALL ")
     s"""$base,
        |$biCte,
-       |prs AS MATERIALIZED (SELECT j, s, t FROM (
+       |${if (preCtes.isEmpty) "" else preCtes + ",\n"}prs AS MATERIALIZED (SELECT j, s, t FROM (
        |  SELECT g AS j,
        |    ${genDraw(s"g * 2 + $b")} % (SELECT count(*) FROM verts) AS s,
        |    ${genDraw(s"g * 2 + 1 + $b")} % (SELECT count(*) FROM verts) AS t
        |  FROM generate_series(0, ${samples - 1}) q(g)) z
        |  WHERE s != t AND s IN (SELECT id FROM verts)
-       |    AND t IN (SELECT id FROM verts)),
+       |    AND t IN (SELECT id FROM verts)$sampleFilter),
        |${msBfsCtesFrom(
             "SELECT DISTINCT s, s AS id, 0 AS dist, CAST(1 AS BIGINT) AS sigma FROM prs",
             levels)},
@@ -2852,6 +2969,44 @@ object OracleSql {
        |  CAST(coalesce(c.cnt, 0) AS DOUBLE) / $samples AS bc_est
        |FROM verts v
        |LEFT JOIN (SELECT id, count(*) AS cnt FROM hyp GROUP BY 1) c ON v.id = c.id""".stripMargin
+
+  /** Adaptive ApproxBetweenness twin (mirrors PathSampling.approxBetweennessAdaptive):
+    * vd = two-sweep lower bound + 1, integer ⌊log₂(vd−2)⌋ via a generate_series max
+    * (no library log), r = least(maxSamples, ⌈cEps·(k + 1 + lnInvDelta)⌉), then the
+    * capped sample universe filtered to j < r. */
+  def approxBetweennessAdaptive(cEps: Long, lnInvDelta: Double, maxSamples: Int,
+                                seed: Long, sweepRounds: Int, levels: Int): String = {
+    val inf = 999999L
+    def sweep(prefix: String, sourceExpr: String): String = {
+      val steps = (1 to sweepRounds).map { i =>
+        s"""$prefix$i AS MATERIALIZED (SELECT d.id, least(d.dist, coalesce(m.md, d.dist)) AS dist
+           |  FROM $prefix${i - 1} d LEFT JOIN (
+           |    SELECT bi.b AS id, min(x.dist) + 1 AS md FROM bi JOIN $prefix${i - 1} x ON bi.a = x.id
+           |    GROUP BY bi.b) m ON d.id = m.id)""".stripMargin
+      }.mkString(",\n")
+      s"""${prefix}0 AS MATERIALIZED (SELECT id, CASE WHEN id = ($sourceExpr) THEN 0 ELSE $inf END AS dist FROM verts),
+         |$steps""".stripMargin
+    }
+    val pre =
+      s"""${sweep("da", "0")},
+         |uu AS MATERIALIZED (SELECT min(id) AS u FROM da$sweepRounds
+         |  WHERE dist < $inf AND dist = (SELECT max(dist) FROM da$sweepRounds WHERE dist < $inf)),
+         |${sweep("db", "SELECT u FROM uu")},
+         |vdd AS MATERIALIZED (SELECT CAST(max(dist) AS BIGINT) + 1 AS vd
+         |  FROM db$sweepRounds WHERE dist < $inf),
+         |kk AS MATERIALIZED (SELECT (SELECT max(p) FROM generate_series(0, 62) t(p)
+         |  WHERE (CAST(1 AS BIGINT) << p) <= (SELECT vd FROM vdd) - 2) AS k),
+         |rr AS MATERIALIZED (SELECT CASE WHEN (SELECT vd FROM vdd) <= 2 THEN 0
+         |  ELSE CAST(least($maxSamples, ceil($cEps * ((SELECT k FROM kk) + 1 + $lnInvDelta))) AS BIGINT)
+         |  END AS r)""".stripMargin
+    s"""${pathHyperedgeCtes(maxSamples, seed, levels, preCtes = pre,
+          sampleFilter = "\n    AND j < (SELECT r FROM rr)")}
+       |SELECT v.id, coalesce(c.cnt, 0) AS cnt,
+       |  CASE WHEN (SELECT r FROM rr) = 0 THEN 0.0
+       |       ELSE CAST(coalesce(c.cnt, 0) AS DOUBLE) / (SELECT r FROM rr) END AS bc_est
+       |FROM verts v
+       |LEFT JOIN (SELECT id, count(*) AS cnt FROM hyp GROUP BY 1) c ON v.id = c.id""".stripMargin
+  }
 
   /** Greedy max-coverage group betweenness (mirrors
     * PathSampling.approxGroupBetweenness): k unrolled greedy steps over the alive
@@ -3137,7 +3292,7 @@ object OracleSql {
        |  LEFT JOIN wd0 d ON v.id = d.id
        |  LEFT JOIN pb p ON v.id = p.id AND q.q = p.q),
        |mr0 AS MATERIALIZED (SELECT src, dst,
-       |  w * ${graft.synth.GraphSpec.M} +
+       |  least(w, ${graft.synth.GraphSpec.M - 1L}) * ${graft.synth.GraphSpec.M} +
        |  ${graft.synth.Generators.drawSql("src * 1000003 + dst * 31 + 7", duck = true)} AS w
        |  FROM und0 WHERE src != 0 AND dst != 0),
        |ma0 AS MATERIALIZED (SELECT src, dst, w FROM mr0 WHERE 1 = 0),

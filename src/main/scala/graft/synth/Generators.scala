@@ -402,6 +402,137 @@ object Generators {
     (g, membership)
   }
 
+  /** EXACT-LFR twin (generators/LFRGenerator.cpp:30-260): the reference realizes an
+    * exact powerlaw degree sequence with a per-node μ-split — internal degree
+    * llround((1−μ)·deg) (setMu(vector), :95-105) — then builds DEGREE-EXACT
+    * intra-community graphs and one inter-community graph with edge-switching Markov
+    * chains, rewiring stray intra edges out of the inter graph. Sequential Markov
+    * chains don't distribute; this twin keeps the degree-exact contract with
+    * deterministic distributed STUB MATCHING (configuration model):
+    *   - degrees: τ₁ = 3 rank powerlaw deg(i) = clamp(round(maxDeg/√(π(i)+1))) through
+    *     the hub-spreading affine permutation π — √ is correctly rounded IEEE, so the
+    *     DuckDB twin replays it bit-exact (a library pow() would not be);
+    *   - community sizes: τ₂ = 2 rank powerlaw clamp(round(maxC/(j+1))) accumulated to
+    *     n with the reference's gap-fill (LFRGenerator.cpp:47-60), membership =
+    *     contiguous blocks;
+    *   - μ as the exact rational muNum/muDen: intdeg = llround((1−μ)·deg) in pure
+    *     integer arithmetic, floored at 1 (reference :98) and capped at deg and
+    *     community size − 1 (the reference re-draws assignments that violate the cap;
+    *     the twin clamps — same feasibility contract, deterministic);
+    *   - intra edges per community: each node explodes into intdeg stubs, stubs
+    *     ranked by an LCG key WITHIN the community (bounded-size window), consecutive
+    *     ranks pair — degree-exact up to the dropped self/duplicate pairs, the same
+    *     slack the reference accepts by disabling the realizability check
+    *     (LFRGenerator.cpp:158-161);
+    *   - inter edges: extdeg = deg − intdeg stubs ranked GLOBALLY (Layout.zipWithRankBy
+    *     — no global window), paired, same-community pairs dropped and their stubs
+    *     re-ranked once with a fresh key (the distributed analog of the reference's
+    *     rewiring loop, :170-230), then dropped for good.
+    * Everything is draws + ranks + integer arithmetic: `q_gen_lfr` replays the node
+    * table (id, deg, intdeg, block) bit-exact in DuckDB; the edge-side contracts
+    * (degree exactness within slack, μ-mixing, planted NMI recovery) are spec-gated.
+    * Returns (graph, planted (id, block)). */
+  def lfrExact(spark: SparkSession, n: Long, minDeg: Long, maxDeg: Long,
+               minCommunity: Long, maxCommunity: Long, muNum: Long, muDen: Long,
+               seed: Long = 42L): (LinkGraph, DataFrame) = {
+    val nodes = lfrExactNodes(spark, n, minDeg, maxDeg, minCommunity, maxCommunity,
+      muNum, muDen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    nodes.count()
+    // Intra-community stub matching: rank within block (bounded by maxCommunity).
+    val stubsI = nodes.select(col("id"), col("block"),
+        explode(expr("sequence(0, intdeg - 1)")).as("k"))
+      .withColumn("key", expr(draw(s"id * 1000003 + k * 7919 + $seed * 13")))
+    val wI = org.apache.spark.sql.expressions.Window
+      .partitionBy("block").orderBy(col("key"), col("id"), col("k"))
+    val intra = stubsI
+      .withColumn("t", ((row_number().over(wI) - 1L) / 2L).cast("long"))
+      .groupBy("block", "t")
+      .agg(min("id").as("a"), max("id").as("b"), count(lit(1)).as("c"))
+      .filter(col("c") === 2L && col("a") =!= col("b"))
+      .select(col("a").as("src"), col("b").as("dst"))
+    // Inter-community stub matching, one rewire-style retry for dropped pairs.
+    val stubsE = nodes.filter(col("deg") > col("intdeg"))
+      .select(col("id"), col("block"),
+        explode(expr("sequence(0, deg - intdeg - 1)")).as("k"))
+    def pairGlobal(stubs: org.apache.spark.sql.DataFrame, s2: Long)
+        : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      val keyed = stubs.withColumn("key", expr(draw(s"id * 1000003 + k * 7919 + $s2")))
+      val ranked = graft.layout.Layout.zipWithRankBy(keyed,
+        Seq(col("key").asc, col("id").asc, col("k").asc), "rn")
+      val paired = ranked.withColumn("t", expr("rn div 2"))
+        .groupBy("t")
+        .agg(min(struct(col("id"), col("block"), col("k"))).as("x"),
+          max(struct(col("id"), col("block"), col("k"))).as("y"),
+          count(lit(1)).as("c"))
+        .filter(col("c") === 2L)
+      val good = paired
+        .filter(col("x.id") =!= col("y.id") && col("x.block") =!= col("y.block"))
+        .select(col("x.id").as("src"), col("y.id").as("dst"))
+      val leftover = paired
+        .filter(col("x.id") === col("y.id") || col("x.block") === col("y.block"))
+        .select(explode(array(col("x"), col("y"))).as("s"))
+        .select(col("s.id").as("id"), col("s.block").as("block"), col("s.k").as("k"))
+      val out = (good.cutLineage, leftover.cutLineage)
+      ranked.unpersist()
+      out
+    }
+    val (inter1, left1) = pairGlobal(stubsE, seed * 17 + 1)
+    val (inter2, _) = pairGlobal(left1, seed * 17 + 2)
+    val edges = intra.union(inter1).union(inter2)
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .distinct().withColumn("weight", lit(1.0))
+      .cutLineage
+    val g = LinkGraph.fromEdges(spark, edges, Some(spark.range(n).select(col("id"))))
+    val membership = nodes.select(col("id"), col("block"))
+    (g, membership)
+  }
+
+  /** The deterministic LFR node table (id, deg, intdeg, block) — the oracle-checked
+    * half of [[lfrExact]] (see there for the arithmetic contract). */
+  def lfrExactNodes(spark: SparkSession, n: Long, minDeg: Long, maxDeg: Long,
+                    minCommunity: Long, maxCommunity: Long,
+                    muNum: Long, muDen: Long): DataFrame = {
+    import graft.layout.Layout
+    require(muNum >= 0 && muNum < muDen && minDeg >= 1 && minCommunity >= 2)
+    val aPerm = Iterator.iterate(1000003L)(_ + 2L).find(a => gcd(a, n) == 1L).get
+    val deg = spark.range(n).select(col("id"),
+      greatest(lit(minDeg), least(lit(maxDeg),
+        round(lit(maxDeg.toDouble) /
+          sqrt((pmod(col("id") * aPerm, lit(n)) + 1L).cast("double"))).cast("long")))
+        .as("deg"))
+    val maxComms = math.max(4L, 4L * n / math.max(1L, minCommunity))
+    val sizesRaw = spark.range(maxComms).select(col("id").as("c"),
+      greatest(lit(minCommunity), least(lit(maxCommunity),
+        round(lit(maxCommunity.toDouble) / (col("c") + 1L).cast("double")).cast("long")))
+        .as("w"))
+    val ps = Layout.prefixSum(sizesRaw, Seq(col("c")), "w", "cum")
+    val cumSizes = ps.filter(col("cum") < n)
+      .select(col("c").as("block"), col("cum"),
+        least(col("w"), lit(n) - col("cum")).as("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cumSizes.count()
+    ps.unpersist()
+    val bSize = math.max(1L, minCommunity)
+    val ivals = cumSizes.select(col("block"), col("cum"), col("sz"),
+      explode(expr(s"sequence(cum div $bSize, (cum + sz - 1) div $bSize)")).as("bk"))
+    val membership = spark.range(n)
+      .withColumn("bk", expr(s"id div $bSize")).join(ivals, "bk")
+      .filter(col("id") >= col("cum") && col("id") < col("cum") + col("sz"))
+      .select(col("id"), col("block"), col("sz"))
+    val out = deg.join(membership, "id")
+      .select(col("id"), col("deg"),
+        least(col("deg"), col("sz") - 1L,
+          greatest(lit(1L),
+            expr(s"(2 * ${muDen - muNum} * deg + $muDen) div ${2 * muDen}")))
+          .as("intdeg"),
+        col("block"))
+      .cutLineage // eager: safe to release the size table below
+    cumSizes.unpersist()
+    out
+  }
+
   /** Uniform-LCG degree sequence for the Havel–Hakimi gate:
     * d(i) = minDeg + draw(i + seed·31) % (maxDeg − minDeg + 1), with d(0) bumped by
     * one when the total is odd (a graphical sequence needs an even sum). Pure

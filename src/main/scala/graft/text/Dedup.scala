@@ -235,7 +235,16 @@ object Dedup {
            |  i -> array_join(slice(split(text, ' '), i * $span + 1, $span), ' '))"""
           .stripMargin)).as(Seq("ci", "s")))
       .withColumn("h", TextOps.mdint(col("s")))
-      .withColumn("fkey", col("doc_id") * lit(1048576L) + col("ci"))
+      // fkey packs (doc_id, ci) into one int64 so keep-first is a single min();
+      // valid only while ci < 2^20 (≈8.4M tokens/doc at span=8) and doc_id < 2^43.
+      // Outside those bounds the packed keys would overlap silently and — because
+      // the DuckDB oracle mirrors the same formula — the gate could not catch it
+      // (ADVICE r3), so the engine fails loudly instead.
+      .withColumn("fkey",
+        when(col("ci") >= 1048576L || col("doc_id") >= (1L << 43),
+          raise_error(lit("spanDedup: span index >= 2^20 or doc_id >= 2^43 " +
+            "overflows the keep-first packing")).cast("long"))
+        .otherwise(col("doc_id") * lit(1048576L) + col("ci")))
     val firsts = spans.groupBy("h").agg(min("fkey").as("minKey"))
     val kept = spans.join(firsts, Seq("h")).filter(col("fkey") === col("minKey"))
     val rebuilt = kept.groupBy("doc_id").agg(

@@ -17,9 +17,20 @@ import graft.model.LinkGraph
   * ceiling. */
 object ScalingLeg {
   def main(args: Array[String]): Unit = {
-    val edgesDir = args(0)
-    val cores = args(1).toInt
-    val iters = args(2).toInt
+    // Optional leading mode selector: `pagerank` (default) measures PageRank
+    // edge-iteration throughput on a pre-built scale graph; `minhash` / `ann`
+    // measure the LLM-pipeline flagships (MinHash-LSH near-dup, brute cosine top-k)
+    // on the sf dir's documents/embeddings tables — same fresh-JVM leg protocol, so
+    // the dedup/ANN 100 TB claims carry a measured N->4N number too (VERDICT r3).
+    val (mode, rest) =
+      if (args.nonEmpty && Set("pagerank", "minhash", "ann").contains(args(0)))
+        (args(0), args.drop(1))
+      else ("pagerank", args)
+    if (mode != "pagerank") { pipelineLeg(mode, rest); return }
+    val args2 = rest
+    val edgesDir = args2(0)
+    val cores = args2(1).toInt
+    val iters = args2(2).toInt
     // Warm-up sized for a FRESH JVM: C2/codegen compilation costs near-constant
     // wall-clock, which is a negligible fraction of a 2-core leg but 25-45% of an
     // 8/32-core leg at 3 warm-up iterations (measured: 8-core eps 5.5M cold vs 7.2M
@@ -50,5 +61,53 @@ object ScalingLeg {
     val eps = g.m.toDouble * iters / secs
     spark.stop()
     println(s"eps=$eps m=${g.m} secs=$secs")
+  }
+
+  /** LLM-pipeline scaling leg: `ScalingLeg minhash|ann <sfDir> <cores> <reps> <warm>`.
+    * Runs `warm` unmeasured + `reps` measured passes of the flagship operator and
+    * prints `eps=<rows/s>` (rows = input docs/embeddings per pass). Each pass calls
+    * the SAME entry the per-round bench times (Dedup.minhashNearDups /
+    * Embeddings.bruteTopK); repetition makes the measured phase long enough that the
+    * per-job driver floor doesn't dominate the wide leg. */
+  private def pipelineLeg(mode: String, args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val cores = args(1).toInt
+    val reps = args(2).toInt
+    val warm = if (args.length > 3) args(3).toInt else 2
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-$mode-leg-$cores")
+      .config("spark.sql.shuffle.partitions", cores * 4)
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val rows = mode match {
+      case "minhash" =>
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = docs.count()
+        def pass(): Unit = graft.text.Dedup.minhashNearDups(docs, 0.5).count()
+        (1 to warm).foreach(_ => pass())
+        val t0 = System.nanoTime()
+        (1 to reps).foreach(_ => pass())
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(s"eps=${n.toDouble * reps / secs} m=$n secs=$secs")
+        n
+      case "ann" =>
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = emb.count()
+        def pass(): Unit = graft.emb.Embeddings.bruteTopK(emb).count()
+        (1 to warm).foreach(_ => pass())
+        val t0 = System.nanoTime()
+        (1 to reps).foreach(_ => pass())
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(s"eps=${n.toDouble * reps / secs} m=$n secs=$secs")
+        n
+    }
+    spark.stop()
+    require(rows > 0)
   }
 }
