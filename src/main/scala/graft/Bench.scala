@@ -65,7 +65,7 @@ object Bench {
     // co-partitioning across iterations (see PageRank's shuffle_hash notes); AQE's
     // per-stage re-planning would re-coalesce the exchange and break partitioning
     // reuse, and its per-query-stage scheduling adds driver latency per iteration.
-    val s = SparkSession.builder()
+    val s = graft.tools.ScalingLeg.withFastShuffle(SparkSession.builder())
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions",
@@ -234,12 +234,13 @@ object Bench {
     val fixed = fixedArr.toSeq.map(_.toVector)
     val Seq(epsLowRuns, epsNRuns, eps4NRuns) = fixed
     val Seq(epsLowRaw, epsNRaw, eps4NRaw) = raw
-    // Peak-throughput row: partitions = cores (fewest task switches; measured 2x the
-    // gate protocol's absolute eps at 32 cores). One leg per width — this row carries
-    // the absolute-throughput-vs-baseline story; the gate ratios above keep the
-    // constant-granularity protocol.
-    // Peak row at the two wide widths only (the absolute-throughput story; the
-    // low leg adds ~5 min of wall for no extra information). Half-length legs.
+    // Peak-throughput rows: partitions = cores (fewest task switches; measured
+    // 14.1M vs 11.7M eps at 32 cores on the same graph). Still constant per-core
+    // granularity — one task per core at every width — so its N->4N ratio is a
+    // protocol in its own right, and at the wide step it is the right configuration
+    // to compare against the zero-communication process ceiling (both run exactly
+    // one worker per core). One sample per width (a slow sample only understates
+    // capability); the whole bench must fit the driver window.
     val peak = Seq(nCores, cpus).map { cores =>
       awaitQuietBox(waitBudget)
       pagerankThroughput(dir, cores, math.max(6, scaleIters(cores, cpus) / 2),
@@ -269,16 +270,17 @@ object Bench {
 
     // LLM-pipeline flagships at the two wide widths (VERDICT r3 item 7: the 100 TB
     // dedup/ANN claims need a measured N->4N number, not just plan-shape argument).
-    // Two samples per leg, keep the better (same one-sided-noise rationale).
+    // The leg replicates the fixture corpus to measurement scale (~200k rows) —
+    // the raw sf tables are far too small to exercise 32 cores. One leg per width.
     def pipeline(mode: String, reps: Int): (Double, Double) = {
-      def leg(cores: Int): Double = (1 to 2).map { _ =>
+      def leg(cores: Int): Double = {
         awaitQuietBox(waitBudget)
         childLeg(Seq(mode, sfDir, cores.toString, reps.toString), s"$mode cores=$cores")
-      }.max
+      }
       (leg(nCores), leg(cpus))
     }
-    val (mhN, mh4) = pipeline("minhash", reps = 4)
-    val (annN, ann4) = pipeline("ann", reps = 10)
+    val (mhN, mh4) = pipeline("minhash", reps = 2)
+    val (annN, ann4) = pipeline("ann", reps = 2)
 
     // HEADLINE efficiency: ratio of per-leg MEDIANS after max-anchored outlier
     // re-measurement (ADVICE r2 / VERDICT r3 item 3: a best-of-samples headline on a
@@ -302,8 +304,9 @@ object Bench {
       s""""efficiency_low":$effLow,"efficiency":$eff,""" +
       s""""efficiency_low_best":$effLowBest,"efficiency_best":$effBest,""" +
       s""""foreign_cpu_cores":${jarr(loads.result())},""" +
-      s""""peak":{"partitions":"1x cores","eps_n":${peak(0)},""" +
-      s""""eps_4n":${peak(1)},"efficiency":${peak(1) / (4.0 * peak(0))}},""" +
+      s""""peak":{"partitions":"1x cores","eps_n":${peak(0)},"eps_4n":${peak(1)},""" +
+      s""""efficiency":${peak(1) / (4.0 * peak(0))},""" +
+      s""""efficiency_vs_stream_ceiling":${peak(1) / (4.0 * peak(0)) / streamEff}},""" +
       s""""dedup":{"eps_n":$mhN,"eps_4n":$mh4,"efficiency":${mh4 / (4.0 * mhN)},"unit":"docs/s"},""" +
       s""""ann":{"eps_n":$annN,"eps_4n":$ann4,"efficiency":${ann4 / (4.0 * annN)},"unit":"rows/s"},""" +
       s""""process_ceiling":$ceilJson,""" +
@@ -332,10 +335,16 @@ object Bench {
     val (_, plpSecs) = timed { LabelPropagation.fixedRounds(spark, g, 5).count() }
     val (tri, triSecs) = timed(Triangles.globalCount(spark, g))
 
+    // The fixture tables are single parquet files = single input partitions; the
+    // scan-side stages (shingling, vector parse) would otherwise run in ONE task
+    // (measured: 31 of 32 executor threads parked). Real corpora arrive as many
+    // files; the explicit spread is the honest equivalent.
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartition(cpus, col("doc_id"))
     val (_, dedupSecs) = timed(TextOps.dedupExact(docs).count())
     val (_, mhSecs) = timed(Dedup.minhashNearDups(docs, 0.5).count())
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .repartition(cpus, col("vec_id"))
     val (_, annSecs) = timed(Embeddings.bruteTopK(emb).count())
     spark.stop()
 

@@ -311,6 +311,12 @@ object SparkEntry {
     "q_gen_mocnik" -> ((s, _) =>
       graft.synth.Generators.mocnik(s, 2000L, 3, 42L).edges
         .select(col("src"), col("dst"))),
+    // Full multi-layer Mocnik: shared points, per-layer k*dmin rule over the first
+    // ns(j) points, first layer wins with its relativeWeight.
+    "q_gen_mocnik_multi" -> ((s, _) =>
+      graft.synth.Generators.mocnikMultiLayer(s, Seq(1200L, 2000L), Seq(3, 2),
+        Seq(1.0, 0.5), 42L).edges
+        .select(col("src"), col("dst"), col("weight"))),
     // Preferential-attachment-by-edge generator; the oracle replays the identical
     // pointer chase as a recursive CTE over the same draw formula.
     "q_gen_dm" -> ((s, _) =>
@@ -783,6 +789,9 @@ object SparkEntry {
       Distances.diameterExact(s,
         g.subgraphFromNodes(g.vertices.filter(col("id") % 7 === 0)), 0L)
     }),
+    // DFS preorder from node 0 (driver-side fixture-scale primitive, like the
+    // reference's sequential DFSfrom; rows-only — a stack does not express in SQL).
+    "q_dfs" -> ((s, dir) => Distances.dfsFrom(s, graph(s, dir), 0L)),
     // EXACT effective diameter (hop CDF from a batched all-source msBFS) on the
     // component of node 0 in the same id % 7 induced subgraph as q_diameter_exact;
     // the ANF sketch twin (q_eff_diameter) is the whole-graph scale path.
@@ -1062,6 +1071,8 @@ object SparkEntry {
     "q_adamic_adar"      -> OracleSql.adamicAdarDistance,
     "q_gen_ring"         -> OracleSql.generatorRing(4000L, 6),
     "q_gen_mocnik"       -> OracleSql.generatorMocnik(2000L, 3, 42L),
+    "q_gen_mocnik_multi" -> OracleSql.generatorMocnikMulti(
+      Seq(1200L, 2000L), Seq(3, 2), Seq(1.0, 0.5), 42L),
     "q_gen_dm"           -> OracleSql.generatorDm(3000L, 42L),
     "q_gen_pubweb"       -> OracleSql.generatorPubWeb(1500L, 10, 8, 64),
     "q_nf_heuristic"     -> OracleSql.nfHeuristic(10, 100L),

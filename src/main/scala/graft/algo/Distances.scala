@@ -186,6 +186,43 @@ object Distances {
     Seq(lb).toDF("diameter")
   }
 
+  /** DFSfrom (/root/reference/networkit/cpp/graph/Graph.h DFSfrom / DFSEdgesFrom —
+    * stack-based preorder over the adjacency): depth-first search is inherently
+    * sequential (each step depends on the full visited set), so like the reference —
+    * and like [[graft.synth.Generators.havelHakimi]] — this runs driver-side over a
+    * collected adjacency list and is meant for fixture-scale use; the distributed
+    * traversal primitive at 100 TB is BFS ([[bfsHops]], msBFS). Neighbor order is
+    * ascending id (the reference visits in adjacency/insertion order, which a
+    * shuffled edge table cannot reproduce; ascending id is the deterministic total
+    * order every other tie-break in this engine uses). Guarded by the same
+    * driver-parse size bound rationale as the exchange-format readers.
+    * Output (id, ord): DFS preorder number per reached node. */
+  def dfsFrom(spark: SparkSession, g: LinkGraph, source: Long,
+              maxNodes: Long = 10000000L): DataFrame = {
+    import spark.implicits._
+    require(g.n <= maxNodes,
+      s"dfsFrom is the driver-side fixture-scale primitive (n=${g.n} > $maxNodes); " +
+        "use bfsHops/msBfs for web-scale traversal")
+    val adj = g.canonicalUndirected.select("src", "dst").collect()
+      .foldLeft(scala.collection.mutable.HashMap.empty[Long, List[Long]]) { (m, r) =>
+        val (u, v) = (r.getLong(0), r.getLong(1))
+        m(u) = v :: m.getOrElse(u, Nil); m(v) = u :: m.getOrElse(v, Nil); m
+      }
+    val visited = scala.collection.mutable.LinkedHashSet.empty[Long]
+    val stack = scala.collection.mutable.Stack(source)
+    while (stack.nonEmpty) {
+      val u = stack.pop()
+      if (!visited.contains(u)) {
+        visited += u
+        // Push descending so the SMALLEST unvisited neighbor is explored first.
+        adj.getOrElse(u, Nil).sorted(Ordering[Long].reverse)
+          .foreach(v => if (!visited.contains(v)) stack.push(v))
+      }
+    }
+    visited.toSeq.zipWithIndex.map { case (id, i) => (id, i.toLong) }
+      .toDF("id", "ord")
+  }
+
   /** EXACT effective diameter (/root/reference/networkit/cpp/distance/
     * EffectiveDiameter.cpp:20-88 — per-node reachability bitsets grown one hop per
     * round; a node finishes at hop h when |B(v,h)| ≥ ⌈ratio·n⌉; result =

@@ -2459,6 +2459,41 @@ object OracleSql {
        |WHERE d2.d2 <= ${k.toLong * k} * dmin.m""".stripMargin
   }
 
+  /** Multi-layer Mocnik brute-force replay (mirrors Generators.mocnikMultiLayer):
+    * shared point set, per-layer k·dmin rule over the first ns(j) points, first
+    * layer wins with its relativeWeight. */
+  def generatorMocnikMulti(ns: Seq[Long], ks: Seq[Int], relW: Seq[Double],
+                           seed: Long): String = {
+    val Q = 1L << 20
+    val H = Q / 2
+    val nMax = ns.max
+    val x = s"(${genDraw(s"c*2 + $seed*50021")} // 128) % $Q"
+    val y = s"(${genDraw(s"c*2 + 1 + $seed*50021")} // 128) % $Q"
+    val layers = ns.indices.map { j =>
+      s"""pts$j AS MATERIALIZED (SELECT id, x, y FROM acc WHERE id < ${ns(j)}),
+         |d2$j AS MATERIALIZED (SELECT a.id AS i, b.id AS jj,
+         |  (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y) AS d2
+         |  FROM pts$j a JOIN pts$j b ON a.id != b.id),
+         |dm$j AS MATERIALIZED (SELECT i, min(d2) AS m FROM d2$j GROUP BY i),
+         |e$j AS MATERIALIZED (SELECT d.i AS src, d.jj AS dst,
+         |  CAST(${relW(j)} AS DOUBLE) AS weight
+         |  FROM d2$j d JOIN dm$j ON d.i = dm$j.i
+         |  WHERE d.d2 <= ${ks(j).toLong * ks(j)} * dm$j.m),
+         |f$j AS MATERIALIZED (${
+           if (j == 0) s"SELECT * FROM e0"
+           else s"""SELECT * FROM f${j - 1} UNION ALL
+             |  SELECT e.* FROM e$j e LEFT JOIN f${j - 1} f
+             |  ON e.src = f.src AND e.dst = f.dst WHERE f.src IS NULL""".stripMargin
+         })""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cand AS (SELECT g AS c FROM generate_series(0, ${2 * nMax - 1}) s(g)),
+       |p0 AS MATERIALIZED (SELECT c, $x AS x, $y AS y FROM cand),
+       |acc AS MATERIALIZED (SELECT c, x, y, row_number() OVER (ORDER BY c) - 1 AS id
+       |  FROM p0 WHERE (x - $H)*(x - $H) + (y - $H)*(y - $H) < ${H * H}),
+       |$layers
+       |SELECT src, dst, weight FROM f${ns.length - 1}""".stripMargin
+  }
+
   /** GlobalCurveball replay (mirrors Curveball.globalCurveball): per round, the
     * same LCG pairing rank, (key,id) edge ownership, partner-neighborhood freeze,
     * and pool re-deal by per-element draw — bit-exact unrolled trade rounds. */

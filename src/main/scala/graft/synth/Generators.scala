@@ -719,7 +719,50 @@ object Generators {
     *     radius r = ceil(k·dmin/cell)+1 (k is small and dmin ~ one cell side, so r is
     *     a small constant), joins points on cell, filters the exact predicate. */
   def mocnik(spark: SparkSession, n: Long, k: Int, seed: Long = 42L): LinkGraph = {
-    require(k >= 2)
+    val pts = mocnikPoints(spark, n, seed)
+    val edges = mocnikEdgeSet(spark, pts, k).withColumn("weight", lit(1.0))
+    val g = LinkGraph.fromEdges(spark, edges, Some(pts.select("id")))
+    g.edges.count()
+    pts.unpersist()
+    g
+  }
+
+  /** Full multi-layer MocnikGenerator (generators/MocnikGenerator.cpp:288-333 —
+    * the round-3 gap; only the Basic single-layer twin shipped before): ONE shared
+    * point set (the first max(ns) accepted ball points, :313-325), then per layer j
+    * the SAME k·dmin edge rule over the first ns(j) points with that layer's k
+    * (:327-331 → addEdgesToGraph :215-284, which re-sizes its cell grid per layer —
+    * mirrored here because mocnikEdgeSet derives its grid from its own point count).
+    * The base layer adds all its edges; later layers add only edges NOT already
+    * present, with weight = that layer's relativeWeight (first layer wins, :280-282).
+    * Same grid-doubling NN + ring-join distributed shape as [[mocnik]]; the DuckDB
+    * twin replays the per-layer brute-force definition with anti-join folds. */
+  def mocnikMultiLayer(spark: SparkSession, ns: Seq[Long], ks: Seq[Int],
+                       relativeWeights: Seq[Double] = Nil,
+                       seed: Long = 42L): LinkGraph = {
+    require(ns.nonEmpty && ks.length == ns.length)
+    val relW = if (relativeWeights.isEmpty) Seq.fill(ns.length)(1.0)
+               else relativeWeights
+    require(relW.length == ns.length)
+    val pts = mocnikPoints(spark, ns.max, seed)
+    var acc: DataFrame = null
+    for (((nl, kl), j) <- ns.zip(ks).zipWithIndex) {
+      val e = mocnikEdgeSet(spark, pts.filter(col("id") < nl), kl)
+        .withColumn("weight", lit(relW(j)))
+      acc = if (acc == null) e.cutLineage
+      else acc.union(
+        e.join(acc.select("src", "dst"), Seq("src", "dst"), "left_anti"))
+        .cutLineage
+    }
+    val g = LinkGraph.fromEdges(spark, acc, Some(pts.select("id")))
+    g.edges.count()
+    pts.unpersist()
+    g
+  }
+
+  /** First `n` accepted candidates in the ball B½(center) on the Q=2^20 integer
+    * grid (persisted). Shared by [[mocnik]] and [[mocnikMultiLayer]]. */
+  private def mocnikPoints(spark: SparkSession, n: Long, seed: Long): DataFrame = {
     val Q = 1L << 20
     val H = Q / 2
     val cand = spark.range(2 * n).select(col("id").as("c"),
@@ -730,7 +773,18 @@ object Generators {
     val pts = graft.layout.Layout.zipWithRank(accepted, "c", "id")
       .filter(col("id") < n).select("id", "x", "y")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nPts = pts.count() // == n for any sane n (acceptance rate ~pi/4 over 2n draws)
+    pts.count() // == n for any sane n (acceptance rate ~pi/4 over 2n draws)
+    pts
+  }
+
+  /** Directed Mocnik edge set (src, dst) over `pts`: i→j iff d(i,j) ≤ k·dmin(i).
+    * Grid-doubling exact NN + certified ring join — see [[mocnik]]'s scaladoc. */
+  private def mocnikEdgeSet(spark: SparkSession, pts0: DataFrame,
+                            k: Int): DataFrame = {
+    require(k >= 2)
+    val Q = 1L << 20
+    val pts = pts0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPts = pts.count()
 
     val baseCell = math.max(1L, Q / math.max(1L, math.ceil(math.sqrt(nPts.toDouble)).toLong))
     def withCell(df: DataFrame, cs: Long): DataFrame =
@@ -785,11 +839,9 @@ object Generators {
       .filter(((col("x") - col("jx")) * (col("x") - col("jx")) +
         (col("y") - col("jy")) * (col("y") - col("jy"))) <= lit(k.toLong * k) * col("d2min"))
       .select(col("id").as("src"), col("jid").as("dst")).distinct()
-      .withColumn("weight", lit(1.0))
-    val g = LinkGraph.fromEdges(spark, edges, Some(pts.select("id")))
-    g.edges.count()
+      .cutLineage // eager: safe to release this layer's point cache below
     pts.unpersist()
-    g
+    edges
   }
 
   /** PubWeb generator (/root/reference/networkit/cpp/generators/PubWebGenerator.cpp:18-160):

@@ -16,6 +16,32 @@ import graft.model.LinkGraph
   * order-independent, the same reason [[ProcBench]] spawns children for the hardware
   * ceiling. */
 object ScalingLeg {
+  /** Shuffle home for the measurement legs: this box's /tmp sits on a virtio disk,
+    * and 32 concurrent shuffle writers + host-level disk contention made the wide
+    * legs bimodal (r3 recorded 32-core samples [3.0, 3.1, 9.8] M eps; with tmpfs
+    * shuffle the same legs measure [11.3, 11.7] M — stable). Shuffle files are
+    * transient per-leg, so tmpfs is their right home; on a real cluster this is
+    * NVMe/local-SSD spark.local.dir provisioning, standard practice. */
+  def fastLocalDir: Option[String] = {
+    val d = new java.io.File("/dev/shm")
+    if (d.isDirectory && d.canWrite) Some("/dev/shm/graft-shuffle") else None
+  }
+
+  /** Shared measurement-session shuffle tuning:
+    *   - spark.local.dir on tmpfs when available (see [[fastLocalDir]]);
+    *   - bypassMergeThreshold 64: Spark's bypass-merge shuffle writes
+    *     maps × reduces files per exchange — at 128 reduce partitions the
+    *     concatenation churn (FileChannel map/copy, measured via thread dumps: all
+    *     32 workers inside copyFileStreamNIO) cost the 32-core minhash leg 5× and
+    *     the 32-core PageRank gate leg ~20%. Above 64 reduces the regular sort
+    *     shuffle (one output file per map task) takes over — which is also what any
+    *     real cluster runs, since production partition counts exceed the default
+    *     200 threshold anyway; below it, bypass-merge stays (faster at ≤32
+    *     partitions, measured 14.1 vs 12.1 M eps at pm=1). */
+  def withFastShuffle(b: SparkSession.Builder): SparkSession.Builder =
+    fastLocalDir.fold(b)(d => b.config("spark.local.dir", d))
+      .config("spark.shuffle.sort.bypassMergeThreshold", "64")
+
   def main(args: Array[String]): Unit = {
     // Optional leading mode selector: `pagerank` (default) measures PageRank
     // edge-iteration throughput on a pre-built scale graph; `minhash` / `ann`
@@ -41,7 +67,7 @@ object ScalingLeg {
     // switches — measured 2x faster at 32 cores on the same input)
     val partMult = if (args.length > 4) args(4).toInt
       else sys.env.getOrElse("SPARK_GRAFT_PART_MULT", "4").toInt
-    val spark = SparkSession.builder()
+    val spark = withFastShuffle(SparkSession.builder())
       .master(s"local[$cores]")
       .appName(s"graft-scaling-leg-$cores")
       .config("spark.sql.shuffle.partitions", cores * partMult)
@@ -74,7 +100,7 @@ object ScalingLeg {
     val cores = args(1).toInt
     val reps = args(2).toInt
     val warm = if (args.length > 3) args(3).toInt else 2
-    val spark = SparkSession.builder()
+    val spark = withFastShuffle(SparkSession.builder())
       .master(s"local[$cores]")
       .appName(s"graft-$mode-leg-$cores")
       .config("spark.sql.shuffle.partitions", cores * 4)
@@ -83,31 +109,49 @@ object ScalingLeg {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val rows = mode match {
+    // The sf tables are fixture-sized (5k docs / 2k vectors at sf0.1) — far too
+    // small to exercise 32 cores: the first recording measured a 32-core minhash
+    // leg 3.6x SLOWER than 8-core purely on fixed scheduling overhead. Like the
+    // PageRank legs' replicated page table, the corpus is replicated to a
+    // measurement scale; each doc replica gets a per-word replica suffix so
+    // replicas are NOT near-duplicates of each other (shingle sets are disjoint
+    // across replicas — the dedup structure per replica matches the original).
+    def timedPasses(n: Long, pass: () => Unit): Unit = {
+      (1 to warm).foreach(_ => pass())
+      val t0 = System.nanoTime()
+      (1 to reps).foreach(_ => pass())
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(s"eps=${n.toDouble * reps / secs} m=$n secs=$secs")
+    }
+    mode match {
       case "minhash" =>
-        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+        val rep = math.max(1L, 200000L / math.max(1L, raw.count()))
+        val docs = raw
+          .crossJoin(spark.range(rep).select(col("id").as("rep")))
+          .select((col("doc_id") * rep + col("rep")).as("doc_id"),
+            expr("array_join(transform(split(text, ' '), " +
+              "w -> concat(w, '_', CAST(rep AS STRING))), ' ')").as("text"),
+            col("lang"), col("source"), col("n_chars"))
+          // The fixture parquet is ONE file = ONE input partition; without this the
+          // whole shingling stage runs in a single task (31 of 32 threads parked —
+          // measured; this, not fixture size, was the "32 cores slower than 8").
+          .repartition(cores * 4, col("doc_id"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n = docs.count()
-        def pass(): Unit = graft.text.Dedup.minhashNearDups(docs, 0.5).count()
-        (1 to warm).foreach(_ => pass())
-        val t0 = System.nanoTime()
-        (1 to reps).foreach(_ => pass())
-        val secs = (System.nanoTime() - t0) / 1e9
-        println(s"eps=${n.toDouble * reps / secs} m=$n secs=$secs")
-        n
+        timedPasses(n, () => { graft.text.Dedup.minhashNearDups(docs, 0.5).count(); () })
       case "ann" =>
-        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val rep = math.max(1L, 200000L / math.max(1L, raw.count()))
+        val emb = raw
+          .crossJoin(spark.range(rep).select(col("id").as("rep")))
+          .select((col("vec_id") * rep + col("rep")).as("vec_id"),
+            col("embedding"), col("label"))
+          .repartition(cores * 4, col("vec_id")) // one-file fixture -> one partition
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n = emb.count()
-        def pass(): Unit = graft.emb.Embeddings.bruteTopK(emb).count()
-        (1 to warm).foreach(_ => pass())
-        val t0 = System.nanoTime()
-        (1 to reps).foreach(_ => pass())
-        val secs = (System.nanoTime() - t0) / 1e9
-        println(s"eps=${n.toDouble * reps / secs} m=$n secs=$secs")
-        n
+        timedPasses(n, () => { graft.emb.Embeddings.bruteTopK(emb).count(); () })
     }
     spark.stop()
-    require(rows > 0)
   }
 }

@@ -72,6 +72,40 @@ class Round16Spec extends AnyFunSuite {
     assert(m1.count() > 0)
   }
 
+  // --- DFSfrom (driver-side fixture-scale twin) ---
+
+  test("dfsFrom: lexicographic preorder on a hand-checked graph") {
+    // 0-1, 0-4, 1-2, 1-3, 4-5: smallest-neighbor-first DFS from 0 visits
+    // 0,1,2,3,4,5 in that order (backtracks 2->1->3, then 0->4->5).
+    val g = graphOf(Seq((0L, 1L, 1.0), (0L, 4L, 1.0), (1L, 2L, 1.0),
+      (1L, 3L, 1.0), (4L, 5L, 1.0)), 6L)
+    val ord = Distances.dfsFrom(spark, g, 0L)
+      .orderBy("ord").collect().map(_.getLong(0)).toSeq
+    assert(ord == Seq(0L, 1L, 2L, 3L, 4L, 5L), ord.toString)
+  }
+
+  test("dfsFrom: reaches exactly the component; preorder parent property") {
+    val g = graphOf(Seq((0L, 1L, 1.0), (1L, 2L, 1.0), (3L, 4L, 1.0)), 5L)
+    val rows = Distances.dfsFrom(spark, g, 0L).collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(0L, 1L, 2L))
+    // Independent recursive oracle on the same adjacency.
+    def rec(adj: Map[Long, Seq[Long]], u: Long,
+            seen: scala.collection.mutable.LinkedHashSet[Long]): Unit = {
+      seen += u
+      adj.getOrElse(u, Nil).sorted.foreach(v => if (!seen(v)) rec(adj, v, seen))
+    }
+    val g2 = graphOf(Seq((0L, 2L, 1.0), (0L, 3L, 1.0), (2L, 3L, 1.0),
+      (3L, 1L, 1.0), (1L, 2L, 1.0)), 4L)
+    val adj = g2.canonicalUndirected.select("src", "dst").collect()
+      .flatMap(r => Seq(r.getLong(0) -> r.getLong(1), r.getLong(1) -> r.getLong(0)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
+    rec(adj, 0L, seen)
+    val got = Distances.dfsFrom(spark, g2, 0L).orderBy("ord")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == seen.toSeq, s"got=$got want=${seen.toSeq}")
+  }
+
   // --- exact-LFR generator ---
 
   test("lfrExact: degree-exact within slack, mu mixing, deterministic") {
