@@ -67,45 +67,69 @@ object Verify {
 
     val todo = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // Budget classes (VERDICT r4 item 6): the five known-heavy queries (measured
+    // 216-819 s at 4-way concurrency in the r4 progress.jsonl) run FIRST at 2-way
+    // concurrency — each gets ~half the cores instead of a quarter — under a 4x cap,
+    // so a future sf bump can't push the tail into the watchdog and zero the round.
+    val heavySet = Set("q_erd_matrix", "q_eff_diameter_exact", "q_diameter_exact",
+      "q_eff_resistance", "q_electrical_closeness")
     val done = new AtomicInteger(0)
     val failures = new ConcurrentLinkedQueue[String]()
-    val pool = Executors.newFixedThreadPool(threads)
     val watchdog = Executors.newScheduledThreadPool(1)
     val t0 = System.nanoTime()
-    todo.foreach { case (name, fn) =>
-      pool.submit(new Runnable {
-        def run(): Unit = {
-          val group = s"verify-$name"
-          spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
-          val cancel = watchdog.schedule(new Runnable {
-            def run(): Unit = {
-              System.err.println(s"[verify] $name exceeded ${capSec}s — cancelling")
-              spark.sparkContext.cancelJobGroup(group)
-            }
-          }, capSec, TimeUnit.SECONDS)
-          val qt0 = System.nanoTime()
-          try {
-            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-              .parquet(s"$outDir/$name")
-            val secs = (System.nanoTime() - qt0) / 1e9
-            logProgress(s"""{"query": ${q(name)}, "status": "ok", "secs": $secs}""")
-          } catch { case e: Throwable =>
-            val secs = (System.nanoTime() - qt0) / 1e9
-            failures.add(name)
-            System.err.println(s"[verify] $name failed: ${e.getMessage}")
-            logProgress(s"""{"query": ${q(name)}, "status": "fail", "secs": $secs, "error": ${q(String.valueOf(e.getMessage))}}""")
-          } finally {
-            cancel.cancel(false)
-            spark.sparkContext.clearJobGroup()
-            val d = done.incrementAndGet()
-            if (d % 20 == 0 || d == todo.size)
-              System.err.println(f"[verify] $d/${todo.size} queries done, wall ${(System.nanoTime() - t0) / 1e9}%.0f s")
-          }
+
+    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+               cap: Long): Unit = {
+      val group = s"verify-$name"
+      spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+      val worker = Thread.currentThread()
+      val finished = new java.util.concurrent.atomic.AtomicBoolean(false)
+      // The job-group cancel only interrupts Spark jobs; driver-side loops between
+      // jobs (iterative while-loops, collected traversals, generator logic) need the
+      // worker thread itself interrupted or they'd pin a pool slot to the 24h join.
+      val cancel = watchdog.schedule(new Runnable {
+        def run(): Unit = if (!finished.get) {
+          System.err.println(s"[verify] $name exceeded ${cap}s — cancelling job group + interrupting worker")
+          spark.sparkContext.cancelJobGroup(group)
+          if (!finished.get) worker.interrupt()
         }
-      })
+      }, cap, TimeUnit.SECONDS)
+      val qt0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        val secs = (System.nanoTime() - qt0) / 1e9
+        logProgress(s"""{"query": ${q(name)}, "status": "ok", "secs": $secs}""")
+      } catch { case e: Throwable =>
+        val secs = (System.nanoTime() - qt0) / 1e9
+        failures.add(name)
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        logProgress(s"""{"query": ${q(name)}, "status": "fail", "secs": $secs, "error": ${q(String.valueOf(e.getMessage))}}""")
+      } finally {
+        finished.set(true)
+        cancel.cancel(false)
+        Thread.interrupted() // clear a late watchdog interrupt so it can't poison the pool slot's next task
+        spark.sparkContext.clearJobGroup()
+        val d = done.incrementAndGet()
+        if (d % 20 == 0 || d == todo.size)
+          System.err.println(f"[verify] $d/${todo.size} queries done, wall ${(System.nanoTime() - t0) / 1e9}%.0f s")
+      }
     }
-    pool.shutdown()
-    pool.awaitTermination(24, TimeUnit.HOURS)
+
+    def runBatch(batch: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+                 nThreads: Int, cap: Long): Unit = {
+      if (batch.isEmpty) return
+      val pool = Executors.newFixedThreadPool(nThreads)
+      batch.foreach { case (name, fn) =>
+        pool.submit(new Runnable { def run(): Unit = runOne(name, fn, cap) })
+      }
+      pool.shutdown()
+      pool.awaitTermination(24, TimeUnit.HOURS)
+    }
+
+    val (heavy, light) = todo.partition { case (name, _) => heavySet.contains(name) }
+    runBatch(heavy, math.min(2, threads), capSec * 4)
+    runBatch(light, threads, capSec)
     watchdog.shutdownNow()
     val wall = (System.nanoTime() - t0) / 1e9
     System.err.println(f"[verify] complete: ${todo.size - failures.size}/${todo.size} ok, wall $wall%.0f s, failures: ${failures.toString}")

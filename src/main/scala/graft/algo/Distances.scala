@@ -203,6 +203,13 @@ object Distances {
     require(g.n <= maxNodes,
       s"dfsFrom is the driver-side fixture-scale primitive (n=${g.n} > $maxNodes); " +
         "use bfsHops/msBfs for web-scale traversal")
+    // The node bound alone doesn't protect the driver: a dense 10M-node graph has
+    // billions of edges and the whole edge set is collected below. Bound m by the
+    // same ~16-byte-per-edge budget rationale as GraphReaders.guardDriverParse.
+    val maxEdges = math.max(maxNodes, 32000000L)
+    require(g.m <= maxEdges,
+      s"dfsFrom collects the full edge set to the driver (m=${g.m} > $maxEdges); " +
+        "use bfsHops/msBfs for web-scale traversal")
     val adj = g.canonicalUndirected.select("src", "dst").collect()
       .foldLeft(scala.collection.mutable.HashMap.empty[Long, List[Long]]) { (m, r) =>
         val (u, v) = (r.getLong(0), r.getLong(1))

@@ -140,6 +140,99 @@ object PathSampling {
     }
   }
 
+  /** KADABRA with the reference's ADAPTIVE two-phase stopping schedule
+    * (/root/reference/networkit/cpp/centrality/KadabraBetweenness.cpp:309-407 run():
+    * ω = 0.5/ε²·(log₂(diam−1) + 1 + ln(0.5/δ)) max samples; a τ = ω/startFactor
+    * warm-up phase whose counts seed per-node failure-probability guesses
+    * (computeDeltaGuess:190-248); then sampling resumes from zero and a Borassi–
+    * Natale Chernoff status check (computeFinished:50-91, computeF/computeG:94-112)
+    * stops the run as soon as EVERY node's lower/upper error bound is < ε, else at
+    * ω). Deterministic distributed re-expression:
+    *   - samples are the shared-LCG pair sequence + lexicographically-smallest
+    *     shortest paths ([[samplePairs]]/[[pathHyperedges]] — ONE msBFS over the ω
+    *     distinct sources; a round then only *counts* rows with j < t, so the
+    *     adaptive schedule costs one small aggregation per check, not a re-walk);
+    *   - the reference checks status every itersPerStep samples; a distributed
+    *     engine checks on a ROUND-DOUBLING schedule t ∈ {τ, 2τ, 4τ, …} ∩ [1, ω)
+    *     (O(log ω) driver round-trips instead of O(ω));
+    *   - computeDeltaGuess's exp()-based per-node δ allocation is quantized to
+    *     POWERS OF TWO so both engines evaluate identical IEEE expressions (exp is
+    *     not correctly rounded; sqrt and +,−,×,÷ are): node v gets weight
+    *     w_v = c1_v + 1 from its τ-phase count, δ_v = (δ/2)·2^(−q_v) with
+    *     q_v = ⌊log₂ W⌋ + 1 − ⌊log₂ w_v⌋ (W = Σw_v). Since 2^(−q_v) ≤ w_v/W,
+    *     Σ(δ_L,v + δ_U,v) ≤ δ — the reference's union-bound invariant — while
+    *     high-count nodes get the larger budgets exactly as computeDeltaGuess
+    *     intends. ln(1/δ_v) = ln(2/δ) + q_v·ln2 from literals and integers, so
+    *     engine and oracle agree bit-for-bit;
+    *   - the stop decision folds nodes into (c1, ct) count classes (the bound
+    *     depends only on the two integers), so each check collects a few hundred
+    *     class rows, never per-node state.
+    * In absolute mode (k = 0, the only mode exposed) the cap ω usually binds — as
+    * in the reference, whose absolute run loop rarely certifies ε before ω; the
+    * schedule demonstrably stops early on degenerate inputs (KadabraSpec).
+    * Output (id, cnt, t_star, bc_est = cnt/t_star); zeros with t_star = 0 when no
+    * pair is reachable (vd ≤ 1). */
+  def kadabraAdaptive(spark: SparkSession, g: LinkGraph,
+                      err: Double = 0.1,
+                      lnHalfInvDelta: Double = 1.6094379124341003, // ln(0.5/δ), δ = 0.1
+                      lnTwoInvDelta: Double = 2.995732273553991,   // ln(2/δ),  δ = 0.1
+                      startFactor: Long = 100L,
+                      maxSamples: Int = 512, seed: Long = 42L,
+                      maxLevels: Int = 32): DataFrame = {
+    val LN2 = 0.6931471805599453
+    val THIRD = 1.0 / 3
+    val lb = Distances.diameterTwoSweep(spark, g).head().getLong(0)
+    val vd = lb + 1L // deterministic diameter estimate; ω uses log₂(vd − 1)
+    if (vd <= 1L)
+      g.vertices.select(col("id"), lit(0L).as("cnt"), lit(0L).as("t_star"),
+        lit(0.0).as("bc_est"))
+    else {
+      val k = 63 - java.lang.Long.numberOfLeadingZeros(vd - 1L)
+      val omega = math.min(maxSamples.toLong,
+        math.ceil((0.5 / (err * err)) * (k + 1 + lnHalfInvDelta)).toLong)
+      val tau = math.max(1L, omega / startFactor)
+      val h = pathHyperedges(spark, g,
+          samplePairs(spark, g, omega.toInt, seed), maxLevels)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      h.count()
+      // τ-phase per-node counts → power-of-two δ budgets.
+      val c1 = h.filter(col("j") < tau).groupBy("id").agg(count(lit(1)).as("c1"))
+      val w = c1.agg(coalesce(sum("c1"), lit(0L))).head().getLong(0) + g.n // Σ(c1_v + 1) over all nodes
+      val ilogW = 63 - java.lang.Long.numberOfLeadingZeros(w)
+      val byNode = g.vertices.join(c1, Seq("id"), "left")
+        .select(col("id"), coalesce(col("c1"), lit(0L)).as("c1"))
+      val omegaD = omega.toDouble
+      def finishedAt(t: Long): Boolean = {
+        val ct = h.filter(col("j") < t).groupBy("id").agg(count(lit(1)).as("ct"))
+        val classes = byNode.join(ct, Seq("id"), "left")
+          .select(col("c1"), coalesce(col("ct"), lit(0L)).as("ct"))
+          .distinct().collect()
+        classes.forall { row =>
+          val c1v = row.getLong(0); val ctv = row.getLong(1)
+          val qv = ilogW + 1 - (63 - java.lang.Long.numberOfLeadingZeros(c1v + 1L))
+          val lV = lnTwoInvDelta + qv * LN2
+          val bt = ctv.toDouble / t
+          val tmpL = omegaD / t - THIRD
+          val tmpU = omegaD / t + THIRD
+          val errL = math.min(
+            lV / t * (-tmpL + math.sqrt(tmpL * tmpL + 2.0 * bt * omegaD / lV)), bt)
+          val errU = math.min(
+            lV / t * (tmpU + math.sqrt(tmpU * tmpU + 2.0 * bt * omegaD / lV)), 1.0 - bt)
+          errL < err && errU < err
+        }
+      }
+      val schedule =
+        Iterator.iterate(tau)(_ * 2L).takeWhile(_ < omega).toList
+      val tStar = schedule.find(finishedAt).getOrElse(omega)
+      val cnt = h.filter(col("j") < tStar).groupBy("id").agg(count(lit(1)).as("cnt"))
+      val out = g.vertices.join(cnt, Seq("id"), "left")
+        .select(col("id"), coalesce(col("cnt"), lit(0L)).as("cnt"),
+          lit(tStar).as("t_star"))
+        .withColumn("bc_est", col("cnt").cast("double") / tStar)
+      out
+    }
+  }
+
   /** ApproxGroupBetweenness: greedy max-coverage of the sampled-path hyperedges —
     * k rounds of (coverage-count argmax over ALIVE hyperedges, ties → smaller id),
     * each round one aggregation + one anti-join (the groupDegree greedy shape).

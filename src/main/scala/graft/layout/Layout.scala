@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+import graft.DataFrameLineageOps
+
 /** Distributed layout primitives codified once (SURVEY.md §4): dense-rank assignment
   * without a global window, and explicit two-level (salted) aggregation for
   * high-degree hubs.
@@ -36,19 +38,31 @@ object Layout {
     *
     * OWNERSHIP: the returned frame is persisted (MEMORY_AND_DISK) and already
     * materialized — the CALLER owns the blocks. Long-lived consumers (the vertex
-    * dictionary) keep it; one-shot consumers should `unpersist()` it once their own
-    * downstream state is materialized (recompute stays correct — the ranks are a pure
-    * function of the data — but wastes the two-job layout pass). */
+    * dictionary) keep it; one-shot consumers may `unpersist()` it once their own
+    * downstream state is materialized (recompute stays correct — it re-reads the
+    * CHECKPOINTED sorted layout, never re-samples range bounds — but wastes the
+    * window pass). */
   def zipWithRankBy(df: DataFrame, orderCols: Seq[Column], rankCol: String,
                     partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val parts = if (partitions > 0) partitions
                 else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // FREEZE the range-partitioned layout with an eager lineage cut
+    // (localCheckpoint), not a mere persist: the collected per-partition offsets are
+    // driver-side constants keyed by __pid, so ANY later re-evaluation of the sorted
+    // frame (cache pressure under concurrent queries) would re-run the range
+    // partitioner's reservoir SAMPLING — whose samples depend on nondeterministic
+    // shuffle-fetch order — and stamp fresh __pids against the stale offsets,
+    // silently corrupting ranks (observed: an r5 concurrent verify pass produced
+    // duplicate ranks with max 90052 of 91173 while the same query alone is
+    // bit-stable). After the cut the plan IS the checkpointed blocks; bounds can
+    // never be re-sampled. Blocks live exactly as long as downstream plans
+    // reference them (ContextCleaner frees them on GC).
     val sorted = df
       .repartitionByRange(parts, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .persist(StorageLevel.MEMORY_AND_DISK) // pin partition bounds across the 2 jobs
+      .cutLineage
     val counts = sorted.groupBy("__pid").agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }
@@ -63,7 +77,6 @@ object Layout {
       .drop("__pid", "__local", "__off")
     val materialized = out.persist(StorageLevel.MEMORY_AND_DISK)
     materialized.count()
-    sorted.unpersist()
     materialized
   }
 
@@ -82,7 +95,7 @@ object Layout {
       .repartitionByRange(parts, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .persist(StorageLevel.MEMORY_AND_DISK) // pin partition bounds across the 2 jobs
+      .cutLineage // freeze partition identity vs the collected offsets (see zipWithRankBy)
     val totals = sorted.groupBy("__pid").agg(sum(valueCol).as("t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
@@ -98,7 +111,6 @@ object Layout {
       .drop("__pid", "__local", "__off")
     val materialized = out.persist(StorageLevel.MEMORY_AND_DISK)
     materialized.count()
-    sorted.unpersist()
     materialized
   }
 

@@ -967,8 +967,8 @@ object OracleSql {
        |cs AS (SELECT g AS c, greatest($minC, least($maxC,
        |    CAST(round(${maxC.toDouble} / (g + 1)) AS BIGINT))) AS w
        |  FROM generate_series(0, ${maxComms - 1}) s(g)),
-       |ps AS (SELECT c, w, coalesce(sum(w) OVER (ORDER BY c
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM cs),
+       |ps AS (SELECT c, w, CAST(coalesce(sum(w) OVER (ORDER BY c
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum FROM cs),
        |blocks AS (SELECT c AS block, cum, least(w, $n - cum) AS sz FROM ps WHERE cum < $n),
        |memb AS (SELECT i.id, b.block, b.sz FROM ids i
        |  JOIN blocks b ON i.id >= b.cum AND i.id < b.cum + b.sz)
@@ -3041,6 +3041,82 @@ object OracleSql {
        |       ELSE CAST(coalesce(c.cnt, 0) AS DOUBLE) / (SELECT r FROM rr) END AS bc_est
        |FROM verts v
        |LEFT JOIN (SELECT id, count(*) AS cnt FROM hyp GROUP BY 1) c ON v.id = c.id""".stripMargin
+  }
+
+  /** Adaptive-KADABRA twin (mirrors PathSampling.kadabraAdaptive): two-sweep vd,
+    * ω = min(maxSamples, ⌈(0.5/ε²)·(⌊log₂(vd−1)⌋ + 1 + ln(0.5/δ))⌉), τ = ω/startFactor,
+    * power-of-two δ-guess from the τ-phase counts, round-doubling schedule
+    * t ∈ {τ·2^r < ω}, per-(c1,ct)-class Borassi–Natale f/g Chernoff bounds with the
+    * EXACT same IEEE expression shapes as the engine (sqrt and +,−,×,÷ only —
+    * correctly rounded in both engines), t* = first finishing t else ω. */
+  def kadabraAdaptive(err: Double, lnHalfInvDelta: Double, lnTwoInvDelta: Double,
+                      startFactor: Long, maxSamples: Int, seed: Long,
+                      sweepRounds: Int, levels: Int): String = {
+    val LN2 = 0.6931471805599453
+    val inf = 999999L
+    def sweep(prefix: String, sourceExpr: String): String = {
+      val steps = (1 to sweepRounds).map { i =>
+        s"""$prefix$i AS MATERIALIZED (SELECT d.id, least(d.dist, coalesce(m.md, d.dist)) AS dist
+           |  FROM $prefix${i - 1} d LEFT JOIN (
+           |    SELECT bi.b AS id, min(x.dist) + 1 AS md FROM bi JOIN $prefix${i - 1} x ON bi.a = x.id
+           |    GROUP BY bi.b) m ON d.id = m.id)""".stripMargin
+      }.mkString(",\n")
+      s"""${prefix}0 AS MATERIALIZED (SELECT id, CASE WHEN id = ($sourceExpr) THEN 0 ELSE $inf END AS dist FROM verts),
+         |$steps""".stripMargin
+    }
+    val pre =
+      s"""${sweep("da", "0")},
+         |uu AS MATERIALIZED (SELECT min(id) AS u FROM da$sweepRounds
+         |  WHERE dist < $inf AND dist = (SELECT max(dist) FROM da$sweepRounds WHERE dist < $inf)),
+         |${sweep("db", "SELECT u FROM uu")},
+         |vdd AS MATERIALIZED (SELECT CAST(max(dist) AS BIGINT) + 1 AS vd
+         |  FROM db$sweepRounds WHERE dist < $inf),
+         |pw AS MATERIALIZED (SELECT p, (CAST(1 AS BIGINT) << p) AS v FROM generate_series(0, 62) s(p)),
+         |kk AS MATERIALIZED (SELECT (SELECT max(p) FROM pw
+         |  WHERE v <= (SELECT vd FROM vdd) - 1) AS k),
+         |om AS MATERIALIZED (SELECT CASE WHEN (SELECT vd FROM vdd) <= 1 THEN CAST(0 AS BIGINT)
+         |  ELSE CAST(least($maxSamples, ceil((CAST(0.5 AS DOUBLE) / (CAST($err AS DOUBLE) * CAST($err AS DOUBLE))) *
+         |    ((SELECT k FROM kk) + 1 + CAST($lnHalfInvDelta AS DOUBLE)))) AS BIGINT) END AS omega),
+         |tu AS MATERIALIZED (SELECT greatest(1, (SELECT omega FROM om) // $startFactor) AS tau)""".stripMargin
+    s"""${pathHyperedgeCtes(maxSamples, seed, levels, preCtes = pre,
+          sampleFilter = "\n    AND j < (SELECT omega FROM om)")},
+       |ts AS MATERIALIZED (SELECT DISTINCT
+       |  (SELECT tau FROM tu) * (CAST(1 AS BIGINT) << r) AS t
+       |  FROM generate_series(0, 30) s(r)
+       |  WHERE (SELECT tau FROM tu) * (CAST(1 AS BIGINT) << r) < (SELECT omega FROM om)),
+       |c1n AS MATERIALIZED (SELECT id, count(*) AS c1 FROM hyp
+       |  WHERE j < (SELECT tau FROM tu) GROUP BY 1),
+       |ww AS MATERIALIZED (SELECT CAST(coalesce((SELECT sum(c1) FROM c1n), 0)
+       |  + (SELECT count(*) FROM verts) AS BIGINT) AS w),
+       |iww AS MATERIALIZED (SELECT (SELECT max(p) FROM pw WHERE v <= (SELECT w FROM ww)) AS iw),
+       |ctn AS MATERIALIZED (SELECT ts.t, h.id, count(*) AS ct FROM ts, hyp h
+       |  WHERE h.j < ts.t GROUP BY 1, 2),
+       |cls AS MATERIALIZED (SELECT DISTINCT ts.t, coalesce(c1n.c1, 0) AS c1,
+       |    coalesce(ctn.ct, 0) AS ct
+       |  FROM ts CROSS JOIN verts v
+       |  LEFT JOIN c1n ON c1n.id = v.id
+       |  LEFT JOIN ctn ON ctn.t = ts.t AND ctn.id = v.id),
+       |ers AS MATERIALIZED (SELECT t, c1, ct,
+       |    (CAST($lnTwoInvDelta AS DOUBLE) + ((SELECT iw FROM iww) + 1
+       |      - (SELECT max(p) FROM pw WHERE v <= c1 + 1)) * CAST($LN2 AS DOUBLE)) AS lv,
+       |    (CAST(ct AS DOUBLE) / t) AS bt,
+       |    ((CAST((SELECT omega FROM om) AS DOUBLE) / t) - (CAST(1.0 AS DOUBLE) / 3)) AS tmpl,
+       |    ((CAST((SELECT omega FROM om) AS DOUBLE) / t) + (CAST(1.0 AS DOUBLE) / 3)) AS tmpu,
+       |    CAST((SELECT omega FROM om) AS DOUBLE) AS omd
+       |  FROM cls),
+       |fin AS MATERIALIZED (SELECT t, bool_and(
+       |    (least((lv / t) * ((-tmpl) + sqrt((tmpl * tmpl) + (((CAST(2.0 AS DOUBLE) * bt) * omd) / lv))), bt) < CAST($err AS DOUBLE))
+       |    AND
+       |    (least((lv / t) * (tmpu + sqrt((tmpu * tmpu) + (((CAST(2.0 AS DOUBLE) * bt) * omd) / lv))), CAST(1.0 AS DOUBLE) - bt) < CAST($err AS DOUBLE))
+       |  ) AS ok FROM ers GROUP BY t),
+       |tstar AS MATERIALIZED (SELECT coalesce((SELECT min(t) FROM fin WHERE ok),
+       |  (SELECT omega FROM om)) AS t)
+       |SELECT v.id, coalesce(c.cnt, 0) AS cnt, (SELECT t FROM tstar) AS t_star,
+       |  CASE WHEN (SELECT t FROM tstar) = 0 THEN 0.0
+       |       ELSE CAST(coalesce(c.cnt, 0) AS DOUBLE) / (SELECT t FROM tstar) END AS bc_est
+       |FROM verts v
+       |LEFT JOIN (SELECT id, count(*) AS cnt FROM hyp
+       |  WHERE j < (SELECT t FROM tstar) GROUP BY 1) c ON v.id = c.id""".stripMargin
   }
 
   /** Greedy max-coverage group betweenness (mirrors

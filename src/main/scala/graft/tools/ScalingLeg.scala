@@ -61,20 +61,31 @@ object ScalingLeg {
     // wall-clock, which is a negligible fraction of a 2-core leg but 25-45% of an
     // 8/32-core leg at 3 warm-up iterations (measured: 8-core eps 5.5M cold vs 7.2M
     // JIT-warm in the r2 shared-JVM first round). Default 8 restores parity.
-    val warm = if (args.length > 3) args(3).toInt else 8
+    val warm = if (args2.length > 3) args2(3).toInt else 8
     // partitions-per-core: 4 = the scaling-gate protocol (constant per-core task
     // granularity across legs); 1 = peak-throughput configuration (fewest task
     // switches — measured 2x faster at 32 cores on the same input)
-    val partMult = if (args.length > 4) args(4).toInt
+    val partMult = if (args2.length > 4) args2(4).toInt
       else sys.env.getOrElse("SPARK_GRAFT_PART_MULT", "4").toInt
-    val spark = withFastShuffle(SparkSession.builder())
-      .master(s"local[$cores]")
+    // SPARK_GRAFT_EXEC_CORES=c: run the leg as local-cluster[cores/c, c, mem] —
+    // separate executor JVMs of a FIXED shape, so the N->4N step is 4x executors of
+    // the same size (the cluster-scaling simulation; shuffle blocks cross real
+    // process + netty boundaries instead of a shared heap). Default: local[cores].
+    val execCores = sys.env.get("SPARK_GRAFT_EXEC_CORES").map(_.toInt).getOrElse(0)
+    val execMemMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "6144")
+    val builder0 = withFastShuffle(SparkSession.builder())
+      .master(if (execCores > 0) s"local-cluster[${cores / execCores},$execCores,$execMemMb]"
+              else s"local[$cores]")
       .appName(s"graft-scaling-leg-$cores")
       .config("spark.sql.shuffle.partitions", cores * partMult)
       .config("spark.sql.adaptive.enabled", "false") // stable co-partitioning (Bench.session)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = (if (execCores > 0)
+      builder0
+        .config("spark.executor.extraClassPath", sys.props.getOrElse("java.class.path", ""))
+        .config("spark.executor.memory", s"${execMemMb}m")
+      else builder0).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val g = LinkGraph.fromEdges(spark,
       spark.read.parquet(s"$edgesDir/edges"),

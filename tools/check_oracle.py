@@ -31,6 +31,14 @@ for q, sql in sorted(oracle.items()):
     d = d.sort_values(by=list(d.columns)).reset_index(drop=True)
     if len(s) != len(d):
         print(f"[ROWS ] {q}: spark={len(s)} duck={len(d)}"); fails += 1; continue
+    # Driver parity: the hash compare is dtype-sensitive (a DuckDB HUGEINT reaches
+    # pandas as float64 and hashes "3.0" vs spark's int64 "3"), so flag numeric-kind
+    # mismatches (int vs float) even when values compare equal as objects.
+    kind_mismatch = [c for c in s.columns if s[c].dtype.kind != d[c].dtype.kind]
+    if kind_mismatch:
+        print(f"[DTYPE] {q}: kind differs on {[(c, str(s[c].dtype), str(d[c].dtype)) for c in kind_mismatch]}")
+        fails += 1
+        continue
     try:
         eq = s.astype(object).equals(d.astype(object))
     except Exception:
