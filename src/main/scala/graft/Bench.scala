@@ -244,10 +244,18 @@ object Bench {
     // to compare against the zero-communication process ceiling (both run exactly
     // one worker per core). One sample per width (a slow sample only understates
     // capability); the whole bench must fit the driver window.
-    val peak = Seq(nCores, cpus).map { cores =>
+    // Sanity re-measure: pm=1 is measured ~2x FASTER than pm=4 at every width on a
+    // quiet box, so a peak sample BELOW the same width's pm=4 gate median is a
+    // noise casualty, and with one sample per width it would silently define the
+    // peak ratio (observed: a contaminated 8-core peak of 3.8 M vs the same run's
+    // 7.0 M pm=4 median made peak efficiency read 0.93). One bounded re-run each.
+    val gateMedians = Seq(median(epsNRuns), median(eps4NRuns))
+    val peak = Seq(nCores, cpus).zip(gateMedians).map { case (cores, gateMed) =>
       awaitQuietBox(waitBudget)
-      pagerankThroughput(dir, cores, math.max(6, scaleIters(cores, cpus) / 2),
-        warmIters(cores), partMult = 1)
+      def one(): Double = pagerankThroughput(dir, cores,
+        math.max(6, scaleIters(cores, cpus) / 2), warmIters(cores), partMult = 1)
+      val s0 = one()
+      if (s0 < gateMed) { awaitQuietBox(waitBudget); math.max(s0, one()) } else s0
     }
     // Per-round ratios (legs of the same round share box conditions) are recorded;
     // the HEADLINE efficiency is the ratio of per-leg medians — after outlier
@@ -356,7 +364,9 @@ object Bench {
     * have (quiet-box gate + bounded re-measure, raw and final both recorded) now
     * covers the headline too. */
   private val PriorRoundSecs = Map(
-    "build_graph" -> 17.4, "pagerank_conv" -> 24.1, "components" -> 11.2,
+    // build_graph is deliberately absent: LinkGraph.forSf memoizes per (sfDir,
+    // session), so a re-run would record a cache read, not a build.
+    "pagerank_conv" -> 24.1, "components" -> 11.2,
     "plp5" -> 21.0, "triangles" -> 6.07, "dedup_exact" -> 0.36,
     "minhash_lsh" -> 2.95, "ann_topk" -> 0.83)
 
@@ -377,12 +387,17 @@ object Bench {
     // faster than the engine's capability, so when the first sample lands >25% above
     // the last clean round's driver-recorded time the slowdown is environmental —
     // re-run once (quiet-gated) and keep the better sample; both are recorded.
-    def measured[T](name: String)(body: => T): (T, Double) = {
+    // `reset` evicts any operator-level memoization the first sample populated so
+    // the re-run does the FULL work — without it, plp5's re-run would hit the
+    // fixed-round label memo and record a 0.06 s cache read as the operator's time
+    // (observed; that number would be a lie against the r3/r4 cold-call rows).
+    def measured[T](name: String, reset: () => Unit = () => ())(body: => T): (T, Double) = {
       val (r0, s0) = timed(body)
       rawSecs(name) = s0
       val ref = PriorRoundSecs.get(name)
       if (ref.exists(r => s0 > 1.25 * r && s0 > 1.0)) {
         remeasured += name
+        reset()
         awaitQuietBox(headlineBudget)
         val (r1, s1) = timed(body)
         if (s1 < s0) (r1, s1) else (r0, s0)
@@ -404,8 +419,11 @@ object Bench {
     val (cc, ccSecs) = measured("components") {
       val r = ConnectedComponents.run(spark, g); r.labels.count(); r
     }
-    val (_, plpSecs) = measured("plp5") { LabelPropagation.fixedRounds(spark, g, 5).count() }
-    val (tri, triSecs) = measured("triangles")(Triangles.globalCount(spark, g))
+    val (_, plpSecs) = measured("plp5", () => LabelPropagation.evictFixedRounds(g)) {
+      LabelPropagation.fixedRounds(spark, g, 5).count()
+    }
+    val (tri, triSecs) = measured("triangles", () => Triangles.evictOriented(g))(
+      Triangles.globalCount(spark, g))
 
     // The fixture tables are single parquet files = single input partitions; the
     // scan-side stages (shingling, vector parse) would otherwise run in ONE task

@@ -107,6 +107,16 @@ object LabelPropagation {
       labels
     })
 
+  /** Drop `g`'s memoized fixed-round labels (benchmark re-measurement needs the
+    * re-run to do the FULL work — a memo hit would record a cache read as the
+    * operator's time). */
+  def evictFixedRounds(g: LinkGraph): Unit = {
+    import scala.jdk.CollectionConverters._
+    fixedCache.keySet.asScala.filter(_._1 == g).toSeq.foreach { k =>
+      Option(fixedCache.remove(k)).foreach(_.unpersist())
+    }
+  }
+
   /** Compact labels to 0..k-1 preserving order of the original ids —
     * Partition::compact(useTurbo=false) (/root/reference/networkit/cpp/structures/
     * Partition.cpp:91-119). Distributed rank via Layout.zipWithRank (no global window). */

@@ -34,6 +34,11 @@ object Triangles {
   /** Oriented edges `(a, b, db)` in raw id space: a -> b iff
     * (deg(a), a) < (deg(b), b) lexicographically; `db` = deg(b) rides along so wedge
     * endpoints can be ordered without another join. Persisted once per graph. */
+  /** Drop `g`'s memoized oriented view (benchmark re-measurement needs the re-run
+    * to rebuild it like the first sample did). */
+  def evictOriented(g: LinkGraph): Unit =
+    Option(orientedCache.remove(g)).foreach(_.unpersist())
+
   def oriented(g: LinkGraph): DataFrame =
     orientedCache.computeIfAbsent(g, { g =>
       val und = g.canonicalUndirected.select("src", "dst")

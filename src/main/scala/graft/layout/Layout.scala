@@ -3,7 +3,6 @@ package graft.layout
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.DataFrameLineageOps
 
@@ -36,12 +35,10 @@ object Layout {
   /** Multi-column variant; `orderCols` may carry asc/desc and MUST be a total order
     * (tie-free) for the rank to be deterministic.
     *
-    * OWNERSHIP: the returned frame is persisted (MEMORY_AND_DISK) and already
-    * materialized — the CALLER owns the blocks. Long-lived consumers (the vertex
-    * dictionary) keep it; one-shot consumers may `unpersist()` it once their own
-    * downstream state is materialized (recompute stays correct — it re-reads the
-    * CHECKPOINTED sorted layout, never re-samples range bounds — but wastes the
-    * window pass). */
+    * OWNERSHIP: the returned frame is an EAGER LOCAL CHECKPOINT — already
+    * materialized, lineage-free, blocks MEMORY_AND_DISK. They live as long as the
+    * returned plan is referenced (ContextCleaner frees them on driver GC);
+    * `unpersist()` on it is a no-op, `Lineage.release` frees them immediately. */
   def zipWithRankBy(df: DataFrame, orderCols: Seq[Column], rankCol: String,
                     partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
@@ -75,9 +72,17 @@ object Layout {
       .join(broadcast(offDf), "__pid")
       .withColumn(rankCol, col("__off") + col("__local") - 1L)
       .drop("__pid", "__local", "__off")
-    val materialized = out.persist(StorageLevel.MEMORY_AND_DISK)
-    materialized.count()
-    materialized
+    // The result is ALSO an eager checkpoint, not a persist: an InMemoryRelation
+    // whose child plan contains a checkpoint LogicalRDD measurably poisons the whole
+    // session (A/B/C-tested on the sf0.1 bench: persist-over-checkpoint ran plp5 at
+    // 46-51 s and triangles at 40 s vs 14 s / 4.4 s with the double checkpoint —
+    // checkpoint-only is as fast as round 4's persist-only while keeping the
+    // re-sample immunity). Downstream plans read the frozen blocks directly.
+    val result = out.cutLineage
+    // Free the intermediate sorted copy NOW (its blocks are a full second copy of
+    // the input); `result` reads its own checkpoint blocks, never `sorted`'s.
+    graft.iterate.Lineage.release(sorted)
+    result
   }
 
   /** EXCLUSIVE prefix sum of `valueCol` in `orderCols` order (sum of all values
@@ -109,9 +114,9 @@ object Layout {
       .join(broadcast(offDf), "__pid")
       .withColumn(outCol, col("__off") + coalesce(col("__local"), lit(0L)))
       .drop("__pid", "__local", "__off")
-    val materialized = out.persist(StorageLevel.MEMORY_AND_DISK)
-    materialized.count()
-    materialized
+    val result = out.cutLineage // checkpoint, not persist — see zipWithRankBy
+    graft.iterate.Lineage.release(sorted)
+    result
   }
 
   /** Two-level (salted) sum aggregation: `groupBy(key).sum(valueCol)` where a single
