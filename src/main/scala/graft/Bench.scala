@@ -266,9 +266,17 @@ object Bench {
 
     // Spark-free process ceiling: aggregate throughput of k independent JVMs at the
     // same three parallelism levels, per workload mode; 2s per measurement.
+    // Samples are taken as back-to-back (low, n, 4n) TRIPLES and the reported
+    // throughputs are the medians — same pairing discipline as the engine legs.
+    // Independent per-width sampling let host phases skew the ratio wildly (probed
+    // out-of-run: stream 8-core samples ranged 2.2-15.4 G ops/s minutes apart, so a
+    // 3-sample per-width median once recorded a 0.95 stream efficiency on a box
+    // whose steady-state is ~0.6); five interleaved triples bound that.
     def ceiling(mode: String): (Double, Double, Double) = {
-      val Seq(tl, tn, t4) = legs.map(k =>
-        median((1 to 3).map(_ => ProcBench.aggregateThroughput(mode, k))))
+      val triples = (1 to 5).map { _ =>
+        legs.map(k => ProcBench.aggregateThroughput(mode, k))
+      }
+      val Seq(tl, tn, t4) = legs.indices.map(i => median(triples.map(_(i)))).toSeq
       (tl, tn, t4)
     }
     val (aluL, aluN, alu4) = ceiling("alu")
@@ -283,15 +291,22 @@ object Bench {
     // dedup/ANN claims need a measured N->4N number, not just plan-shape argument).
     // The leg replicates the fixture corpus to measurement scale (~200k rows) —
     // the raw sf tables are far too small to exercise 32 cores. One leg per width.
-    def pipeline(mode: String, reps: Int): (Double, Double) = {
+    // Two interleaved rounds per mode (r5: a single leg per width let one noisy
+    // window define the pair — the 32-core minhash leg measures 51-83 k docs/s
+    // minutes apart on this box; same-round legs share conditions, and the raw
+    // samples are recorded so the artifact carries the spread).
+    def pipeline(mode: String, reps: Int): (Seq[Double], Seq[Double]) = {
       def leg(cores: Int): Double = {
         awaitQuietBox(waitBudget)
         childLeg(Seq(mode, sfDir, cores.toString, reps.toString), s"$mode cores=$cores")
       }
-      (leg(nCores), leg(cpus))
+      val rounds = (1 to 2).map(_ => (leg(nCores), leg(cpus)))
+      (rounds.map(_._1), rounds.map(_._2))
     }
-    val (mhN, mh4) = pipeline("minhash", reps = 2)
-    val (annN, ann4) = pipeline("ann", reps = 2)
+    val (mhNRuns, mh4Runs) = pipeline("minhash", reps = 2)
+    val (annNRuns, ann4Runs) = pipeline("ann", reps = 2)
+    val (mhN, mh4) = (median(mhNRuns), median(mh4Runs))
+    val (annN, ann4) = (median(annNRuns), median(ann4Runs))
 
     // Real-cluster-shaped data point (VERDICT r4 item 7): the same PageRank leg run
     // as local-cluster[k,4,mem] — separate executor JVMs of FIXED 4-core shape, so
@@ -345,8 +360,10 @@ object Bench {
       s""""efficiency":${peak(1) / (4.0 * peak(0))},""" +
       s""""efficiency_vs_stream_ceiling":${peak(1) / (4.0 * peak(0)) / streamEff}},""" +
       s""""dedup":{"eps_n":$mhN,"eps_4n":$mh4,"efficiency":${mh4 / (4.0 * mhN)},""" +
+      s""""eps_n_runs":${jarr(mhNRuns)},"eps_4n_runs":${jarr(mh4Runs)},""" +
       s""""efficiency_vs_stream_ceiling":${mh4 / (4.0 * mhN) / streamEff},"unit":"docs/s"},""" +
       s""""ann":{"eps_n":$annN,"eps_4n":$ann4,"efficiency":${ann4 / (4.0 * annN)},""" +
+      s""""eps_n_runs":${jarr(annNRuns)},"eps_4n_runs":${jarr(ann4Runs)},""" +
       s""""efficiency_vs_alu_ceiling":${ann4 / (4.0 * annN) / (alu4 / (4.0 * aluN))},""" +
       s""""efficiency_vs_stream_ceiling":${ann4 / (4.0 * annN) / streamEff},"unit":"rows/s"},""" +
       s""""local_cluster":{"executors":"${nCores / 4}x4cores -> ${cpus / 4}x4cores",""" +

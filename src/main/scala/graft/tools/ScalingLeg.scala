@@ -111,10 +111,11 @@ object ScalingLeg {
     val cores = args(1).toInt
     val reps = args(2).toInt
     val warm = if (args.length > 3) args(3).toInt else 2
+    val pipePartMult = sys.env.getOrElse("SPARK_GRAFT_PART_MULT", "4").toInt
     val spark = withFastShuffle(SparkSession.builder())
       .master(s"local[$cores]")
       .appName(s"graft-$mode-leg-$cores")
-      .config("spark.sql.shuffle.partitions", cores * 4)
+      .config("spark.sql.shuffle.partitions", cores * pipePartMult)
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -127,12 +128,41 @@ object ScalingLeg {
     // measurement scale; each doc replica gets a per-word replica suffix so
     // replicas are NOT near-duplicates of each other (shingle sets are disjoint
     // across replicas — the dedup structure per replica matches the original).
+    // SPARK_GRAFT_LEG_STATS=1: per-stage task-time breakdown of the measured passes
+    // (the ScalingProbe listener, here for the pipeline legs) — used to attribute
+    // the dedup/ANN wide-leg efficiency.
+    val stageTime = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long, Int)]()
+    val taskTime = new java.util.concurrent.atomic.AtomicLong(0)
+    val cpuTime = new java.util.concurrent.atomic.AtomicLong(0)
+    val gcTime = new java.util.concurrent.atomic.AtomicLong(0)
+    if (sys.env.get("SPARK_GRAFT_LEG_STATS").contains("1"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          taskTime.addAndGet(te.taskInfo.duration)
+          cpuTime.addAndGet(te.taskMetrics.executorCpuTime)
+          gcTime.addAndGet(te.taskMetrics.jvmGCTime)
+          stageTime.merge(te.stageId, ("", te.taskInfo.duration, 1),
+            (a, b) => (a._1, a._2 + b._2, a._3 + b._3))
+        }
+        override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          stageTime.merge(sc.stageInfo.stageId, (sc.stageInfo.name, 0L, 0),
+            (a, b) => (sc.stageInfo.name, a._2, a._3))
+      })
     def timedPasses(n: Long, pass: () => Unit): Unit = {
       (1 to warm).foreach(_ => pass())
+      stageTime.clear(); taskTime.set(0); cpuTime.set(0); gcTime.set(0)
       val t0 = System.nanoTime()
       (1 to reps).foreach(_ => pass())
       val secs = (System.nanoTime() - t0) / 1e9
       println(s"eps=${n.toDouble * reps / secs} m=$n secs=$secs")
+      if (sys.env.get("SPARK_GRAFT_LEG_STATS").contains("1")) {
+        println(f"STATS taskSum=${taskTime.get() / 1000.0}%.1fs avgPar=${taskTime.get() / 1000.0 / secs}%.1f " +
+          f"cpu=${cpuTime.get() / 1e9}%.1fs gc=${gcTime.get() / 1000.0}%.1fs")
+        import scala.jdk.CollectionConverters._
+        stageTime.asScala.toSeq.sortBy(-_._2._2).take(8).foreach { case (id, (nm, t, c)) =>
+          println(f"  STAGE $id%d ${nm.take(70)}%s tasks=$c%d sum=${t / 1000.0}%.1fs")
+        }
+      }
     }
     mode match {
       case "minhash" =>
@@ -147,7 +177,7 @@ object ScalingLeg {
           // The fixture parquet is ONE file = ONE input partition; without this the
           // whole shingling stage runs in a single task (31 of 32 threads parked —
           // measured; this, not fixture size, was the "32 cores slower than 8").
-          .repartition(cores * 4, col("doc_id"))
+          .repartition(cores * pipePartMult, col("doc_id"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n = docs.count()
         timedPasses(n, () => { graft.text.Dedup.minhashNearDups(docs, 0.5).count(); () })
@@ -158,7 +188,7 @@ object ScalingLeg {
           .crossJoin(spark.range(rep).select(col("id").as("rep")))
           .select((col("vec_id") * rep + col("rep")).as("vec_id"),
             col("embedding"), col("label"))
-          .repartition(cores * 4, col("vec_id")) // one-file fixture -> one partition
+          .repartition(cores * pipePartMult, col("vec_id")) // one-file fixture -> one partition
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n = emb.count()
         timedPasses(n, () => { graft.emb.Embeddings.bruteTopK(emb).count(); () })
